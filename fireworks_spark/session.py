@@ -1,0 +1,50 @@
+"""SparkSession factory with deterministic, scale-aware defaults.
+
+Replaces nothing in the reference (a single-process library needs no session);
+the configs below encode the determinism discipline from SURVEY.md §7.2 and
+the scale posture from BASELINE.md: UTC timezone, AQE on (runtime shuffle
+coalescing + skew-join splitting), Arrow for every pandas-UDF boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fireworks-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    - ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract).
+    - ``shuffle_partitions`` defaults to 32 locally; on a real cluster you
+      would size this to ~2-3x total cores and let AQE coalesce down.
+    - AQE is enabled so the same code re-plans at 1000x the data (skew joins
+      are split, tiny shuffle partitions are merged, sort-merge joins flip to
+      broadcast when a side turns out small at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
