@@ -1,0 +1,117 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All JVM-side expressions (regexp_count, split, md5)
+— no Python in the per-document path, so these run at corpus scale as pure
+map stages with zero shuffle.
+
+Counterpart of the reference's text helpers (fireworks/toolbox/text.py:7-116)
+generalized to the operations an LLM training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fireworks_spark.functions.text import normalize_text, words
+
+# language -> stopword alternation used by the n-gram/stopword language
+# heuristic; mirrored verbatim in the DuckDB oracle (queries_pipeline.py)
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|is|of|to|a|in)\b",
+    "fr": r"\b(le|la|les|des|et|une|est)\b",
+    "de": r"\b(der|die|das|und|ist|ein|nicht)\b",
+    "es": r"\b(el|los|de|que|y|es|una)\b",
+}
+CJK_PATTERN = "[一-鿿]"
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count of letter-runs, digit-runs, and
+    punctuation marks (a cheap, deterministic proxy for subword counts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("long")
+
+
+def with_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars_calc"),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_subtokens"),
+    )
+
+
+def with_quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a boolean
+    keep-flag — the classic pre-training quality filter shape."""
+    n_tok = token_count(text_col)
+    n_chars = F.length(text_col).cast("long")
+    punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_PATTERN)).cast("long")
+    stop = F.regexp_count(normalize_text(text_col), F.lit(LANG_STOPWORDS["en"])).cast("long")
+    avg_tok_len = F.round(n_chars.cast("double") / n_tok, 2)
+    punct_ratio = F.round(punct.cast("double") / n_tok, 3)
+    stop_ratio = F.round(stop.cast("double") / n_tok, 3)
+    keep = (n_tok >= 5) & (n_tok <= 100000) & (avg_tok_len <= 20)
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        avg_tok_len.alias("avg_tok_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def with_lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword/CJK-heuristic language ID. Ties break in fixed order
+    en > fr > de > es; any CJK character wins 'zh'."""
+    t = normalize_text(text_col)
+    cnt = {k: F.regexp_count(t, F.lit(pat)) for k, pat in LANG_STOPWORDS.items()}
+    cjk = F.regexp_count(F.col(text_col), F.lit(CJK_PATTERN))
+    pred = (
+        F.when(cjk > 0, "zh")
+        .when((cnt["en"] >= cnt["fr"]) & (cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]), "en")
+        .when((cnt["fr"] >= cnt["de"]) & (cnt["fr"] >= cnt["es"]), "fr")
+        .when(cnt["de"] >= cnt["es"], "de")
+        .otherwise("es")
+    )
+    return df.select(id_col, pred.alias("pred_lang"))
+
+
+def with_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit hex document fingerprint of the canonical (normalized) text —
+    stable across whitespace/case variants; join key for cross-corpus exact
+    dedup."""
+    return df.select(
+        id_col,
+        F.substring(F.md5(normalize_text(text_col)), 1, 16).alias("fp"),
+    )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Corpus vocabulary with frequencies (make_vocabulary, reference
+    fireworks/toolbox/text.py:84-98) — explode + count, one shuffle."""
+    v = (
+        df.select(F.explode(words(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    v = v.orderBy(F.desc("freq"), "token")
+    return v.limit(top_k) if top_k else v

@@ -1,0 +1,265 @@
+"""Declared queries for the LLM-data-pipeline operators (dedup, similarity
+search, text analysis) over the ``documents`` and ``embeddings`` tables.
+
+Oracle notes: the DuckDB SQL mirrors the Spark expressions *exactly* —
+same normalization regex, same shingling, same left-fold float summation
+order (DuckDB list_reduce == Spark aggregate-with-0-init), same ROUND
+placement — so results are hash-identical, not merely approximately equal.
+
+MinHash-LSH and SimHash base hashes are xxhash64 (no DuckDB equivalent):
+the minhash query is still oracle-checkable because its output is the
+LSH-candidates *verified by exact Jaccard*, and on the test corpus every
+true pair (jac >= 0.8, see tests) collides in at least one of 16 bands with
+probability 1 - (1-j^2)^16 > 1 - 2e-8 — verified deterministic-equal in
+tests at sf0.01 and sf0.1. SimHash has no SQL equivalent and is declared
+rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fireworks_spark.operators import dedup, similarity, textstats
+from fireworks_spark.tables import table
+
+# --- shared DuckDB SQL fragments (mirror fireworks_spark.functions.text) ---
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, array_length(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM toks WHERE array_length(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT ida, idb, round(c / (sa.sz + sb.sz - c), 3) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = ida
+  JOIN sizes sb ON sb.doc_id = idb
+)
+"""
+
+
+def _cos(a: str, b: str) -> str:
+    """DuckDB cosine mirroring functions.vector (left fold, double)."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, array_length({x}) + 1), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).orderBy("keep_id")
+
+
+def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, threshold=0.5).orderBy("ida", "idb")
+
+
+def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, threshold=0.5).orderBy("ida", "idb")
+
+
+def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=8).orderBy("ida", "idb")
+
+
+def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(e, threshold=0.5).orderBy("ida", "idb")
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def q35_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.cosine_topk(e, q, k=5)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe (label partitions, nprobe=2) — approximate by design, so
+    rows-only for the driver; tests assert recall vs. brute force."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.ivf_topk(e, q, k=5, nprobe=2)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def q37_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textstats.with_token_stats(d).orderBy("doc_id")
+
+
+def q38_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textstats.with_quality_score(d).orderBy("doc_id")
+
+
+def q39_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textstats.with_lang_id(d).orderBy("doc_id")
+
+
+def q40_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textstats.with_fingerprint(d).orderBy("doc_id")
+
+
+def q41_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return textstats.vocabulary(d, top_k=20)
+
+
+PIPELINE_QUERIES = {
+    "q30_dedup_exact": q30_dedup_exact,
+    "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
+    "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
+    "q33_dedup_simhash": q33_dedup_simhash,
+    "q34_dedup_embedding_cosine": q34_dedup_embedding_cosine,
+    "q35_ann_cosine_topk": q35_ann_cosine_topk,
+    "q36_ann_ivf_topk": q36_ann_ivf_topk,
+    "q37_text_token_stats": q37_text_token_stats,
+    "q38_text_quality": q38_text_quality,
+    "q39_text_langid": q39_text_langid,
+    "q40_text_fingerprint": q40_text_fingerprint,
+    "q41_vocab_topk": q41_vocab_topk,
+}
+
+_JACCARD_SQL = (
+    f"WITH {_SHINGLES_CTE} "
+    "SELECT ida, idb, jac FROM jac WHERE jac >= 0.5 ORDER BY ida, idb"
+)
+
+_ANN_SQL = f"""
+WITH p AS (
+  SELECT q.vec_id AS qid, b.vec_id AS nid,
+         round({_cos('q.embedding', 'b.embedding')}, 4) AS sim
+  FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), r AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM p
+)
+SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+PIPELINE_ORACLE = {
+    "q30_dedup_exact": (
+        f"SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents "
+        f"GROUP BY md5({_NORM}) ORDER BY keep_id"
+    ),
+    "q31_dedup_ngram_jaccard": _JACCARD_SQL,
+    # LSH candidates verified by exact jaccard == exact jaccard pairs on this
+    # corpus (recall 1 - 2e-8 for jac>=0.8 pairs; no pairs in (0.2, 0.8)).
+    "q32_dedup_minhash_lsh": _JACCARD_SQL,
+    # q33 simhash: no SQL equivalent (xxhash64) — rows-only check.
+    "q34_dedup_embedding_cosine": f"""
+        WITH p AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb,
+                 round({_cos('a.embedding', 'b.embedding')}, 4) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT ida, idb, sim FROM p WHERE sim >= 0.5 ORDER BY ida, idb
+    """,
+    "q35_ann_cosine_topk": _ANN_SQL,
+    # q36 IVF: approximate by design — rows-only check.
+    "q37_text_token_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(array_length({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                    AS n_subtokens
+        FROM documents ORDER BY doc_id
+    """,
+    "q38_text_quality": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(array_length({_TOKS}) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                   AS punct,
+                 CAST(len(regexp_extract_all({_NORM},
+                   '\\b(the|and|is|of|to|a|in)\\b')) AS BIGINT) AS stop
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               round(CAST(n_chars AS DOUBLE) / n_tokens, 2) AS avg_tok_len,
+               round(CAST(punct AS DOUBLE) / n_tokens, 3) AS punct_ratio,
+               round(CAST(stop AS DOUBLE) / n_tokens, 3) AS stop_ratio,
+               (n_tokens >= 5 AND n_tokens <= 100000
+                AND round(CAST(n_chars AS DOUBLE) / n_tokens, 2) <= 20)
+                 AS keep
+        FROM f ORDER BY doc_id
+    """,
+    "q39_text_langid": f"""
+        WITH c AS (
+          SELECT doc_id,
+            len(regexp_extract_all({_NORM}, '\\b(the|and|is|of|to|a|in)\\b')) AS en,
+            len(regexp_extract_all({_NORM}, '\\b(le|la|les|des|et|une|est)\\b')) AS fr,
+            len(regexp_extract_all({_NORM}, '\\b(der|die|das|und|ist|ein|nicht)\\b')) AS de,
+            len(regexp_extract_all({_NORM}, '\\b(el|los|de|que|y|es|una)\\b')) AS es,
+            len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]')) AS cjk
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN cjk > 0 THEN 'zh'
+               WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+               WHEN fr >= de AND fr >= es THEN 'fr'
+               WHEN de >= es THEN 'de'
+               ELSE 'es' END AS pred_lang
+        FROM c ORDER BY doc_id
+    """,
+    "q40_text_fingerprint": (
+        f"SELECT doc_id, substring(md5({_NORM}), 1, 16) AS fp "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q41_vocab_topk": f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+}

@@ -198,7 +198,7 @@ def q13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "rk")
         .orderBy("o_custkey", "rk")
