@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Per-query benchmark harness (driver contract, BASELINE.md).
+
+Runs every registry query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
+JSON line to stdout:
+
+    {"metric": "total_query_time", "value": <sum-sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Methodology:
+- one warm SparkSession for the whole run (JVM/codegen warmup paid once by a
+  small warmup query that is not recorded);
+- each query is fully materialized with a ``noop`` write so every column is
+  computed (count() alone would let Catalyst prune the payload);
+- wall-clock per query via time.perf_counter().
+
+Everything else (Spark logs, progress) goes to stderr so the driver can
+parse stdout as JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else float("nan")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from fireworks_spark.registry import QUERIES
+    from fireworks_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fireworks-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    # Warmup: spin up the JVM, codegen, and the parquet footer caches once.
+    from fireworks_spark.tables import table
+
+    table(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; a broken query reads as null
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = None
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    ok = [v for v in timings.values() if v is not None]
+    out = {
+        "metric": "total_query_time",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
