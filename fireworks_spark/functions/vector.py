@@ -38,3 +38,44 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cos(a, b) = dot / (|a| * |b|); computed as dot/(sqrt(na)*sqrt(nb))
     to mirror the oracle formula exactly."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_bits(vec_col: Column | str, num_bits: int) -> Column:
+    """ARRAY<INT> of ``num_bits`` random-hyperplane sign bits.
+
+    Bit i is the sign of a pseudo-random ±1 projection whose signs derive
+    from xxhash64(i, dim) — deterministic, shippable in the plan, no driver
+    state or broadcast needed. P(bit agrees for two vectors at angle θ) =
+    1 - θ/π, the standard sign-LSH collision probability.
+    """
+    v = _dbl(vec_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bits - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(v) - 1),
+                        lambda d: F.when(
+                            (F.xxhash64(i, d) % 2) == 0, F.lit(1.0)
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def band_key(bits: Column, band_idx: int, rows_per_band: int) -> Column:
+    """Integer key packing bits[band_idx*r : (band_idx+1)*r] (slice 1-based)."""
+    return F.aggregate(
+        F.slice(bits, band_idx * rows_per_band + 1, rows_per_band),
+        F.lit(0),
+        lambda acc, b: acc * 2 + b,
+    )

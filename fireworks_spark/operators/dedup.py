@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fireworks_spark.functions.text import normalize_text, words
-from fireworks_spark.functions.vector import cosine_similarity
+from fireworks_spark.functions.vector import band_key, cosine_similarity, sign_bits
 
 
 # --------------------------------------------------------------------------
@@ -30,14 +30,18 @@ from fireworks_spark.functions.vector import cosine_similarity
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles (JVM-side transform over a sequence of
-    start offsets; element_at is 1-based)."""
+    start offsets; element_at is 1-based). Documents with fewer than n words
+    yield an empty array (sequence(1, 0) would DESCEND, so it is guarded)."""
     w = words(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
         ),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -48,6 +52,56 @@ def shingle_table(
     return (
         df.filter(F.size(words(text_col)) >= n)
         .select(id_col, F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles) — the distinct-shingle array per document, unexploded.
+    Used by the set-based Jaccard verify: intersections are computed per
+    candidate pair with array_intersect (O(|a|+|b|) per pair, no join
+    amplification on hot shingles)."""
+    return df.select(
+        id_col, F.array_distinct(word_ngrams(text_col, n)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def shingle_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (ida < idb) sharing at least one shingle.
+
+    ``df_cap`` drops shingles appearing in more than df_cap documents from
+    candidate GENERATION only (verification still uses every shingle, so the
+    Jaccard values stay exact). A shingle shared by f documents produces
+    O(f^2) join rows; uncapped, one boilerplate shingle at corpus scale makes
+    the self-join quadratic in its document frequency. Capped, each join
+    group is at most df_cap^2 rows — skew-proof at any scale. A true pair is
+    missed only if EVERY shared shingle is hotter than the cap (i.e. the two
+    documents overlap exclusively in corpus-wide boilerplate, which carries
+    no dedup signal anyway).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    a = sh.select(F.col(id_col).alias("ida"), "shingle")
+    b = sh.select(F.col(id_col).alias("idb"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
     )
 
 
@@ -85,35 +139,32 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     candidates: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """Pairs (ida < idb) with word-n-gram Jaccard >= threshold.
+    """Pairs (ida < idb) with word-n-gram Jaccard >= threshold (exact values).
 
-    Intersections come from a self-equi-join on the shingle key (the shuffle
-    key is the shingle, so only documents sharing a shingle ever meet — NOT
-    an all-pairs crossJoin). ``candidates`` (ida, idb) restricts the join to
-    an LSH candidate set for the scale path.
+    Two stages:
+    1. candidates — pairs that share >= 1 shingle (df-capped self-equi-join on
+       the shingle key; see shingle_candidates), or an external candidate set
+       (e.g. MinHash-LSH) via ``candidates``;
+    2. verify — join each candidate pair to the two documents' shingle SETS
+       and compute |A ∩ B| with array_intersect. Per-pair cost is
+       O(|A| + |B|); hot shingles cannot amplify this stage because there is
+       no shingle-keyed join here at all.
+
+    The verify uses ALL shingles (including any dropped by df_cap during
+    candidate generation), so reported Jaccard values are exact.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("ida"), F.col("shingle"))
-    b = sh.select(F.col(id_col).alias("idb"), F.col("shingle"))
-    if candidates is not None:
-        cand = candidates.select("ida", "idb").distinct()
-        a = a.join(cand.select("ida").distinct(), "ida", "left_semi")
-        b = b.join(cand.select("idb").distinct(), "idb", "left_semi")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("ida") < F.col("idb"))
-        .groupBy("ida", "idb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(cand, ["ida", "idb"], "left_semi")
-    sa = sizes.select(F.col(id_col).alias("ida"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col(id_col).alias("idb"), F.col("sz").alias("sb"))
-    jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    if candidates is None:
+        candidates = shingle_candidates(df, id_col, text_col, n, df_cap)
+    cand = candidates.select("ida", "idb").distinct()
+    sets = shingle_sets(df, id_col, text_col, n)
+    sa = sets.select(F.col(id_col).alias("ida"), F.col("shingles").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("idb"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
     return (
-        inter.join(sa, "ida")
+        cand.join(sa, "ida")
         .join(sb, "idb")
         .select("ida", "idb", F.round(jac, 3).alias("jac"))
         .filter(F.col("jac") >= threshold)
@@ -281,8 +332,61 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
-# embedding near-dup
+# embedding near-dup (banded sign-LSH + exact verify)
 # --------------------------------------------------------------------------
+
+
+def _tune_sign_bands(threshold: float, target_miss: float = 1e-6) -> tuple[int, int]:
+    """(rows_per_band, num_bands) so that a pair at cosine == threshold is
+    missed by every band with probability <= target_miss.
+
+    p = P(one bit agrees) = 1 - acos(threshold)/pi; a band of r bits matches
+    with p^r; b bands all miss with (1 - p^r)^b. Higher thresholds take more
+    bits per band (harder blocking), fewer bands.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    r = 8 if p >= 0.8 else 4
+    pb = p**r
+    b = max(8, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
+    return r, b
+
+
+def embedding_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_band: int = 4,
+    num_bands: int = 64,
+) -> DataFrame:
+    """Candidate pairs from banded random-hyperplane LSH: vectors colliding
+    on (band_idx, band_key) in any band are candidates. The join key is
+    bounded (band_key < 2^rows_per_band per band), so the shuffle is an
+    equi-join on a small key space — never an all-pairs crossJoin."""
+    bits = sign_bits(vec_col, rows_per_band * num_bands)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_idx"),
+                band_key(F.col("_bits"), k, rows_per_band).alias("band_key"),
+            )
+            for k in range(num_bands)
+        ]
+    )
+    bd = (
+        df.withColumn("_bits", bits)
+        .select(F.col(id_col).alias("id"), F.explode(bands).alias("bd"))
+        .select("id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_key").alias("band_key"))
+    )
+    a = bd.select(F.col("id").alias("ida"), "band_idx", "band_key")
+    b = bd.select(F.col("id").alias("idb"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
 
 
 def embedding_dup_pairs(
@@ -290,15 +394,29 @@ def embedding_dup_pairs(
     threshold: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_band: int | None = None,
+    num_bands: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold (verification-grade; for the scale path
-    use similarity.lsh_bucket_topk which blocks on sign-projection buckets)."""
-    a = df.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    """Near-duplicate pairs with cosine >= threshold.
+
+    Banded sign-LSH candidates (equi-join on bounded band keys, auto-tuned so
+    a threshold-boundary pair is missed with probability <= 1e-6), then exact
+    cosine verification of each candidate — reported sims are exact. At the
+    near-dup operating point (threshold ~0.9) the banding prunes hard; at low
+    thresholds over isotropic vectors most pairs are genuine candidates (a
+    property of the data, not the algorithm — the result set itself is dense).
+    """
+    if rows_per_band is None or num_bands is None:
+        r, b = _tune_sign_bands(threshold)
+        rows_per_band = rows_per_band or r
+        num_bands = num_bands or b
+    cand = embedding_lsh_candidates(df, id_col, vec_col, rows_per_band, num_bands)
+    va = df.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
     return (
-        a.crossJoin(b)
-        .filter(F.col("ida") < F.col("idb"))
+        cand.join(va, "ida")
+        .join(vb, "idb")
         .select("ida", "idb", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fireworks_spark.functions.vector import cosine_similarity, dot
+from fireworks_spark.functions.vector import (
+    band_key,
+    cosine_similarity,
+    dot,
+    sign_bits,
+)
 
 
 def cosine_topk(
@@ -47,32 +52,10 @@ def cosine_topk(
 
 
 def _sign_bucket(vec_col: str, num_bits: int) -> F.Column:
-    """Random-hyperplane LSH without materializing hyperplanes: bit i is the
-    sign of a pseudo-random +/-1 projection derived from xxhash64(i, dim) —
-    deterministic, shippable in the plan, no driver state."""
-    v = F.col(vec_col).cast("array<double>")
-    bits = []
-    for i in range(num_bits):
-        # projection_i = sum_d sign(xxhash64(i,d)) * v[d], folded JVM-side
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda d: F.when(
-                        (F.xxhash64(F.lit(i), d) % 2) == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * (2**i))
-    out = bits[0]
-    for c in bits[1:]:
-        out = out + c
-    return out
+    """Single random-hyperplane LSH bucket id: the num_bits sign bits packed
+    into one integer (see functions.vector.sign_bits — deterministic
+    xxhash64-derived projections, no driver state)."""
+    return band_key(sign_bits(vec_col, num_bits), 0, num_bits)
 
 
 def lsh_bucket_topk(

@@ -31,17 +31,37 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, then rows by every column (order-insensitive)."""
+    """Sort columns by name, then rows by every column (order-insensitive).
+    Array cells (list / tuple / numpy.ndarray) become tuples so they sort and
+    compare element-wise."""
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
         if out[c].dtype == object:
             out[c] = out[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v.tolist())
+                if hasattr(v, "tolist") and hasattr(v, "__len__")
+                else tuple(v)
+                if isinstance(v, (list, tuple))
+                else v
             )
     out = out.sort_values(by=list(out.columns), na_position="first").reset_index(
         drop=True
     )
     return out
+
+
+def _norm_dtype(dt: Any) -> str:
+    """Coarse dtype family used for schema comparison: integers vs floats vs
+    bool vs everything-else (object covers strings/arrays/timestamps, which
+    the value comparison handles)."""
+    s = str(dt)
+    if "int" in s.lower():
+        return "int"
+    if "float" in s.lower() or "double" in s.lower():
+        return "float"
+    if "bool" in s.lower():
+        return "bool"
+    return "other"
 
 
 def _values_equal(a: Any, b: Any, rel_tol: float = 1e-9) -> bool:
@@ -63,6 +83,12 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     if list(sp.columns) != list(oc.columns):
         problems.append(f"columns: spark={list(sp.columns)} oracle={list(oc.columns)}")
         return problems
+    for c in sp.columns:
+        ds, do = _norm_dtype(sp[c].dtype), _norm_dtype(oc[c].dtype)
+        if ds != do:
+            problems.append(f"dtype {c}: spark={sp[c].dtype} oracle={oc[c].dtype}")
+    if problems:
+        return problems
     if len(sp) != len(oc):
         problems.append(f"rowcount: spark={len(sp)} oracle={len(oc)}")
         return problems
@@ -79,6 +105,11 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
 
 
 def _series_val_eq(x: Any, y: Any) -> bool:
+    # numpy arrays -> tuples (numpy scalars also expose tolist, hence __len__)
+    if hasattr(x, "tolist") and hasattr(x, "__len__"):
+        x = tuple(x.tolist())
+    if hasattr(y, "tolist") and hasattr(y, "__len__"):
+        y = tuple(y.tolist())
     if isinstance(x, (list, tuple)) and isinstance(y, (list, tuple)):
         return len(x) == len(y) and all(_series_val_eq(a, b) for a, b in zip(x, y))
     if pd.isna(x) if not isinstance(x, (list, tuple)) else False:

@@ -8,11 +8,12 @@ placement — so results are hash-identical, not merely approximately equal.
 
 MinHash-LSH and SimHash base hashes are xxhash64 (no DuckDB equivalent):
 the minhash query is still oracle-checkable because its output is the
-LSH-candidates *verified by exact Jaccard*, and on the test corpus every
-true pair (jac >= 0.8, see tests) collides in at least one of 16 bands with
-probability 1 - (1-j^2)^16 > 1 - 2e-8 — verified deterministic-equal in
-tests at sf0.01 and sf0.1. SimHash has no SQL equivalent and is declared
-rows-only.
+LSH-candidates *verified by exact Jaccard*. Its declared threshold is 0.8 so
+that LSH recall is statistically certain: a pair at jac = 0.8 collides in at
+least one of 16 bands (2 rows each) with probability 1 - (1-0.8^2)^16 >
+1 - 3e-8; the band-miss probability only falls further above 0.8. SimHash
+has no SQL equivalent and is declared rows-only (bit-level correctness is
+asserted in tests/test_dedup.py against a Python reference implementation).
 """
 
 from __future__ import annotations
@@ -75,13 +76,19 @@ def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs. df_cap=64 bounds the candidate self-join's skew
+    (no shingle meets more than 64 docs there); verification still uses all
+    shingles so the jac values are exact. Every true pair in the corpus
+    shares a shingle with df <= 10, far under the cap."""
     d = table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, threshold=0.5).orderBy("ida", "idb")
+    return dedup.jaccard_pairs(d, threshold=0.5, df_cap=64).orderBy("ida", "idb")
 
 
 def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verify at threshold 0.8 (the
+    regime where 16x2 banding has ~certain recall; see module docstring)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(d, threshold=0.5).orderBy("ida", "idb")
+    return dedup.minhash_dedup_pairs(d, threshold=0.8).orderBy("ida", "idb")
 
 
 def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +97,9 @@ def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via banded sign-LSH + exact verify (no crossJoin:
+    candidates meet on a bounded (band_idx, band_key) equi-join; auto-tuned
+    bands give miss probability <= 1e-6 at the 0.5 boundary)."""
     e = table(spark, sf_dir, "embeddings")
     return dedup.embedding_dup_pairs(e, threshold=0.5).orderBy("ida", "idb")
 
@@ -111,7 +121,8 @@ def q35_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe (label partitions, nprobe=2) — approximate by design, so
-    rows-only for the driver; tests assert recall vs. brute force."""
+    rows-only for the driver; tests/test_similarity.py asserts recall >= 0.6
+    vs. brute force at nprobe=2 and == 1.0 at nprobe=10 (all partitions)."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return (
@@ -171,6 +182,11 @@ _JACCARD_SQL = (
     "SELECT ida, idb, jac FROM jac WHERE jac >= 0.5 ORDER BY ida, idb"
 )
 
+_JACCARD_SQL_08 = (
+    f"WITH {_SHINGLES_CTE} "
+    "SELECT ida, idb, jac FROM jac WHERE jac >= 0.8 ORDER BY ida, idb"
+)
+
 _ANN_SQL = f"""
 WITH p AS (
   SELECT q.vec_id AS qid, b.vec_id AS nid,
@@ -191,9 +207,10 @@ PIPELINE_ORACLE = {
         f"GROUP BY md5({_NORM}) ORDER BY keep_id"
     ),
     "q31_dedup_ngram_jaccard": _JACCARD_SQL,
-    # LSH candidates verified by exact jaccard == exact jaccard pairs on this
-    # corpus (recall 1 - 2e-8 for jac>=0.8 pairs; no pairs in (0.2, 0.8)).
-    "q32_dedup_minhash_lsh": _JACCARD_SQL,
+    # LSH candidates verified by exact jaccard: at threshold 0.8 the banded
+    # collision probability is >= 1 - 3e-8 per pair, so candidates == exact
+    # pairs and the oracle is the exact-Jaccard SQL at the same threshold.
+    "q32_dedup_minhash_lsh": _JACCARD_SQL_08,
     # q33 simhash: no SQL equivalent (xxhash64) — rows-only check.
     "q34_dedup_embedding_cosine": f"""
         WITH p AS (

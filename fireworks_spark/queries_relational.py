@@ -332,13 +332,18 @@ def q21_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array (tensor-column) access — the TensorMessage surface (§1.7).
-    element_at is 1-based like SQL; the DataFrame getItem is 0-based."""
+    element_at is 1-based like SQL; the DataFrame getItem is 0-based.
+    ``+ 0.0`` normalizes IEEE negative zero (ROUND can yield -0.0, which
+    hash-compares differently from 0.0); applied on both sides."""
     e = table(spark, sf_dir, "embeddings")
     return (
         e.select(
             "vec_id",
             "label",
-            F.round(F.element_at("embedding", 1).cast("double"), 3).alias("e0"),
+            (
+                F.round(F.element_at("embedding", 1).cast("double"), 3)
+                + F.lit(0.0)
+            ).alias("e0"),
             F.size("embedding").cast("long").alias("len"),
         )
         .orderBy("vec_id")
@@ -581,7 +586,7 @@ RELATIONAL_ORACLE = {
     ),
     "q22_array_ops": (
         "SELECT vec_id, label, "
-        "ROUND(CAST(embedding[1] AS DOUBLE), 3) AS e0, "
+        "ROUND(CAST(embedding[1] AS DOUBLE), 3) + 0.0 AS e0, "
         "CAST(array_length(embedding) AS BIGINT) AS len "
         "FROM embeddings ORDER BY vec_id"
     ),

@@ -15,27 +15,12 @@ from fireworks_spark.queries_relational import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+from fireworks_spark.queries_pipeline import (
+    PIPELINE_ORACLE,
+    PIPELINE_QUERIES,
+)
+
 QUERIES.update(RELATIONAL_QUERIES)
 ORACLES.update(RELATIONAL_ORACLE)
-
-try:  # pipeline (dedup / similarity / text) queries — added as implemented
-    from fireworks_spark.queries_pipeline import (
-        PIPELINE_ORACLE,
-        PIPELINE_QUERIES,
-    )
-
-    QUERIES.update(PIPELINE_QUERIES)
-    ORACLES.update(PIPELINE_ORACLE)
-except ImportError:
-    pass
-
-try:  # toolbox-operator-backed queries
-    from fireworks_spark.queries_toolbox import (
-        TOOLBOX_ORACLE,
-        TOOLBOX_QUERIES,
-    )
-
-    QUERIES.update(TOOLBOX_QUERIES)
-    ORACLES.update(TOOLBOX_ORACLE)
-except ImportError:
-    pass
+QUERIES.update(PIPELINE_QUERIES)
+ORACLES.update(PIPELINE_ORACLE)

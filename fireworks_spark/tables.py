@@ -41,12 +41,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # get_spark sets this at session build; set here too so the driver's
+        # own session (not built by get_spark) can read events.
+        if (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            != "true"
+        ):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer ns->us truncation: `div` stays in long arithmetic.
+            # (`/` would round-trip through double, whose 2^53 exact range
+            # epoch-nanos exceed — off-by-1us near boundaries vs DuckDB.)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 
