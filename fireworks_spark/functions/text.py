@@ -29,3 +29,14 @@ def chars(col: Column | str) -> Column:
     fireworks/toolbox/text.py:7-20)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, "")
+
+
+def pad(col: Column | str, length: int, value: str = "<pad>") -> Column:
+    """Pad/truncate a token array to a fixed length (pad/pad_sequence,
+    reference fireworks/toolbox/text.py:37-55): truncate past ``length``,
+    right-pad shorter arrays with ``value``. Pure expression — slice +
+    array_repeat, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    head = F.slice(c, 1, length)
+    missing = (F.lit(length) - F.size(head)).cast("int")
+    return F.concat(head, F.array_repeat(F.lit(value), missing))

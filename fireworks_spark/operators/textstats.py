@@ -115,3 +115,26 @@ def vocabulary(
     )
     v = v.orderBy(F.desc("freq"), "token")
     return v.limit(top_k) if top_k else v
+
+
+def make_indices(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Token -> contiguous index, most-frequent-first with lexicographic
+    tie-break (make_indices, reference fireworks/toolbox/text.py:92-98).
+    The vocab is small post-aggregation, so the global row_number window is
+    over the aggregated table, never the corpus."""
+    from pyspark.sql import Window
+
+    v = vocabulary(df, text_col)
+    idx = (
+        v.withColumn(
+            "idx",
+            (
+                F.row_number().over(Window.orderBy(F.desc("freq"), "token")) - 1
+            ).cast("long"),
+        )
+        .select("token", "idx")
+        .orderBy("idx")
+    )
+    return idx.limit(top_k) if top_k else idx

@@ -1,0 +1,251 @@
+"""Dataflow toolbox operators (SURVEY.md §2.1, reference toolbox/pipes.py,
+junctions.py, preprocessing.py).
+
+The reference implements these as eager, pull-based Pipe classes; here each
+is a declarative DataFrame transformation, so Catalyst plans the whole chain
+and the operators compose with everything else (filters still push down
+through them, column pruning still reaches the scan).
+
+Scale notes are inline. The positional operators (interleave) are the one
+place a global order is genuinely part of the semantics — they document the
+single-partition window cost and are meant for ML-feed construction streams,
+not for 100 TB fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# labeling (P7, P8)
+# --------------------------------------------------------------------------
+
+
+def with_label(df: DataFrame, title: str, labels_col: str = "labels") -> DataFrame:
+    """Constant label column (Title2LabelPipe, reference
+    fireworks/toolbox/pipes.py:347-372)."""
+    return df.withColumn(labels_col, F.lit(title))
+
+
+def label_index(
+    df: DataFrame, label_col: str, index_col: str = "label_idx"
+) -> DataFrame:
+    """Categorical label -> contiguous 0-based index (LabelerPipe, reference
+    fireworks/toolbox/pipes.py:374-395).
+
+    Indices follow sorted label order — deterministic across runs and
+    cluster layouts (unlike frequency-ordered StringIndexer). The distinct
+    label dim is tiny by construction, so the join back is a broadcast; the
+    fact side never shuffles.
+    """
+    dim = (
+        df.select(label_col)
+        .distinct()
+        .withColumn(
+            index_col,
+            (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"),
+        )
+    )
+    return df.join(F.broadcast(dim), label_col)
+
+
+def one_hot(idx_col: Column | str, num_classes: int) -> Column:
+    """Index -> one-hot ARRAY<INT> (reference fireworks/utils/utils.py:4-17).
+    Pure expression: transform over a constant-length sequence."""
+    idx = F.col(idx_col) if isinstance(idx_col, str) else idx_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_classes - 1)),
+        lambda d: F.when(d.cast("long") == idx.cast("long"), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# row-order operators (P9, P10, P17, P18)
+# --------------------------------------------------------------------------
+
+
+def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
+    """Seeded random permutation (ShufflerPipe, reference
+    fireworks/toolbox/pipes.py:440-490): orderBy(rand(seed)).
+
+    This is a real range-partitioned sort shuffle; for per-epoch reshuffling
+    vary the seed. Same seed + same input => same output order (rand(seed)
+    is deterministic per row position within a fixed partitioning)."""
+    return df.orderBy(F.rand(seed) if seed is not None else F.rand())
+
+
+def repeat(df: DataFrame, n: int, epoch_col: str | None = None) -> DataFrame:
+    """Iterate the input n times (RepeaterPipe, reference
+    fireworks/toolbox/pipes.py:397-438) — crossJoin with a broadcast
+    1-column range: constant-space oversampling, no materialized copies."""
+    r = df.sparkSession.range(n).select(F.col("id").alias(epoch_col or "_epoch"))
+    out = df.crossJoin(F.broadcast(r))
+    return out if epoch_col else out.drop("_epoch")
+
+
+def interleave(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
+    """Round-robin interleave of k sources (ClockworkHubJunction, reference
+    fireworks/toolbox/junctions.py:75-96): source i's j-th row (ordered by
+    order_cols) lands at position j*k + i; a shorter source simply exhausts
+    early, exactly like the reference's stop-on-StopIteration loop.
+
+    Adds ``pos`` (global position) and ``src`` (source index). The global
+    row_number needs a single-partition window — this operator is for
+    ML-feed stream construction (bounded, ordered), not for giant tables.
+    """
+    k = len(dfs)
+    parts = []
+    for i, d in enumerate(dfs):
+        w = Window.orderBy(*order_cols)
+        parts.append(
+            d.withColumn("_j", F.row_number().over(w) - 1).select(
+                *d.columns,
+                (F.col("_j") * k + i).cast("long").alias("pos"),
+                F.lit(i).cast("long").alias("src"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def interleave_random(
+    dfs: list[DataFrame], seed: int | None = None
+) -> DataFrame:
+    """Random interleave of sources (HubJunction/RandomHubJunction, reference
+    fireworks/toolbox/junctions.py:14-73): union + seeded random order."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return shuffle(out, seed)
+
+
+# --------------------------------------------------------------------------
+# splits (P20)
+# --------------------------------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+) -> dict[str, DataFrame]:
+    """Deterministic disjoint splits by bucketed xxhash64 of a key column
+    (train_test_split, reference fireworks/toolbox/preprocessing.py:14-40).
+
+    Unlike randomSplit (whose assignment depends on partition layout), the
+    same row lands in the same split on any cluster at any scale — the
+    property a training pipeline actually needs for reproducibility.
+    """
+    total = sum(weights.values())
+    buckets = 1_000_000
+    b = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    for name, wgt in weights.items():
+        hi = lo + (wgt / total) * buckets
+        out[name] = df.filter((b >= int(lo)) & (b < int(hi)))
+        lo = hi
+    return out
+
+
+def random_split(
+    df: DataFrame, weights: list[float], seed: int = 0
+) -> list[DataFrame]:
+    """Thin wrapper over randomSplit for parity with the reference's random
+    variant; prefer hash_split for reproducibility."""
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def split_assign(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
+    """Deterministic modulo split id column (the oracle-checkable stand-in
+    for split semantics, cf. declared Q24/Q52)."""
+    return df.withColumn("split", F.pmod(F.col(key_col), F.lit(k)).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# normalization (P21)
+# --------------------------------------------------------------------------
+
+
+def standardize(
+    df: DataFrame,
+    cols: list[str],
+    group_by: str | None = None,
+    suffix: str = "_std",
+) -> DataFrame:
+    """(x - mean) / stddev_pop per column (Normalizer compile+forward,
+    reference fireworks/toolbox/preprocessing.py:49-129, batch form).
+
+    One partial-aggregated stats pass (shuffle moves O(groups) rows), then a
+    broadcast join back — the fact table never sorts, unlike a window-based
+    formulation. Streaming form: fireworks_spark.streaming.normalizer.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"_mu_{c}"))
+        aggs.append(F.sqrt(F.var_pop(c)).alias(f"_sd_{c}"))
+    if group_by:
+        stats = df.groupBy(group_by).agg(*aggs)
+        out = df.join(F.broadcast(stats), group_by)
+    else:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            (F.col(c) - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}"),
+        )
+    return out.drop(*[f"_mu_{c}" for c in cols], *[f"_sd_{c}" for c in cols])
+
+
+# --------------------------------------------------------------------------
+# function application (P13) and embedding lookup (P31)
+# --------------------------------------------------------------------------
+
+
+def apply(df: DataFrame, fn) -> DataFrame:
+    """FunctionPipe (reference fireworks/toolbox/pipes.py:569-582) ==
+    df.transform(fn): plain composition inside the lazy plan."""
+    return df.transform(fn)
+
+
+def apply_embeddings(
+    df: DataFrame,
+    tokens_col: str,
+    emb: DataFrame,
+    token_col: str = "token",
+    vec_col: str = "vec",
+    out_col: str = "vecs",
+) -> DataFrame:
+    """Token array -> array of embedding vectors (apply_embeddings,
+    reference fireworks/toolbox/text.py:57-82).
+
+    posexplode keeps token positions; the embedding table joins broadcast
+    (vocabularies are small relative to the corpus); re-assembly sorts each
+    row's (pos, vec) structs — a per-row array_sort, not a global sort.
+    Unknown tokens are dropped (reference behavior: KeyError-free lookup).
+    """
+    other = [c for c in df.columns if c != tokens_col]
+    ex = df.select(
+        *other, F.posexplode(tokens_col).alias("_pos", "_tok")
+    )
+    joined = ex.join(
+        F.broadcast(emb.select(F.col(token_col).alias("_tok"), F.col(vec_col).alias("_vec"))),
+        "_tok",
+    )
+    return (
+        joined.groupBy(*other)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_vec"))),
+                lambda s: s["_vec"],
+            ).alias(out_col)
+        )
+    )

@@ -1,0 +1,170 @@
+"""Declared queries for the dataflow-toolbox operators (SURVEY.md §2.1 /
+M2): shuffle, repeat, splits, interleave, label-index/one-hot, standardize,
+pad, make_indices.
+
+Oracle notes:
+- shuffle (q50) is declared as a permutation invariant (the output re-sorted
+  equals the source) — RNG order itself is not comparable across engines;
+  seed determinism is asserted in tests/test_toolbox.py.
+- one-hot vectors are emitted as comma-joined STRINGS on both sides so the
+  driver's value hash sees identical scalars (array cells hash differently
+  across engines).
+- standardized z-scores carry `+ 0.0` on both sides to normalize IEEE -0.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fireworks_spark.functions.text import pad, words
+from fireworks_spark.operators import textstats, toolbox
+from fireworks_spark.tables import table
+
+
+def q50_shuffle_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded shuffle is a permutation: re-sorting the shuffled output must
+    reproduce the source exactly (count + content)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return toolbox.shuffle(c, seed=42).orderBy("c_custkey")
+
+
+def q51_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RepeaterPipe: n logical passes over the input with an epoch id."""
+    r = table(spark, sf_dir, "region").select("r_regionkey")
+    return toolbox.repeat(r, 3, epoch_col="epoch").orderBy("r_regionkey", "epoch")
+
+
+def q52_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic modulo split: per-split cardinalities."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        toolbox.split_assign(c, "c_custkey", k=5)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+def q53_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin interleave of two sources with explicit positions."""
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    r = table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
+    return toolbox.interleave([n, r], ["k"]).select("pos", "src", "k").orderBy("pos")
+
+
+def q54_label_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelerPipe: label -> sorted-order index -> one-hot (as a string for
+    engine-portable hashing)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    idx = toolbox.label_index(c, "c_mktsegment")
+    oh = toolbox.one_hot("label_idx", 5)
+    return (
+        idx.select(
+            "c_custkey",
+            "c_mktsegment",
+            "label_idx",
+            F.concat_ws(",", F.transform(oh, lambda x: x.cast("string"))).alias(
+                "onehot"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q55_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalizer (batch): per-segment z-score of account balance."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    z = toolbox.standardize(c, ["c_acctbal"], group_by="c_mktsegment")
+    return z.select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal_std"), 3) + F.lit(0.0)).alias("z"),
+    ).orderBy("c_custkey")
+
+
+def q56_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pad/pad_sequence: fixed-length token window as a joined string."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.concat_ws("|", pad(words("p_name"), 6, "<pad>")).alias("padded"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q57_make_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_indices: frequency-ordered token index over the corpus vocab."""
+    d = table(spark, sf_dir, "documents")
+    return textstats.make_indices(d, top_k=50)
+
+
+TOOLBOX_QUERIES = {
+    "q50_shuffle_permutation": q50_shuffle_permutation,
+    "q51_repeat": q51_repeat,
+    "q52_split_assign": q52_split_assign,
+    "q53_interleave": q53_interleave,
+    "q54_label_onehot": q54_label_onehot,
+    "q55_standardize": q55_standardize,
+    "q56_pad": q56_pad,
+    "q57_make_indices": q57_make_indices,
+}
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+TOOLBOX_ORACLE = {
+    "q50_shuffle_permutation": (
+        "SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey"
+    ),
+    "q51_repeat": (
+        "SELECT r_regionkey, CAST(r.range AS BIGINT) AS epoch "
+        "FROM region CROSS JOIN range(3) r ORDER BY r_regionkey, epoch"
+    ),
+    "q52_split_assign": (
+        "SELECT CAST(c_custkey % 5 AS BIGINT) AS split, COUNT(*) AS n "
+        "FROM customer GROUP BY 1 ORDER BY split"
+    ),
+    "q53_interleave": (
+        "WITH a AS (SELECT n_nationkey AS k, "
+        "row_number() OVER (ORDER BY n_nationkey) - 1 AS j FROM nation), "
+        "b AS (SELECT r_regionkey AS k, "
+        "row_number() OVER (ORDER BY r_regionkey) - 1 AS j FROM region), "
+        "u AS (SELECT k, 0 AS src, j*2 + 0 AS pos FROM a "
+        "UNION ALL SELECT k, 1 AS src, j*2 + 1 AS pos FROM b) "
+        "SELECT CAST(pos AS BIGINT) AS pos, CAST(src AS BIGINT) AS src, k "
+        "FROM u ORDER BY pos"
+    ),
+    "q54_label_onehot": (
+        "WITH d2 AS (SELECT c_mktsegment, "
+        "CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) "
+        "AS label_idx FROM (SELECT DISTINCT c_mktsegment FROM customer)) "
+        "SELECT c.c_custkey, c.c_mktsegment, d2.label_idx, "
+        "array_to_string(list_transform(range(5), "
+        "i -> CASE WHEN i = label_idx THEN '1' ELSE '0' END), ',') AS onehot "
+        "FROM customer c JOIN d2 USING (c_mktsegment) ORDER BY c.c_custkey"
+    ),
+    "q55_standardize": (
+        "WITH s AS (SELECT c_mktsegment, AVG(c_acctbal) AS mu, "
+        "sqrt(VAR_POP(c_acctbal)) AS sd FROM customer GROUP BY 1) "
+        "SELECT c_custkey, ROUND((c_acctbal - mu) / sd, 3) + 0.0 AS z "
+        "FROM customer JOIN s USING (c_mktsegment) ORDER BY c_custkey"
+    ),
+    "q56_pad": (
+        "SELECT p_partkey, array_to_string(list_concat(w[1:6], "
+        "list_transform(range(6 - least(len(w), 6)), x -> '<pad>')), '|') "
+        "AS padded FROM (SELECT p_partkey, string_split("
+        r"regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g'), ' ') AS w "
+        "FROM part) ORDER BY p_partkey"
+    ),
+    "q57_make_indices": (
+        f"WITH v AS (SELECT token, count(*) AS freq FROM "
+        f"(SELECT unnest({_TOKS}) AS token FROM documents) "
+        "WHERE token <> '' GROUP BY token) "
+        "SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 "
+        "AS BIGINT) AS idx FROM v ORDER BY idx LIMIT 50"
+    ),
+}

@@ -19,8 +19,14 @@ from fireworks_spark.queries_pipeline import (
     PIPELINE_ORACLE,
     PIPELINE_QUERIES,
 )
+from fireworks_spark.queries_toolbox import (
+    TOOLBOX_ORACLE,
+    TOOLBOX_QUERIES,
+)
 
 QUERIES.update(RELATIONAL_QUERIES)
 ORACLES.update(RELATIONAL_ORACLE)
 QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLE)
+QUERIES.update(TOOLBOX_QUERIES)
+ORACLES.update(TOOLBOX_ORACLE)

@@ -1,0 +1,127 @@
+"""Operator-level unit tests for the dataflow toolbox (SURVEY §5 tier 1):
+tiny inline DataFrames, properties the oracle can't check (seed determinism,
+split disjointness, embedding lookup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fireworks_spark.functions.text import pad, words
+from fireworks_spark.operators import toolbox
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(i, chr(ord("a") + i % 3), float(i * 10)) for i in range(30)],
+        ["id", "grp", "val"],
+    )
+
+
+def test_shuffle_same_seed_same_order(spark, people):
+    a = [r.id for r in toolbox.shuffle(people, seed=7).collect()]
+    b = [r.id for r in toolbox.shuffle(people, seed=7).collect()]
+    assert a == b
+    assert sorted(a) == list(range(30))  # permutation, no loss/dup
+
+
+def test_shuffle_different_seed_different_order(spark, people):
+    a = [r.id for r in toolbox.shuffle(people, seed=1).collect()]
+    b = [r.id for r in toolbox.shuffle(people, seed=2).collect()]
+    assert sorted(a) == sorted(b)
+    assert a != b
+
+
+def test_repeat_cardinality_and_epochs(spark, people):
+    out = toolbox.repeat(people, 4, epoch_col="ep")
+    assert out.count() == 120
+    eps = {r.ep for r in out.select("ep").distinct().collect()}
+    assert eps == {0, 1, 2, 3}
+    assert toolbox.repeat(people, 2).columns == people.columns
+
+
+def test_hash_split_disjoint_and_total(spark, people):
+    splits = toolbox.hash_split(
+        people, {"train": 0.7, "test": 0.3}, key_col="id", seed=3
+    )
+    tr = {r.id for r in splits["train"].collect()}
+    te = {r.id for r in splits["test"].collect()}
+    assert tr | te == set(range(30))
+    assert tr & te == set()
+    # deterministic: same seed reproduces the same assignment
+    tr2 = {
+        r.id
+        for r in toolbox.hash_split(
+            people, {"train": 0.7, "test": 0.3}, key_col="id", seed=3
+        )["train"].collect()
+    }
+    assert tr == tr2
+
+
+def test_label_index_sorted_order(spark, people):
+    out = toolbox.label_index(people, "grp")
+    m = {r.grp: r.label_idx for r in out.select("grp", "label_idx").distinct().collect()}
+    assert m == {"a": 0, "b": 1, "c": 2}
+
+
+def test_one_hot(spark):
+    df = spark.createDataFrame([(0,), (2,)], ["i"])
+    out = df.select(toolbox.one_hot("i", 3).alias("oh")).collect()
+    assert [r.oh for r in out] == [[1, 0, 0], [0, 0, 1]]
+
+
+def test_interleave_round_robin(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(10,), (20,)], ["k"])
+    rows = toolbox.interleave([a, b], ["k"]).orderBy("pos").collect()
+    assert [(r.pos, r.src, r.k) for r in rows] == [
+        (0, 0, 1),
+        (1, 1, 10),
+        (2, 0, 2),
+        (3, 1, 20),
+        (4, 0, 3),
+    ]
+
+
+def test_interleave_random_is_permutation_of_union(spark):
+    a = spark.createDataFrame([(i,) for i in range(5)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(100, 105)], ["k"])
+    out = [r.k for r in toolbox.interleave_random([a, b], seed=9).collect()]
+    assert sorted(out) == list(range(5)) + list(range(100, 105))
+
+
+def test_standardize_global_and_grouped(spark, people):
+    import math
+
+    out = toolbox.standardize(people, ["val"]).collect()
+    zs = [r.val_std for r in out]
+    assert abs(sum(zs)) < 1e-9
+    assert abs(sum(z * z for z in zs) / len(zs) - 1.0) < 1e-9
+    grouped = toolbox.standardize(people, ["val"], group_by="grp")
+    g = grouped.filter(F.col("grp") == "a").collect()
+    assert abs(sum(r.val_std for r in g)) < 1e-9
+    assert not math.isnan(g[0].val_std)
+
+
+def test_pad_truncate_and_fill(spark):
+    df = spark.createDataFrame([("a b c",), ("a b c d e f g",)], ["t"])
+    out = df.select(pad(words("t"), 5, "#").alias("p")).collect()
+    assert out[0].p == ["a", "b", "c", "#", "#"]
+    assert out[1].p == ["a", "b", "c", "d", "e"]
+
+
+def test_apply_embeddings_order_and_unknowns(spark):
+    docs = spark.createDataFrame([(1, ["b", "a", "zz", "b"])], ["id", "toks"])
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["token", "vec"]
+    )
+    rows = toolbox.apply_embeddings(docs, "toks", emb).collect()
+    assert len(rows) == 1
+    # order preserved by position; unknown 'zz' dropped
+    assert rows[0].vecs == [[0.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+
+
+def test_with_label(spark, people):
+    out = toolbox.with_label(people, "train")
+    assert out.filter(F.col("labels") == "train").count() == 30
