@@ -1,0 +1,88 @@
+"""Declared queries for the database mutation semantics (D7-D9, reference
+fireworks/extensions/database.py:114-130 and database_test.py:100-228).
+
+The queries exercise the pure join-rewrite forms (delete_rows/update_rows/
+upsert_rows) so the driver's oracle can check them without writing anywhere;
+the persistence path (Table delete/update/upsert with atomic swap) is
+round-tripped in tests/test_database.py against a tmpdir copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fireworks_spark import database as db
+from fireworks_spark.tables import table
+
+
+def q60_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE c_custkey IN (keys ending in 3 mod 10) — anti-join."""
+    c = table(spark, sf_dir, "customer")
+    keys = c.filter(F.col("c_custkey") % 10 == 3).select("c_custkey")
+    return (
+        db.delete_rows(c, "c_custkey", keys)
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q61_update_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE: zero the balance of every 7th customer; others untouched."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    batch = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    return (
+        db.update_rows(c, batch, "c_custkey")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def q62_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: replace the balance of every 100th customer AND insert shifted
+    new keys — updated + inserted + untouched all present exactly once."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    updates = c.filter(F.col("c_custkey") % 100 == 0).withColumn(
+        "c_acctbal", F.lit(999.0)
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 100 == 50)
+        .select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit(111.0).alias("c_acctbal"),
+        )
+    )
+    batch = updates.unionByName(inserts)
+    return (
+        db.upsert_rows(c, batch, "c_custkey")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+DATABASE_QUERIES = {
+    "q60_delete_semantics": q60_delete_semantics,
+    "q61_update_semantics": q61_update_semantics,
+    "q62_upsert_semantics": q62_upsert_semantics,
+}
+
+DATABASE_ORACLE = {
+    "q60_delete_semantics": (
+        "SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 3 "
+        "ORDER BY c_custkey"
+    ),
+    "q61_update_semantics": (
+        "SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 0.0 "
+        "ELSE c_acctbal END AS c_acctbal FROM customer ORDER BY c_custkey"
+    ),
+    "q62_upsert_semantics": (
+        "SELECT c_custkey, CASE WHEN c_custkey % 100 = 0 THEN 999.0 "
+        "ELSE c_acctbal END AS c_acctbal FROM customer "
+        "UNION ALL "
+        "SELECT c_custkey + 10000000 AS c_custkey, 111.0 AS c_acctbal "
+        "FROM customer WHERE c_custkey % 100 = 50 "
+        "ORDER BY c_custkey"
+    ),
+}

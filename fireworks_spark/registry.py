@@ -23,6 +23,10 @@ from fireworks_spark.queries_toolbox import (
     TOOLBOX_ORACLE,
     TOOLBOX_QUERIES,
 )
+from fireworks_spark.queries_database import (
+    DATABASE_ORACLE,
+    DATABASE_QUERIES,
+)
 
 QUERIES.update(RELATIONAL_QUERIES)
 ORACLES.update(RELATIONAL_ORACLE)
@@ -30,3 +34,5 @@ QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLE)
 QUERIES.update(TOOLBOX_QUERIES)
 ORACLES.update(TOOLBOX_ORACLE)
+QUERIES.update(DATABASE_QUERIES)
+ORACLES.update(DATABASE_ORACLE)

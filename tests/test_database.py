@@ -1,0 +1,97 @@
+"""Database-layer round-trips (reference database_test.py:100-228 behavior):
+create/insert/query/filter/delete/update/upsert against a tmpdir parquet
+table, plus pushdown/pruning plan checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fireworks_spark import database as db
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = db.create_table(spark, path, SCHEMA)
+    t.insert(
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(10)], SCHEMA
+        )
+    )
+    return t
+
+
+def test_create_reflect_roundtrip(spark, tmp_path, tbl):
+    assert db.reflect_table(spark, tbl.path) == SCHEMA
+    assert db.parse_columns_and_types(tbl.df()) == {
+        "id": "bigint",
+        "name": "string",
+        "score": "double",
+    }
+
+
+def test_insert_and_count(spark, tbl):
+    assert len(tbl) == 10
+    tbl.insert(spark.createDataFrame([(100, "x", 1.0)], SCHEMA))
+    assert tbl.count() == 11
+
+
+def test_query_pruning_and_filter_pushdown(tbl):
+    q = tbl.query("id", "score").filter(F.col("id") > 5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan and "name" not in plan.split("ReadSchema")[1]
+    assert "PushedFilters: [" in plan and "GreaterThan(id,5)" in plan
+    assert q.count() == 4
+
+
+def test_delete_list_and_df(spark, tbl):
+    tbl.delete("id", [0, 1, 2])
+    assert sorted(r.id for r in tbl.df().collect()) == list(range(3, 10))
+    keys = spark.createDataFrame([(9,)], "k long")
+    tbl.delete("id", keys)
+    assert sorted(r.id for r in tbl.df().collect()) == list(range(3, 9))
+
+
+def test_update_replaces_only_matching(spark, tbl):
+    batch = spark.createDataFrame(
+        [(3, "upd", 99.0), (777, "ghost", -1.0)], SCHEMA
+    )
+    tbl.update(batch, "id")
+    rows = {r.id: (r.name, r.score) for r in tbl.df().collect()}
+    assert rows[3] == ("upd", 99.0)
+    assert 777 not in rows  # non-matching batch row ignored by UPDATE
+    assert rows[4] == ("n4", 4.0)
+
+
+def test_upsert_updates_and_inserts(spark, tbl):
+    batch = spark.createDataFrame(
+        [(3, "upd", 99.0), (777, "new", -1.0)], SCHEMA
+    )
+    tbl.upsert(batch, "id")
+    rows = {r.id: (r.name, r.score) for r in tbl.df().collect()}
+    assert rows[3] == ("upd", 99.0)
+    assert rows[777] == ("new", -1.0)
+    assert tbl.count() == 11
+
+
+def test_swap_preserves_data_on_disk(spark, tbl):
+    """After a mutation the table re-reads from disk (not cached lineage)."""
+    tbl.delete("id", [5])
+    fresh = db.Table(spark, tbl.path).df()
+    assert sorted(r.id for r in fresh.collect()) == [0, 1, 2, 3, 4, 6, 7, 8, 9]
