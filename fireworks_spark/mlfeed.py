@@ -1,0 +1,165 @@
+"""ML-feed / UDF layer (SURVEY.md §2.6, M4) — the Arrow-batched bridge
+between DataFrames and Python model code.
+
+Reference counterparts: FunctionPipe applies a Python function per batch
+(fireworks/toolbox/pipes.py:569-582), TensorPipe converts columns to tensors
+at access time (pipes.py:584-607), BatchingPipe slices fixed-size minibatches
+(pipes.py:536-567), and Model wraps a parameterized forward()
+(fireworks/core/model.py:13-235). Spark-first:
+
+- per-batch transforms are ``mapInPandas`` stages: Arrow moves columnar
+  batches into the Python worker (10-100x over row-at-a-time UDFs), the
+  transform is embarrassingly parallel over partitions, and batch size is
+  bounded by spark.sql.execution.arrow.maxRecordsPerBatch — memory-safe at
+  any table size;
+- per-group transforms are ``applyInPandas`` (one shuffle on the keys);
+- model parameters ride the closure (Spark broadcasts the serialized
+  function to every executor once per job — the analog of the reference's
+  params-as-Junction-components);
+- driver-side training loops consume ``batch_iterator`` (toLocalIterator:
+  one partition in flight, bounded driver memory).
+
+Torch conversion happens inside the worker function (to_torch) and is
+import-gated: the cluster-side plumbing (schemas, batching, Arrow exchange)
+is identical with or without torch installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# batch transform (P13/P14)
+# --------------------------------------------------------------------------
+
+
+def batch_transform(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Apply a pandas-level function to every Arrow batch (FunctionPipe,
+    reference pipes.py:569-582). ``fn`` sees a pd.DataFrame and returns one
+    matching ``schema``; it runs executor-side on each batch independently —
+    no state crosses batches, so the stage scales linearly."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield fn(b)
+
+    return df.mapInPandas(_gen, schema=schema)
+
+
+def grouped_transform(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Per-group pandas transform (the reference's per-group Normalizer
+    pattern, preprocessing.py:49-129): one shuffle on the keys, then each
+    group becomes a single pandas frame executor-side."""
+    return df.groupBy(*keys).applyInPandas(lambda pdf: fn(pdf), schema=schema)
+
+
+# --------------------------------------------------------------------------
+# model-as-transformer (P23/P24)
+# --------------------------------------------------------------------------
+
+
+class Model:
+    """A parameterized batch transform (reference Model, model.py:13-235):
+    ``forward(pdf) -> pdf`` plus a params dict. ``transform`` plans a
+    mapInPandas stage whose closure carries the params — Spark ships them to
+    executors once; no driver round-trips per batch.
+
+    Subclass and override ``forward``; params must be picklable."""
+
+    def __init__(self, params: dict[str, Any] | None = None):
+        self.params = dict(params or {})
+
+    def forward(self, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return self.forward(pdf)
+
+    def transform(self, df: DataFrame, schema: str) -> DataFrame:
+        params, forward = self.params, type(self).forward
+
+        def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            model = object.__new__(type(self))  # rebuild executor-side
+            model.params = params
+            for b in batches:
+                yield forward(model, b)
+
+        # closure captures type(self) + params only (picklable by design)
+        _gen.__wrapped_model__ = type(self).__name__
+        return df.mapInPandas(_gen, schema=schema)
+
+
+class LinearModel(Model):
+    """Fixed-weight affine scorer over an array column: y = w . x + b
+    (the model_from_module analog for the simplest torch module, reference
+    model.py:266-287). Vectorized: np.stack + matmul per Arrow batch."""
+
+    def __init__(self, weights: list[float], bias: float = 0.0,
+                 vec_col: str = "embedding", out_col: str = "score"):
+        super().__init__(
+            {"w": np.asarray(weights, dtype=np.float64), "b": float(bias),
+             "vec_col": vec_col, "out_col": out_col}
+        )
+
+    def forward(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = self.params
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[p["vec_col"]]]
+        ) if len(pdf) else np.zeros((0, len(p["w"])))
+        out = pdf.drop(columns=[p["vec_col"]]).copy()
+        out[p["out_col"]] = x @ p["w"] + p["b"]
+        return out
+
+
+# --------------------------------------------------------------------------
+# driver-side feed (P12)
+# --------------------------------------------------------------------------
+
+
+def batch_iterator(
+    df: DataFrame, batch_size: int, drop_tail: bool = True
+) -> Iterator[pd.DataFrame]:
+    """Fixed-size pandas minibatches for a driver-side training loop
+    (BatchingPipe, reference pipes.py:536-567 — including its drop-the-short-
+    tail default). toLocalIterator streams one partition at a time, so driver
+    memory is bounded by a partition, not the table."""
+    buf: list[dict] = []
+    have = 0
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row.asDict())
+        have += 1
+        if have == batch_size:
+            yield pd.DataFrame(buf)
+            buf, have = [], 0
+    if buf and not drop_tail:
+        yield pd.DataFrame(buf)
+
+
+def to_torch(pdf: pd.DataFrame, columns: list[str]):
+    """Convert pandas columns to torch tensors inside a worker fn (TensorPipe,
+    reference pipes.py:584-607). Import-gated: raises a clear error where
+    torch is absent; everything upstream of this call is torch-free."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "to_torch requires torch on the executors; the Arrow feed "
+            "itself works without it"
+        ) from e
+    return {c: torch.as_tensor(np.stack(pdf[c].to_numpy())) for c in columns}

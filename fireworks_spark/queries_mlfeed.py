@@ -1,0 +1,141 @@
+"""Declared queries for the ML-feed / UDF layer (M4) and multimodal columns:
+every query routes real data through an Arrow-batched Python stage
+(mapInPandas / applyInPandas) and is checked against a DuckDB oracle running
+the same math in SQL — proving the batch plumbing preserves values exactly.
+
+Float note: numpy matmul sums in a different order than the oracle's strict
+left fold; agreement is to ~1 ulp and every declared output is rounded (with
+`+ 0.0` normalizing IEEE -0.0 on both sides).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fireworks_spark import mlfeed
+from fireworks_spark.operators import multimodal
+from fireworks_spark.tables import table
+
+# deterministic test weights for the linear scorer (dim 64)
+_DIM = 64
+_WEIGHTS = [((d * 37) % 19 - 9) / 10.0 for d in range(_DIM)]
+_BIAS = 0.5
+
+
+def q63_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear model over the embedding column, evaluated as an
+    Arrow-batched mapInPandas stage (np.stack + matmul per batch)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = mlfeed.LinearModel(_WEIGHTS, _BIAS, vec_col="embedding", out_col="score")
+    scored = model.transform(e, schema="vec_id long, score double")
+    return scored.select(
+        "vec_id", (F.round("score", 4) + F.lit(0.0)).alias("score")
+    ).orderBy("vec_id")
+
+
+def q64_batch_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-batch pandas function (FunctionPipe): character count +
+    uppercase count computed with pandas string kernels."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["text"].str.len().astype("int64"),
+                "n_upper": b["text"].str.count(r"[A-Z]").astype("int64"),
+            }
+        )
+
+    return mlfeed.batch_transform(
+        d, fn, schema="doc_id long, n_chars long, n_upper long"
+    ).orderBy("doc_id")
+
+
+def q65_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas normalization (applyInPandas — the reference's
+    per-group Normalizer): z-score of c_acctbal within each market segment,
+    whole group visible to the pandas fn."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["c_acctbal"].astype("float64")
+        z = (x - x.mean()) / x.std(ddof=0)
+        return pd.DataFrame({"c_custkey": g["c_custkey"], "z": z})
+
+    out = mlfeed.grouped_transform(
+        c, ["c_mktsegment"], fn, schema="c_custkey long, z double"
+    )
+    return out.select(
+        "c_custkey", (F.round("z", 3) + F.lit(0.0)).alias("z")
+    ).orderBy("c_custkey")
+
+
+def q66_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata, all JVM-side: documents' text re-encoded as a
+    BINARY media column, then byte length + md5 + magic sniff."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    return multimodal.with_media_meta(d, "media").orderBy("doc_id")
+
+
+def q67_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stage over binary media (deterministic stand-in
+    kernel — see operators/multimodal._decode_bytes): bytes cross into
+    Python once per batch and come back as fixed-width feature columns."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    return multimodal.extract_features(d, "media", "doc_id", dim=8).orderBy(
+        "doc_id"
+    )
+
+
+MLFEED_QUERIES = {
+    "q63_linear_score": q63_linear_score,
+    "q64_batch_transform": q64_batch_transform,
+    "q65_grouped_normalize": q65_grouped_normalize,
+    "q66_media_meta": q66_media_meta,
+    "q67_media_features": q67_media_features,
+}
+
+_W_SQL = "[" + ", ".join(repr(w) for w in _WEIGHTS) + "]"
+
+MLFEED_ORACLE = {
+    "q63_linear_score": (
+        f"WITH w AS (SELECT {_W_SQL} AS w) "
+        "SELECT vec_id, ROUND(list_reduce(list_transform("
+        "range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * w[i]), "
+        f"(acc, v) -> acc + v) + {_BIAS!r}, 4) + 0.0 AS score "
+        "FROM embeddings, w ORDER BY vec_id"
+    ),
+    "q64_batch_transform": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q65_grouped_normalize": (
+        "WITH s AS (SELECT c_mktsegment, AVG(c_acctbal) AS mu, "
+        "sqrt(VAR_POP(c_acctbal)) AS sd FROM customer GROUP BY 1) "
+        "SELECT c_custkey, ROUND((c_acctbal - mu) / sd, 3) + 0.0 AS z "
+        "FROM customer JOIN s USING (c_mktsegment) ORDER BY c_custkey"
+    ),
+    "q66_media_meta": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "md5(text) AS content_md5, 'unknown' AS format "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q67_media_features": (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"ascii(substring(md5(text), {j + 1}, 1)) / 100.0 AS f{j}"
+            for j in range(8)
+        )
+        + " FROM documents ORDER BY doc_id"
+    ),
+}

@@ -27,6 +27,10 @@ from fireworks_spark.queries_database import (
     DATABASE_ORACLE,
     DATABASE_QUERIES,
 )
+from fireworks_spark.queries_mlfeed import (
+    MLFEED_ORACLE,
+    MLFEED_QUERIES,
+)
 
 QUERIES.update(RELATIONAL_QUERIES)
 ORACLES.update(RELATIONAL_ORACLE)
@@ -36,3 +40,5 @@ QUERIES.update(TOOLBOX_QUERIES)
 ORACLES.update(TOOLBOX_ORACLE)
 QUERIES.update(DATABASE_QUERIES)
 ORACLES.update(DATABASE_ORACLE)
+QUERIES.update(MLFEED_QUERIES)
+ORACLES.update(MLFEED_ORACLE)

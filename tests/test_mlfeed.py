@@ -1,0 +1,97 @@
+"""ML-feed layer unit tests: Arrow batch plumbing, model wrapper, driver-side
+batch iterator, multimodal metadata/decode stand-ins."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fireworks_spark import mlfeed
+from fireworks_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_linear_model_math(spark, vecs):
+    m = mlfeed.LinearModel([1.0, 0.0, -1.0], bias=10.0)
+    out = m.transform(vecs, "vec_id long, score double").collect()
+    # w.x + b = i - (i+2) + 10 = 8 for every row
+    assert all(r.score == 8.0 for r in out)
+    assert len(out) == 20
+
+
+def test_batch_transform_cardinality_change(spark, vecs):
+    def explode_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vec_id": b["vec_id"].repeat(2)})
+
+    out = mlfeed.batch_transform(vecs, explode_fn, "vec_id long")
+    assert out.count() == 40  # mapInPandas may change cardinality (UDTF)
+
+
+def test_grouped_transform_sees_whole_group(spark):
+    df = spark.createDataFrame(
+        [(g, v) for g in ["a", "b"] for v in range(5)], "g string, v long"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [pdf["g"].iloc[0]], "n": [len(pdf)], "s": [int(pdf["v"].sum())]}
+        )
+
+    rows = {
+        r.g: (r.n, r.s)
+        for r in mlfeed.grouped_transform(
+            df, ["g"], fn, "g string, n long, s long"
+        ).collect()
+    }
+    assert rows == {"a": (5, 10), "b": (5, 10)}
+
+
+def test_batch_iterator_sizes_and_tail(spark, vecs):
+    batches = list(mlfeed.batch_iterator(vecs.select("vec_id"), 6))
+    assert [len(b) for b in batches] == [6, 6, 6]  # tail of 2 dropped
+    batches = list(
+        mlfeed.batch_iterator(vecs.select("vec_id"), 6, drop_tail=False)
+    )
+    assert [len(b) for b in batches] == [6, 6, 6, 2]
+    seen = [v for b in batches for v in b["vec_id"]]
+    assert sorted(seen) == list(range(20))
+
+
+def test_sniff_format(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytes.fromhex("FFD8FFE0") + b"rest"),
+            (2, bytes.fromhex("89504E47") + b"rest"),
+            (3, b"plain text"),
+        ],
+        "id long, media binary",
+    )
+    out = {r.id: r.format for r in df.select(
+        "id", multimodal.sniff_format("media").alias("format")
+    ).collect()}
+    assert out == {1: "jpeg", 2: "png", 3: "unknown"}
+    meta = multimodal.with_media_meta(df, "media").collect()[0]
+    assert meta.n_bytes == 8 and len(meta.content_md5) == 32
+
+
+def test_extract_features_deterministic(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, b"hello")], "doc_id long, media binary")
+    row = multimodal.extract_features(df, "media", "doc_id", dim=4).collect()[0]
+    h = hashlib.md5(b"hello").hexdigest()
+    assert [row.f0, row.f1, row.f2, row.f3] == [ord(c) / 100.0 for c in h[:4]]
+
+
+def test_frame_sample_is_explicit_stub(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, media binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(df)
