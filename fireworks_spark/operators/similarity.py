@@ -93,42 +93,56 @@ def lsh_bucket_topk(
     )
 
 
+def _l2_normalized(vec_col: str) -> F.Column:
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(dot(v, v))
+    return F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    num_clusters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    partition_col: str = "label",
+    seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
-    """IVF-style probe: centroids = per-partition mean vectors (one agg
-    pass); each query searches only its nprobe nearest partitions.
+    """IVF ANN with a LEARNED coarse quantizer (spherical k-means).
 
-    On a real corpus the partition would come from k-means; here any coarse
-    partition column works. Centroid count is tiny → both centroid join and
-    query assignment are broadcasts; the only big shuffle is the final
-    per-query top-k window.
+    Train: Spark ML KMeans over L2-normalized vectors (euclidean k-means on
+    the unit sphere == cosine k-means); at corpus scale pass ``fit_fraction``
+    to train on a sample — the centroids, not the fit set, define the index.
+    Index: one JVM pass (model.transform) assigns every vector its nearest
+    centroid — the inverted list id. Search: each query ranks the tiny
+    broadcast centroid table, probes its ``nprobe`` nearest lists via an
+    equi-join on the centroid id, then exact top-k within the probed lists.
+    ``nprobe == num_clusters`` degrades gracefully to exact brute force
+    (asserted in tests/test_similarity.py, alongside the partial-probe
+    recall bound).
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col).cast("array<double>")) - 1)
-    # centroid per partition: element-wise mean via posexplode + groupBy
-    exploded = base.select(
-        F.col(partition_col).alias("pt"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base_n = base.withColumn("_fv", array_to_vector(_l2_normalized(vec_col)))
+    fit_df = (
+        base_n.sample(fit_fraction, seed=seed) if fit_fraction else base_n
     )
-    centroids = (
-        exploded.groupBy("pt", "d")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("pt")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
-        .select("pt", F.expr("transform(dm, s -> s.m)").alias("cv"))
+    model = KMeans(
+        k=num_clusters, seed=seed, featuresCol="_fv", predictionCol="_pt"
+    ).fit(fit_df)
+    assigned = model.transform(base_n).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.col("_pt").alias("pt")
+    )
+    centroids = base.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "pt int, cv array<double>",
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    qc = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(
-            "qid", "qv", "pt", cosine_similarity(F.col("qv"), F.col("cv")).alias("cs")
-        )
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "qid", "qv", "pt", cosine_similarity(F.col("qv"), F.col("cv")).alias("cs")
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cs"), F.col("pt"))
     probe = (
@@ -136,13 +150,9 @@ def ivf_topk(
         .filter(F.col("pr") <= nprobe)
         .select("qid", "qv", "pt")
     )
-    b = base.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-        F.col(partition_col).alias("pt"),
-    )
     sim = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 4)
     pairs = (
-        b.join(F.broadcast(probe), "pt")
+        assigned.join(F.broadcast(probe), "pt")
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid", sim.alias("sim"))
     )

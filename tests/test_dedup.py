@@ -1,0 +1,129 @@
+"""Dedup operator unit tests on tiny inline corpora, including a bit-exact
+Python reference check of SimHash (token hashes sourced from Spark's own
+xxhash64 so both sides share the base hash)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fireworks_spark.operators import dedup
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different text with no overlap at all"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "short"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_word_ngrams_short_doc_yields_empty(spark):
+    df = spark.createDataFrame([("one two",), ("a",), ("",)], ["text"])
+    out = df.select(dedup.word_ngrams("text", 3).alias("g")).collect()
+    assert all(r.g == [] for r in out)
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r.keep_id: r.dup_cnt for r in dedup.exact_dedup(docs).collect()}
+    assert rows[0] == 2  # docs 0 and 3
+    assert rows[1] == 1 and rows[2] == 1
+
+
+def test_jaccard_pairs_exact_values(docs):
+    rows = dedup.jaccard_pairs(docs, threshold=0.1).collect()
+    got = {(r.ida, r.idb): r.jac for r in rows}
+    # docs 0/3 identical -> jac 1.0 (both orderings of the dup group)
+    assert got[(0, 3)] == 1.0
+    # docs 0/1 share 6 of their 7 shingles each: |inter|=6, |union|=8
+    assert got[(0, 1)] == round(6 / 8, 3)
+    assert (0, 2) not in got
+
+
+def test_jaccard_df_cap_drops_only_candidates_not_values(docs):
+    # cap=1 removes every shared shingle from candidate generation,
+    # so no pairs survive; values themselves are never approximated
+    assert dedup.jaccard_pairs(docs, threshold=0.1, df_cap=1).count() == 0
+    # cap large enough: same result as uncapped
+    a = sorted(map(tuple, dedup.jaccard_pairs(docs, 0.1).collect()))
+    b = sorted(map(tuple, dedup.jaccard_pairs(docs, 0.1, df_cap=100).collect()))
+    assert a == b
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    pairs = {(r.ida, r.idb) for r in dedup.minhash_dedup_pairs(docs, 0.7).collect()}
+    assert (0, 3) in pairs  # identical pair always collides
+    assert (0, 1) in pairs  # jac 0.75 >= 0.7 with near-certain band collision
+    assert all(ida < idb for ida, idb in pairs)
+
+
+def test_simhash_matches_python_reference(spark, docs):
+    """Bit-exact check: token hashes come from Spark's xxhash64, the
+    sign-accumulate/re-pack is reproduced in plain Python."""
+    present = docs.filter(F.col("text") != "")
+    toks = (
+        present.select(
+            "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("tok"))
+        .collect()
+    )
+    expected: dict[int, int] = {}
+    byid: dict[int, list] = {}
+    for r in toks:
+        byid.setdefault(r.doc_id, []).append((r.h, r.cnt))
+    for did, items in byid.items():
+        acc = [0] * 64
+        for h, cnt in items:
+            for b in range(64):
+                bit = (h >> b) & 1  # arithmetic shift on negative h: Python
+                if h < 0:
+                    bit = ((h + (1 << 64)) >> b) & 1
+                acc[b] += cnt if bit else -cnt
+        sig = sum(1 << b for b in range(64) if acc[b] > 0)
+        # Spark packs into a signed long
+        expected[did] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    got = {r.doc_id: r.simhash for r in dedup.simhash64(present).collect()}
+    assert got == expected
+
+
+def test_simhash_pairs_hamming(docs):
+    out = {(r.ida, r.idb): r.hamming for r in dedup.simhash_pairs(docs, 16).collect()}
+    assert out[(0, 3)] == 0  # identical docs, identical simhash
+    assert (0, 1) in out  # near-dup within 16 bits
+    assert (0, 2) not in out or out[(0, 2)] > 16
+
+
+def test_embedding_dup_pairs_lsh_matches_bruteforce(spark):
+    import itertools
+    import math
+    import random
+
+    rnd = random.Random(7)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    # plant near-dups: 3 vectors as slightly-perturbed copies
+    for i in range(3):
+        base.append([x + rnd.gauss(0, 0.05) for x in base[i]])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<double>"
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    truth = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(base)), 2)
+        if round(cos(base[i], base[j]), 4) >= 0.9
+    }
+    got = {(r.ida, r.idb) for r in dedup.embedding_dup_pairs(df, 0.9).collect()}
+    assert got == truth and len(truth) == 3
