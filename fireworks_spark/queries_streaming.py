@@ -1,0 +1,43 @@
+"""Declared query for the streaming slice: the events fixture replayed
+through a real Structured Streaming query (file source -> event-time
+tumbling window + watermark -> availableNow drain) must equal the batch
+DATE_TRUNC aggregation — so the driver's q25 oracle checks the streaming
+engine path end-to-end."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fireworks_spark import streaming
+
+
+def q68_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as a stream; 1-hour tumbling windows with a 2-hour
+    watermark; drain with availableNow into a memory sink and return it."""
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    name = f"q68_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = streaming.read_event_stream(spark, d)
+        streaming.run_to_memory(
+            streaming.tumbling_agg(stream), name, "complete"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).orderBy("h", "event_type")
+
+
+STREAMING_QUERIES = {"q68_stream_tumbling": q68_stream_tumbling}
+
+STREAMING_ORACLE = {
+    # identical to the batch q25 oracle: stream must equal batch
+    "q68_stream_tumbling": (
+        "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS cnt, "
+        "ROUND(SUM(value),2) AS sum_val FROM events "
+        "GROUP BY 1, 2 ORDER BY h, event_type"
+    ),
+}

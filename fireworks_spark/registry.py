@@ -31,6 +31,10 @@ from fireworks_spark.queries_mlfeed import (
     MLFEED_ORACLE,
     MLFEED_QUERIES,
 )
+from fireworks_spark.queries_streaming import (
+    STREAMING_ORACLE,
+    STREAMING_QUERIES,
+)
 
 QUERIES.update(RELATIONAL_QUERIES)
 ORACLES.update(RELATIONAL_ORACLE)
@@ -42,3 +46,5 @@ QUERIES.update(DATABASE_QUERIES)
 ORACLES.update(DATABASE_ORACLE)
 QUERIES.update(MLFEED_QUERIES)
 ORACLES.update(MLFEED_ORACLE)
+QUERIES.update(STREAMING_QUERIES)
+ORACLES.update(STREAMING_ORACLE)

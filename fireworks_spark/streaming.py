@@ -1,0 +1,187 @@
+"""Structured Streaming layer (M5, SURVEY.md §2.5).
+
+The reference streams by Python iteration — forward-only sources
+(fireworks/toolbox/pipes.py:48-63), per-batch stateful updates
+(Normalizer.update, fireworks/toolbox/preprocessing.py:90-109), interleave
+(junctions.py:30-45) — with no event time at all. The Spark re-expression is
+Structured Streaming: a file/rate source, event-time windows with
+watermarks for late data, and foreachBatch for stateful accumulation. The
+batch queries q14/q25 are the oracle-checkable faces of the same
+aggregations; tests/test_streaming.py asserts stream == batch on the events
+fixture.
+
+Scale: windowed aggregation state is bounded by the watermark (Spark drops
+window state older than it); the one-pass normalizer keeps O(columns)
+state on the driver regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events fixture schema with ts as epoch-nanos long (the parquet stores
+# TIMESTAMP(NANOS); nanosAsLong reads it as bigint — same trick as
+# tables.table, which the streaming reader must declare explicitly)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events directory (each file that lands in
+    it is a micro-batch — the file source requires a directory, not a bare
+    file). ts converts ns->us with integer arithmetic, identically to the
+    batch reader."""
+    if (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling window counts/sums — the streaming face of the
+    declared batch query q25 (DATE_TRUNC hour == window start for 1-hour
+    tumbling windows). The watermark bounds state: windows older than
+    max(event time) - watermark are finalized and dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+        .select(
+            F.col("w.start").alias("h"), "event_type", "cnt", "sum_val"
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window variant (each event lands in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (F.session_window merges overlapping per-event windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain an availableNow stream into an in-memory table (test/dev sink):
+    processes everything currently available, then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+class StreamingNormalizer:
+    """One-pass streaming mean/variance with standardization — the
+    reference's Normalizer (preprocessing.py:49-129): ``update`` folds each
+    micro-batch into running (n, sum, sumsq); ``compile`` closes the stats;
+    ``forward`` standardizes any DataFrame with them.
+
+    Per batch, the heavy work (count/sum/sumsq) is a distributed partial
+    aggregation; only the 3 scalars per column reach the driver, so state is
+    O(columns) forever. Plug ``foreach_batch()`` into
+    ``writeStream.foreachBatch`` to learn stats from a live stream.
+    """
+
+    def __init__(self, cols: list[str]):
+        self.cols = list(cols)
+        self.n = 0
+        self.sums = dict.fromkeys(cols, 0.0)
+        self.sumsqs = dict.fromkeys(cols, 0.0)
+
+    def update(self, batch_df: DataFrame) -> None:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in self.cols:
+            aggs.append(F.sum(c).alias(f"_s_{c}"))
+            aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"_q_{c}"))
+        row = batch_df.agg(*aggs).collect()[0]
+        self.n += row["_n"]
+        for c in self.cols:
+            self.sums[c] += row[f"_s_{c}"] or 0.0
+            self.sumsqs[c] += row[f"_q_{c}"] or 0.0
+
+    def compile(self) -> dict[str, tuple[float, float]]:
+        """{col: (mean, stddev_pop)} from the accumulated state."""
+        out = {}
+        for c in self.cols:
+            mu = self.sums[c] / self.n
+            var = max(self.sumsqs[c] / self.n - mu * mu, 0.0)
+            out[c] = (mu, var**0.5)
+        return out
+
+    def forward(self, df: DataFrame, suffix: str = "_std") -> DataFrame:
+        stats = self.compile()
+        for c in self.cols:
+            mu, sd = stats[c]
+            df = df.withColumn(
+                f"{c}{suffix}", (F.col(c) - F.lit(mu)) / F.lit(sd)
+            )
+        return df
+
+    def foreach_batch(self):
+        return lambda batch_df, _epoch_id: self.update(batch_df)

@@ -1,0 +1,60 @@
+"""FASTA source vs a plain-Python parse of the reference fixture
+(/root/reference/test/sample_genes.fa, 759 records — reference
+pipes_test.py:60-81 parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fireworks_spark.sources import read_fasta
+
+FIXTURE = "/root/reference/test/sample_genes.fa"
+
+
+def _python_parse(path):
+    recs = []
+    with open(path) as f:
+        header, seq = None, []
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if header is not None:
+                    recs.append((header, "".join(seq)))
+                header, seq = line[1:], []
+            else:
+                seq.append(line.strip())
+        if header is not None:
+            recs.append((header, "".join(seq)))
+    return recs
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture absent")
+def test_fasta_matches_python_parse(spark):
+    want = _python_parse(FIXTURE)
+    got = (
+        read_fasta(spark, FIXTURE)
+        .select("ids", "names", "descriptions", "sequences", "dbxrefs")
+        .collect()
+    )
+    assert len(got) == len(want) == 759
+    by_desc = {r.descriptions: r for r in got}
+    for header, seq in (want[0], want[-1], want[100]):
+        r = by_desc[header.strip()]
+        assert r.sequences == seq
+        assert r.ids == header.split()[0]
+        assert r.names == r.ids
+        assert r.dbxrefs == []
+    # every record's sequence matches, not just spot checks
+    want_map = {h.strip(): s for h, s in want}
+    assert {r.descriptions: r.sequences for r in got} == want_map
+
+
+def test_fasta_tiny_inline(spark, tmp_path):
+    p = tmp_path / "mini.fa"
+    p.write_text(">a desc one\nACGT\nTTGG\n>b\nNNN\n")
+    rows = {r.ids: r for r in read_fasta(spark, str(p)).collect()}
+    assert rows["a"].sequences == "ACGTTTGG"
+    assert rows["a"].descriptions == "a desc one"
+    assert rows["b"].sequences == "NNN"

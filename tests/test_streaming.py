@@ -1,0 +1,102 @@
+"""Streaming slice: stream-vs-batch parity on the events fixture (the
+reference's §2.5 semantics expressed as Structured Streaming), watermark
+config, and the one-pass streaming normalizer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fireworks_spark import streaming
+from fireworks_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir, tmp_path_factory):
+    """The file stream source reads a DIRECTORY (files arriving == stream);
+    stage the fixture file into one."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_path):
+    """availableNow replay of the events file through a 1-hour tumbling
+    window must equal the q25 batch aggregation exactly."""
+    stream = streaming.read_event_stream(spark, events_path)
+    assert stream.isStreaming
+    streaming.run_to_memory(
+        streaming.tumbling_agg(stream), "t_tumbling", "complete"
+    )
+    got = {
+        (r.h, r.event_type): (r.cnt, r.sum_val)
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+    want = {
+        (r.h, r.event_type): (r.cnt, r.sum_val) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_and_sliding_run(spark, events_path):
+    stream = streaming.read_event_stream(spark, events_path)
+    streaming.run_to_memory(streaming.sliding_agg(stream), "t_sliding")
+    streaming.run_to_memory(streaming.session_agg(stream), "t_session")
+    sliding = spark.table("t_sliding")
+    session = spark.table("t_session")
+    assert sliding.count() > 0
+    assert session.count() > 0
+    # sliding 1h/15m: every event lands in 4 windows => 4x the tumbling mass
+    tot_sliding = sliding.agg(F.sum("cnt")).collect()[0][0]
+    tot_events = spark.table("t_tumbling").agg(F.sum("cnt")).collect()[0][0]
+    assert tot_sliding == 4 * tot_events
+    # sessions partition each user's events
+    tot_sess = session.agg(F.sum("n_events")).collect()[0][0]
+    assert tot_sess == tot_events
+
+
+def test_streaming_normalizer_incremental_equals_batch(spark, sf_dir):
+    """Folding the table in 3 chunks through update() must reproduce the
+    batch mean/stddev (one-pass merge correctness, reference
+    preprocessing.py:90-109)."""
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    norm = streaming.StreamingNormalizer(["value"])
+    for part in range(3):
+        norm.update(e.filter(F.col("event_id") % 3 == part))
+    mu, sd = norm.compile()["value"]
+    row = e.agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    ).collect()[0]
+    assert abs(mu - row.mu) < 1e-9 * max(1, abs(row.mu))
+    assert abs(sd - row.sd) < 1e-6 * max(1, abs(row.sd))
+    out = norm.forward(e).collect()
+    zs = [r.value_std for r in out]
+    assert abs(sum(zs) / len(zs)) < 1e-6
+
+
+def test_normalizer_foreach_batch_hook(spark, sf_dir, events_path):
+    """foreachBatch plumbing: drive the normalizer from an actual stream."""
+    norm = streaming.StreamingNormalizer(["value"])
+    stream = streaming.read_event_stream(spark, events_path)
+    q = (
+        stream.select("value")
+        .writeStream.foreachBatch(norm.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    e = table(spark, sf_dir, "events")
+    row = e.agg(F.avg("value").alias("mu")).collect()[0]
+    assert norm.n == e.count()
+    mu, _ = norm.compile()["value"]
+    assert abs(mu - row.mu) < 1e-9 * max(1, abs(row.mu))
