@@ -20,7 +20,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fireworks_spark.functions.text import normalize_text, words
-from fireworks_spark.functions.vector import band_key, cosine_similarity, sign_bits
 
 
 # --------------------------------------------------------------------------
@@ -28,11 +27,16 @@ from fireworks_spark.functions.vector import band_key, cosine_similarity, sign_b
 # --------------------------------------------------------------------------
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram shingles (JVM-side transform over a sequence of
-    start offsets; element_at is 1-based). Documents with fewer than n words
-    yield an empty array (sequence(1, 0) would DESCEND, so it is guarded)."""
-    w = words(col)
+def ngrams_of(w: Column, n: int = 3) -> Column:
+    """Array of word n-grams over an ALREADY-MATERIALIZED words array column.
+
+    Always pass an attribute reference (a column produced by a projection),
+    not the words() expression itself: expressions referenced inside a
+    higher-order-function lambda are re-evaluated per element (no CSE in
+    lambda bodies), so embedding the regex-normalize+split there multiplies
+    the tokenization cost by 3x the shingle count. Documents with fewer
+    than n words yield an empty array (sequence(1, 0) would DESCEND, so it
+    is guarded)."""
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     grams = F.transform(
         idx,
@@ -45,26 +49,50 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles straight from a text column. Fine for
+    single-expression use; hot paths should tokenize once with words() in a
+    projection and call ngrams_of on the materialized array (see
+    _hashed_shingles)."""
+    return ngrams_of(words(col), n)
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingles: array<bigint>) — tokenize ONCE into a materialized
+    array, then shingle+hash from the reference. Shingles are xxhash64
+    longs, not strings: identity is all Jaccard needs, an 8-byte key
+    shuffles ~4x lighter than the text, and set ops compare longs (64-bit
+    collisions are ~2^-64 per shingle pair — immaterial)."""
+    wdf = df.select(id_col, words(text_col).alias("_w"))
+    return wdf.select(
+        id_col,
+        F.array_distinct(
+            F.transform(ngrams_of(F.col("_w"), n), lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) with distinct shingles per document."""
-    return (
-        df.filter(F.size(words(text_col)) >= n)
-        .select(id_col, F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"))
+    """(id, shingle) — one row per distinct hashed shingle per document."""
+    return _hashed_shingles(df, id_col, text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
     )
 
 
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingles) — the distinct-shingle array per document, unexploded.
-    Used by the set-based Jaccard verify: intersections are computed per
-    candidate pair with array_intersect (O(|a|+|b|) per pair, no join
-    amplification on hot shingles)."""
-    return df.select(
-        id_col, F.array_distinct(word_ngrams(text_col, n)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    """(id, shingles) — the distinct hashed-shingle array per document,
+    unexploded. Used by the set-based Jaccard verify: intersections are
+    computed per candidate pair with array_intersect on long arrays
+    (O(|a|+|b|) per pair, no join amplification on hot shingles)."""
+    return _hashed_shingles(df, id_col, text_col, n).filter(
+        F.size("shingles") > 0
+    )
 
 
 def shingle_candidates(
@@ -341,15 +369,18 @@ def _tune_sign_bands(threshold: float, target_miss: float = 1e-6) -> tuple[int, 
     missed by every band with probability <= target_miss.
 
     p = P(one bit agrees) = 1 - acos(threshold)/pi; a band of r bits matches
-    with p^r; b bands all miss with (1 - p^r)^b. Higher thresholds take more
-    bits per band (harder blocking), fewer bands.
+    with p^r; b bands all miss with (1 - p^r)^b. The join volume over
+    near-orthogonal pairs scales with b * 0.5^r ~ (0.5/p)^r / p^r... larger
+    r always shrinks it (random pairs collide with 0.5^r per band), at the
+    cost of more bands for the same recall — r=8 is the sweet spot until
+    the band count explodes for loose thresholds.
     """
     import math
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-    r = 8 if p >= 0.8 else 4
+    r = 8 if p >= 0.6 else 4
     pb = p**r
-    b = max(8, math.ceil(math.log(target_miss) / math.log(1.0 - pb)))
+    b = max(8, min(512, math.ceil(math.log(target_miss) / math.log(1.0 - pb))))
     return r, b
 
 
@@ -357,32 +388,58 @@ def embedding_lsh_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rows_per_band: int = 4,
-    num_bands: int = 64,
+    rows_per_band: int = 8,
+    num_bands: int = 354,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate pairs from banded random-hyperplane LSH: vectors colliding
     on (band_idx, band_key) in any band are candidates. The join key is
     bounded (band_key < 2^rows_per_band per band), so the shuffle is an
-    equi-join on a small key space — never an all-pairs crossJoin."""
-    bits = sign_bits(vec_col, rows_per_band * num_bands)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("band_idx"),
-                band_key(F.col("_bits"), k, rows_per_band).alias("band_key"),
+    equi-join on a small key space — never an all-pairs crossJoin.
+
+    The projections are computed vectorized (one Gaussian matmul per Arrow
+    batch — the hyperplane matrix regenerates deterministically from the
+    seed inside each worker, nothing is shipped): thousands of sign bits
+    per vector cost one BLAS call instead of interpreted per-bit
+    expression folds."""
+    import numpy as np
+    import pandas as pd
+
+    r, b = rows_per_band, num_bands
+
+    def _bands(batches):
+        rng_cache: dict[int, np.ndarray] = {}
+        pow2 = 2 ** np.arange(r - 1, -1, -1)
+        for batch in batches:
+            if not len(batch):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[id_col + "_v"]]
             )
-            for k in range(num_bands)
-        ]
+            dim = X.shape[1]
+            if dim not in rng_cache:
+                rng_cache[dim] = np.random.default_rng(seed).standard_normal(
+                    (dim, r * b)
+                )
+            bits = (X @ rng_cache[dim]) > 0  # (n, r*b)
+            keys = bits.reshape(len(X), b, r) @ pow2  # (n, b) ints
+            n = len(X)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(batch[id_col].to_numpy(), b),
+                    "band_idx": np.tile(np.arange(b), n),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(id_col + "_v")
     )
-    bd = (
-        df.withColumn("_bits", bits)
-        .select(F.col(id_col).alias("id"), F.explode(bands).alias("bd"))
-        .select("id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_key").alias("band_key"))
-    )
+    bd = src.mapInPandas(_bands, "id long, band_idx int, band_key long")
     a = bd.select(F.col("id").alias("ida"), "band_idx", "band_key")
-    b = bd.select(F.col("id").alias("idb"), "band_idx", "band_key")
+    bb = bd.select(F.col("id").alias("idb"), "band_idx", "band_key")
     return (
-        a.join(b, ["band_idx", "band_key"])
+        a.join(bb, ["band_idx", "band_key"])
         .filter(F.col("ida") < F.col("idb"))
         .select("ida", "idb")
         .distinct()
@@ -413,10 +470,28 @@ def embedding_dup_pairs(
     cand = embedding_lsh_candidates(df, id_col, vec_col, rows_per_band, num_bands)
     va = df.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("_vb"))
-    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
-    return (
-        cand.join(va, "ida")
-        .join(vb, "idb")
-        .select("ida", "idb", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+    joined = cand.join(va, "ida").join(vb, "idb")
+
+    # Vectorized verify: one numpy matmul row-block per Arrow batch instead
+    # of an interpreted per-pair expression fold — ~10x on wide candidate
+    # sets (low thresholds make candidates dense; the verify is the cost).
+    import numpy as np
+    import pandas as pd
+
+    def _cos_batches(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in b["_va"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in b["_vb"]])
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            yield pd.DataFrame(
+                {"ida": b["ida"], "idb": b["idb"], "sim": dots / (na * nb)}
+            )
+
+    raw = joined.mapInPandas(_cos_batches, "ida long, idb long, sim double")
+    return raw.select(
+        "ida", "idb", F.round("sim", 4).alias("sim")
+    ).filter(F.col("sim") >= threshold)

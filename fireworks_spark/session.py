@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate copies the generator's child expression
+        # into a pushed-down filter over the RAW input, with no CSE against
+        # the projection that computes it — for expression-heavy generators
+        # (shingling: tokenize+ngram+hash) that re-evaluates the whole
+        # pipeline per row and dominates runtime (measured 3x on the dedup
+        # queries). The filter it infers only skips empty arrays, which the
+        # explode skips anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

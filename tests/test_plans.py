@@ -1,0 +1,59 @@
+"""Physical-plan shape assertions: the optimizations the 100 TB story rests
+on must actually appear in the executed plan (pushdown, pruning, broadcast,
+top-k, no crossJoin in the de-quadratic dedup paths)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fireworks_spark.registry import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q02_filter_predicates"](spark, sf_dir))
+    pushed = plan.split("PushedFilters: [")[1]
+    assert "GreaterThanOrEqual(l_quantity,10" in pushed
+    assert "LessThanOrEqual(l_quantity,20" in pushed
+    assert "l_returnflag" in plan.split("DataFilters: [")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q01_scan_projection"](spark, sf_dir))
+    read = plan.split("ReadSchema")[1]
+    assert "c_custkey" in read and "c_name" in read
+    assert "c_acctbal" not in read and "c_mktsegment" not in read
+
+
+def test_joins_broadcast_small_dims(spark, sf_dir):
+    plan = _plan(QUERIES["q05_multiway_join_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["q15_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_paths_have_no_cross_join(spark, sf_dir):
+    for q in ("q31_dedup_ngram_jaccard", "q34_dedup_embedding_cosine",
+              "q32_dedup_minhash_lsh"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_partial_agg_and_codegen_on_relational_core(spark, sf_dir):
+    df = QUERIES["q09_hash_agg"](spark, sf_dir)
+    plan = _plan(df)
+    # map-side partial aggregation before the shuffle: O(groups) moves
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2
+    df.collect()  # AQE finalizes the plan only on execution
+    final = _plan(df)
+    # starred stages *(n) are WholeStageCodegen spans in plan toString
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", final)

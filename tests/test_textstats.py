@@ -1,0 +1,87 @@
+"""Text-analysis operator unit tests on tiny inline corpora (SURVEY §5
+tier 1): exact expected values computed by hand."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fireworks_spark.functions.text import chars, normalize_text, words
+from fireworks_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox."),
+            (2, "  Hello,   World!  "),
+            (3, "le chat est sur la table et le chien"),
+            (4, "der hund ist nicht ein katze und der"),
+            (5, "abc123 x-y"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_normalize_and_tokenizers(spark, docs):
+    row = docs.filter(F.col("doc_id") == 2).select(
+        normalize_text("text").alias("n"),
+        words("text").alias("w"),
+        chars("text").alias("c"),
+    ).collect()[0]
+    assert row.n == "hello, world!"
+    assert row.w == ["hello,", "world!"]
+    assert row.c[:5] == [" ", " ", "H", "e", "l"]
+
+
+def test_token_stats_values(docs):
+    rows = {r.doc_id: r for r in textstats.with_token_stats(docs).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].n_chars_calc == len("The quick brown fox.")
+    # bpe-ish on "abc123 x-y": abc,123,x,-,y
+    assert rows[5].n_subtokens == 5
+
+
+def test_quality_score_values(docs):
+    rows = {r.doc_id: r for r in textstats.with_quality_score(docs).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4
+    assert r1.avg_tok_len == round(20 / 4, 2)
+    assert r1.punct_ratio == round(1 / 4, 3)  # the final period
+    assert not r1.keep  # fewer than 5 tokens
+    assert rows[3].keep  # 8 tokens, short words
+
+
+def test_lang_id(docs):
+    rows = {r.doc_id: r.pred_lang for r in textstats.with_lang_id(docs).collect()}
+    assert rows[3] == "fr"
+    assert rows[4] == "de"
+    assert rows[1] == "en"
+
+
+def test_lang_id_cjk(spark):
+    df = spark.createDataFrame([(1, "你好 world")], "doc_id long, text string")
+    assert textstats.with_lang_id(df).collect()[0].pred_lang == "zh"
+
+
+def test_fingerprint_is_md5_of_normalized(docs):
+    rows = {r.doc_id: r.fp for r in textstats.with_fingerprint(docs).collect()}
+    want = hashlib.md5(b"the quick brown fox.").hexdigest()[:16]
+    assert rows[1] == want
+    # whitespace/case variants collide
+    assert rows[2] == hashlib.md5(b"hello,   world!".replace(b"   ", b" ")).hexdigest()[:16]
+
+
+def test_vocabulary_and_indices(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a c")], "doc_id long, text string"
+    )
+    vocab = {r.token: r.freq for r in textstats.vocabulary(df).collect()}
+    assert vocab == {"a": 3, "b": 2, "c": 1}
+    idx = {r.token: r.idx for r in textstats.make_indices(df).collect()}
+    assert idx == {"a": 0, "b": 1, "c": 2}
+    top2 = [r.token for r in textstats.make_indices(df, top_k=2).collect()]
+    assert top2 == ["a", "b"]
