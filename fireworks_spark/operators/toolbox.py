@@ -206,6 +206,38 @@ def standardize(
 
 
 # --------------------------------------------------------------------------
+# skew-safe join
+# --------------------------------------------------------------------------
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Equi-join that survives a pathologically hot key: the big side salts
+    each row with rand()*salt, the small side replicates every row ``salt``
+    times, and the join key becomes (key, salt) — a hot key's rows spread
+    over ``salt`` reducers instead of landing on one.
+
+    Reach for this only when AQE's skew-join splitting can't help (extreme
+    single-key skew, or plans AQE won't rewrite); it multiplies the small
+    side by ``salt``, so keep that side genuinely small. Result equals the
+    plain join (each big row matches exactly its own salt replica).
+    """
+    bs = big.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
+    replicas = big.sparkSession.range(salt).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    ss = small.crossJoin(F.broadcast(replicas))
+    out = bs.join(ss, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+# --------------------------------------------------------------------------
 # function application (P13) and embedding lookup (P31)
 # --------------------------------------------------------------------------
 

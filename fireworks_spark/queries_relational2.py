@@ -1,0 +1,215 @@
+"""Second tranche of declared relational queries (Q70+): analytic windows
+(lag/lead), CUBE grouping sets, exact percentiles, EXISTS/NOT EXISTS,
+array explode, sample stddev, regex extraction, null handling — rounding
+out the §2.3 pandas-passthrough surface (rolling/rank/lag-lead, describe-
+style stats) that Q1-Q28 didn't touch. Same contract: identical aliases on
+both sides, total ORDER BY, ROUND on floats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fireworks_spark.tables import table
+
+
+def q70_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD analytic window over each user's event stream."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.lag("value", 1).over(w), 2).alias("prev_val"),
+            F.round(F.lead("value", 1).over(w), 2).alias("next_val"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q71_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 4 grouping sets in one pass."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q72_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (pandas describe / quantile analog).
+    Spark percentile() and DuckDB quantile_cont share the linear-
+    interpolation definition."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q73_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (decorrelated by Catalyst to semi/anti
+    joins — the declarative face of q07/q08)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000) AS has_big
+        FROM customer c ORDER BY c_custkey
+        """
+    )
+
+
+def q74_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UDTF shape, §2.6): one row per token with its
+    position."""
+    p = table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return (
+        p.select("p_partkey", F.posexplode(toks).alias("pos", "tok"))
+        .select("p_partkey", F.col("pos").cast("long").alias("pos"), "tok")
+        .orderBy("p_partkey", "pos")
+    )
+
+
+def q75_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance (describe-style stats)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd"),
+            F.round(F.var_samp("l_quantity"), 2).alias("vq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q76_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction (.str.extract analog)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"([0-9]+)", 1).alias("num_part"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q77_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / null-aware aggregation over the left-join shape."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return (
+        j.select(
+            "c_custkey",
+            F.coalesce(F.round("o_totalprice", 2), F.lit(0.0)).alias("big_or_zero"),
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        )
+        .orderBy("c_custkey", "big_or_zero")
+    )
+
+
+def q78_union_all_distinct_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with per-branch labels then distinct count per label."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"), F.lit("cust").alias("src")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k"), F.lit("supp").alias("src")
+    )
+    return (
+        c.unionAll(s)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("nk"),
+        )
+        .orderBy("src")
+    )
+
+
+RELATIONAL2_QUERIES = {
+    "q70_lag_lead": q70_lag_lead,
+    "q71_cube": q71_cube,
+    "q72_percentile": q72_percentile,
+    "q73_exists_subquery": q73_exists_subquery,
+    "q74_explode_array": q74_explode_array,
+    "q75_stddev": q75_stddev,
+    "q76_regexp_extract": q76_regexp_extract,
+    "q77_null_funcs": q77_null_funcs,
+    "q78_union_all_distinct_mix": q78_union_all_distinct_mix,
+}
+
+RELATIONAL2_ORACLE = {
+    "q70_lag_lead": (
+        "SELECT user_id, event_id, "
+        "ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)"
+        " AS prev_val, "
+        "ROUND(LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)"
+        " AS next_val "
+        "FROM events ORDER BY user_id, event_id"
+    ),
+    "q71_cube": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ),
+    "q72_percentile": (
+        "SELECT o_orderstatus, "
+        "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, "
+        "ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    "q73_exists_subquery": (
+        "SELECT c_custkey, EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) "
+        "AS has_big FROM customer c ORDER BY c_custkey"
+    ),
+    "q74_explode_array": (
+        "SELECT p_partkey, CAST(x.pos AS BIGINT) AS pos, x.tok FROM ("
+        "SELECT p_partkey, unnest(list_transform(range(len(toks)), "
+        "i -> struct_pack(pos := i, tok := toks[i+1]))) AS x FROM ("
+        "SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)) "
+        "ORDER BY p_partkey, pos"
+    ),
+    "q75_stddev": (
+        "SELECT l_returnflag, "
+        "ROUND(stddev_samp(l_extendedprice), 2) AS sd, "
+        "ROUND(var_samp(l_quantity), 2) AS vq "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "q76_regexp_extract": (
+        "SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS num_part "
+        "FROM customer ORDER BY c_custkey"
+    ),
+    "q77_null_funcs": (
+        "SELECT c_custkey, "
+        "COALESCE(ROUND(o_totalprice, 2), 0.0) AS big_or_zero, "
+        "NULLIF(c_mktsegment, 'BUILDING') AS seg_nb "
+        "FROM customer c LEFT JOIN "
+        "(SELECT * FROM orders WHERE o_totalprice > 450000) o "
+        "ON c.c_custkey = o.o_custkey "
+        "ORDER BY c_custkey, big_or_zero"
+    ),
+    "q78_union_all_distinct_mix": (
+        "SELECT src, COUNT(*) AS n, COUNT(DISTINCT k) AS nk FROM ("
+        "SELECT c_nationkey AS k, 'cust' AS src FROM customer "
+        "UNION ALL SELECT s_nationkey AS k, 'supp' AS src FROM supplier) "
+        "GROUP BY src ORDER BY src"
+    ),
+}

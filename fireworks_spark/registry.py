@@ -31,6 +31,10 @@ from fireworks_spark.queries_mlfeed import (
     MLFEED_ORACLE,
     MLFEED_QUERIES,
 )
+from fireworks_spark.queries_relational2 import (
+    RELATIONAL2_ORACLE,
+    RELATIONAL2_QUERIES,
+)
 from fireworks_spark.queries_streaming import (
     STREAMING_ORACLE,
     STREAMING_QUERIES,
@@ -46,5 +50,7 @@ QUERIES.update(DATABASE_QUERIES)
 ORACLES.update(DATABASE_ORACLE)
 QUERIES.update(MLFEED_QUERIES)
 ORACLES.update(MLFEED_ORACLE)
+QUERIES.update(RELATIONAL2_QUERIES)
+ORACLES.update(RELATIONAL2_ORACLE)
 QUERIES.update(STREAMING_QUERIES)
 ORACLES.update(STREAMING_ORACLE)

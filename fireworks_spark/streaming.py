@@ -136,6 +136,38 @@ def run_to_memory(
     q.awaitTermination()
 
 
+def stateful_running_totals(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running (count, sum) carried in the state store across micro-batches —
+    the general form of the reference's update-hook accumulation
+    (Model.update firing per batch, model.py:153-166), with state that
+    survives restarts via the checkpoint.
+
+    Emits one updated row per key per micro-batch (output mode 'update');
+    state is O(1) per key, partitioned by the grouping key across
+    executors."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf[value_col].sum())
+        state.update((n, tot))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [tot]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class StreamingNormalizer:
     """One-pass streaming mean/variance with standardization — the
     reference's Normalizer (preprocessing.py:49-129): ``update`` folds each

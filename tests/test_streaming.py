@@ -84,6 +84,66 @@ def test_streaming_normalizer_incremental_equals_batch(spark, sf_dir):
     assert abs(sum(zs) / len(zs)) < 1e-6
 
 
+def test_stateful_running_totals_across_microbatches(spark, sf_dir, tmp_path):
+    """Split events into 3 files streamed one per trigger: the state store
+    must carry totals across micro-batches, and the final update per user
+    must equal the batch aggregate."""
+    src = table(spark, sf_dir, "events").select("user_id", "value")
+    stage = str(tmp_path / "ev3")
+    src.repartition(3).write.parquet(stage)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    out = streaming.stateful_running_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("t_state")
+    assert updates.count() > 0
+    # last update per user == batch totals
+    final = {
+        r.user_id: (r.n, r.total)
+        for r in updates.withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("n"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u][0] == batch[u][0]
+        assert abs(final[u][1] - batch[u][1]) < 1e-6
+
+
 def test_normalizer_foreach_batch_hook(spark, sf_dir, events_path):
     """foreachBatch plumbing: drive the normalizer from an actual stream."""
     norm = streaming.StreamingNormalizer(["value"])

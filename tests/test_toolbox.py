@@ -125,3 +125,20 @@ def test_apply_embeddings_order_and_unknowns(spark):
 def test_with_label(spark, people):
     out = toolbox.with_label(people, "train")
     assert out.filter(F.col("labels") == "train").count() == 30
+
+
+def test_salted_join_equals_plain_join(spark):
+    # pathological skew: 90% of the big side shares one key
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 1000, 10)] + [(1, "dim1")],
+        "k long, name string",
+    )
+    plain = {(r.k, r.v, r.name) for r in big.join(small, "k").collect()}
+    salted = {
+        (r.k, r.v, r.name)
+        for r in toolbox.salted_join(big, small, "k", salt=8).collect()
+    }
+    assert salted == plain and len(plain) > 0
