@@ -151,6 +151,44 @@ def batch_iterator(
         yield pd.DataFrame(buf)
 
 
+def fit_linear(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    lr: float = 0.05,
+    epochs: int = 5,
+    batch_size: int = 256,
+    seed: int = 0,
+) -> LinearModel:
+    """Driver-side minibatch-SGD training loop fed by the Spark batch
+    iterator — the torch-free analog of the reference's IgniteJunction
+    training loop (fireworks/extensions/training.py:50-183): Spark
+    shuffles/batches the data (a fresh seed per epoch), the driver does the
+    gradient steps, and the fitted parameters go back out as a LinearModel
+    whose transform() scores distributed.
+
+    Least-squares gradient per batch: g_w = 2/n * X^T(Xw + b - y).
+    Convergence on generated linear data is asserted in tests
+    (the reference's model_test.py:238-431 strategy)."""
+    from fireworks_spark.operators.toolbox import shuffle as _shuffle
+
+    w: np.ndarray | None = None
+    b = 0.0
+    for epoch in range(epochs):
+        shuffled = _shuffle(df.select(vec_col, label_col), seed + epoch)
+        for batch in batch_iterator(shuffled, batch_size, drop_tail=False):
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            y = batch[label_col].to_numpy(dtype=np.float64)
+            if w is None:
+                w = np.zeros(X.shape[1])
+            err = X @ w + b - y
+            w -= lr * 2.0 * (X.T @ err) / len(y)
+            b -= lr * 2.0 * float(err.mean())
+    return LinearModel(list(w), b, vec_col=vec_col)
+
+
 def to_torch(pdf: pd.DataFrame, columns: list[str]):
     """Convert pandas columns to torch tensors inside a worker fn (TensorPipe,
     reference pipes.py:584-607). Import-gated: raises a clear error where

@@ -295,33 +295,30 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens weighted by term frequency.
 
-    Token hash bits are exploded to (id, bit, ±weight) rows and re-packed —
-    two shuffles on (id, bit) / id; all expressions JVM-side."""
+    One shuffle: (id, token) term frequencies, then 64 per-bit signed sums
+    as plain aggregate expressions over the token hash — all codegen'd, no
+    bit explode (an explode would multiply the aggregation input 64x)."""
     toks = (
         df.select(id_col, F.explode(words(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    contrib = toks.select(
-        id_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 63), b -> struct(b as b, "
-                "IF((shiftright(h, b) & 1) = 1, cnt, -cnt) as c))"
-            )
-        ).alias("bc"),
-    ).select(id_col, F.col("bc.b").alias("b"), F.col("bc.c").alias("c"))
-    return (
-        contrib.groupBy(id_col, "b")
-        .agg(F.sum("c").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.expr("IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))")
-            ).alias("simhash")
-        )
-    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sig = toks.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return sig.select(id_col, packed.alias("simhash"))
 
 
 def simhash_pairs(

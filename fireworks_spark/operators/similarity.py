@@ -131,7 +131,9 @@ def ivf_topk(
         base_n.sample(fit_fraction, seed=seed) if fit_fraction else base_n
     )
     model = KMeans(
-        k=num_clusters, seed=seed, featuresCol="_fv", predictionCol="_pt"
+        k=num_clusters, seed=seed, featuresCol="_fv", predictionCol="_pt",
+        maxIter=8,  # coarse quantization converges in a few sweeps; more
+        # iterations sharpen cell boundaries, not recall
     ).fit(fit_df)
     assigned = model.transform(base_n).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.col("_pt").alias("pt")

@@ -114,6 +114,29 @@ def interleave(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
     return out
 
 
+def index_map(
+    df: DataFrame,
+    mapping: DataFrame,
+    index_col: str = "idx",
+    from_col: str = "input_idx",
+    to_col: str = "output_idx",
+) -> DataFrame:
+    """Remap an index column through a mapping table (IndexMapperPipe,
+    reference fireworks/toolbox/pipes.py:492-534 — the reference remaps
+    positional indices for split views; with explicit index columns this is
+    just a broadcast-joined dimension lookup, and randomSplit/hash_split
+    obsolete its original purpose). Rows whose index has no mapping are
+    dropped, matching the reference's only-mapped-indices view."""
+    m = mapping.select(
+        F.col(from_col).alias(index_col), F.col(to_col).alias("_new_idx")
+    )
+    return (
+        df.join(F.broadcast(m), index_col)
+        .drop(index_col)
+        .withColumnRenamed("_new_idx", index_col)
+    )
+
+
 def interleave_random(
     dfs: list[DataFrame], seed: int | None = None
 ) -> DataFrame:

@@ -65,6 +65,42 @@ def test_batch_iterator_sizes_and_tail(spark, vecs):
     assert sorted(seen) == list(range(20))
 
 
+def test_fit_linear_converges_to_truth(spark):
+    """Reference model_test.py:238-431 strategy: generate data from a known
+    linear model + noise, train, assert parameters approach truth."""
+    import random
+
+    rnd = random.Random(3)
+    true_w, true_b = [2.0, -1.5, 0.5], 4.0
+    rows = []
+    for i in range(600):
+        x = [rnd.gauss(0, 1) for _ in range(3)]
+        y = sum(wi * xi for wi, xi in zip(true_w, x)) + true_b + rnd.gauss(0, 0.01)
+        rows.append((i, x, y))
+    df = spark.createDataFrame(rows, "id long, x array<double>, y double")
+    model = mlfeed.fit_linear(df, "x", "y", lr=0.1, epochs=12, batch_size=128)
+    w = model.params["w"]
+    assert all(abs(wi - ti) < 0.05 for wi, ti in zip(w, true_w))
+    assert abs(model.params["b"] - true_b) < 0.05
+    # the fitted model scores distributed
+    scored = model.transform(
+        df.select("id", "x", "y"), "id long, y double, score double"
+    )
+    row = scored.filter(F.col("id") == 0).collect()[0]
+    assert abs(row.score - row.y) < 0.1
+
+
+def test_index_map(spark):
+    from fireworks_spark.operators import toolbox
+
+    df = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "idx long, v string")
+    mapping = spark.createDataFrame(
+        [(0, 10), (2, 20)], "input_idx long, output_idx long"
+    )
+    out = {r.v: r.idx for r in toolbox.index_map(df, mapping).collect()}
+    assert out == {"a": 10, "c": 20}  # unmapped row dropped
+
+
 def test_sniff_format(spark):
     df = spark.createDataFrame(
         [
