@@ -178,6 +178,18 @@ def hash_split(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum sampling (df.stat.sampleBy): the training-pipeline tool
+    for class rebalancing — each stratum keeps its own fraction, computed
+    map-side with no shuffle."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
 def random_split(
     df: DataFrame, weights: list[float], seed: int = 0
 ) -> list[DataFrame]:

@@ -143,7 +143,45 @@ def q78_union_all_distinct_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (F.session_window — the same operator the
+    streaming path uses) checked against a gap-and-islands SQL oracle.
+    Spark merges an event into a session when its ts is strictly before
+    the session end (last ts + gap), so the oracle breaks on diff >= gap."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q80_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() marker (beyond rollup/cube)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+                 cnt, g_status
+        """
+    )
+
+
 RELATIONAL2_QUERIES = {
+    "q79_session_windows": q79_session_windows,
+    "q80_grouping_sets": q80_grouping_sets,
     "q70_lag_lead": q70_lag_lead,
     "q71_cube": q71_cube,
     "q72_percentile": q72_percentile,
@@ -156,6 +194,24 @@ RELATIONAL2_QUERIES = {
 }
 
 RELATIONAL2_ORACLE = {
+    "q79_session_windows": (
+        "WITH d AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 "
+        "ELSE 1 END AS brk FROM events), "
+        "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+        "SELECT user_id, MIN(ts) AS session_start, "
+        "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "COUNT(*) AS n_events FROM s GROUP BY user_id, sid "
+        "ORDER BY user_id, session_start"
+    ),
+    "q80_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, "
+        "cnt, g_status"
+    ),
     "q70_lag_lead": (
         "SELECT user_id, event_id, "
         "ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)"

@@ -1,0 +1,45 @@
+"""Serialization round-trips (§1.6): csv/json/parquet/orc write -> read
+equality, partitioned writes prune, arrays survive parquet (the reference's
+native tar(parquet+torch) collapses to plain parquet)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fireworks_spark import io_formats as io
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(i, f"n{i}", float(i) / 4, i % 3) for i in range(24)],
+        "id long, name string, score double, grp long",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, tmp_path, df, fmt):
+    path = str(tmp_path / fmt)
+    io.write_table(df, path, fmt)
+    back = io.read_table(spark, path, fmt, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_array_columns_survive_parquet(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "id long, v array<double>"
+    )
+    p = str(tmp_path / "arr")
+    io.write_table(df, p, "parquet")
+    back = io.read_table(spark, p, "parquet")
+    assert {r.id: r.v for r in back.collect()} == {1: [1.0, 2.0], 2: [3.0]}
+
+
+def test_partitioned_write_prunes(spark, tmp_path, df):
+    p = str(tmp_path / "part")
+    io.write_table(df, p, "parquet", partition_by=["grp"])
+    back = io.read_table(spark, p, "parquet").filter(F.col("grp") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "grp" in plan.split("PartitionFilters")[1][:80]
+    assert back.count() == 8

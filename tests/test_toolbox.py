@@ -127,6 +127,19 @@ def test_with_label(spark, people):
     assert out.filter(F.col("labels") == "train").count() == 30
 
 
+def test_stratified_sample_fractions(spark):
+    df = spark.createDataFrame(
+        [(i, "maj" if i < 900 else "min") for i in range(1000)], "id long, c string"
+    )
+    out = toolbox.stratified_sample(df, "c", {"maj": 0.1, "min": 1.0}, seed=5)
+    counts = {r.c: r.n for r in out.groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["min"] == 100  # fraction 1.0 keeps every row
+    assert 50 <= counts["maj"] <= 150  # ~10% of 900
+    # deterministic under the same seed
+    again = toolbox.stratified_sample(df, "c", {"maj": 0.1, "min": 1.0}, seed=5)
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+
+
 def test_salted_join_equals_plain_join(spark):
     # pathological skew: 90% of the big side shares one key
     big = spark.createDataFrame(
