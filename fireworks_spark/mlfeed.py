@@ -151,6 +151,71 @@ def batch_iterator(
         yield pd.DataFrame(buf)
 
 
+class Metrics:
+    """Running metric accumulation across batches (the reference's Metrics
+    accumulator pattern around its training loop, examples/mnist.py:176-207):
+    each ``update`` folds one distributed partial-aggregate pass (count,
+    sum, min, max per column) into driver-side totals; ``compile`` closes
+    them into {col: {n, mean, min, max}}. State is O(columns) forever."""
+
+    def __init__(self, cols: list[str]):
+        self.cols = list(cols)
+        self.n = 0
+        self._sum = dict.fromkeys(cols, 0.0)
+        self._min: dict[str, float | None] = dict.fromkeys(cols)
+        self._max: dict[str, float | None] = dict.fromkeys(cols)
+
+    def update(self, batch_df: DataFrame) -> None:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in self.cols:
+            aggs += [
+                F.sum(c).alias(f"_s_{c}"),
+                F.min(c).alias(f"_lo_{c}"),
+                F.max(c).alias(f"_hi_{c}"),
+            ]
+        row = batch_df.agg(*aggs).collect()[0]
+        self.n += row["_n"]
+        for c in self.cols:
+            self._sum[c] += row[f"_s_{c}"] or 0.0
+            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+            if lo is not None:
+                cur = self._min[c]
+                self._min[c] = lo if cur is None else min(cur, lo)
+            if hi is not None:
+                cur = self._max[c]
+                self._max[c] = hi if cur is None else max(cur, hi)
+
+    def compile(self) -> dict[str, dict[str, float]]:
+        return {
+            c: {
+                "n": self.n,
+                "mean": self._sum[c] / self.n if self.n else float("nan"),
+                "min": self._min[c],
+                "max": self._max[c],
+            }
+            for c in self.cols
+        }
+
+
+def suggest_arrow_batch_size(
+    df: DataFrame, target_mb: float = 32.0, sample_rows: int = 1000
+) -> int:
+    """Rows per Arrow batch so a batch lands near ``target_mb`` in worker
+    memory (the reference's too_big dynamic batch sizing,
+    fireworks/toolbox/text.py:106-116). Samples a head of rows, measures
+    their pandas footprint, extrapolates. Feed the result into
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    import pyarrow as pa
+
+    sample = df.limit(sample_rows).toPandas()
+    if not len(sample):
+        return 10_000
+    # Arrow nbytes is what actually crosses the worker boundary (pandas
+    # deep-measures object cells as pointers and misses array payloads)
+    bytes_per_row = pa.Table.from_pandas(sample).nbytes / len(sample)
+    return max(64, int(target_mb * 1024 * 1024 / max(bytes_per_row, 1.0)))
+
+
 def fit_linear(
     df: DataFrame,
     vec_col: str,

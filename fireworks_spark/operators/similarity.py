@@ -132,8 +132,8 @@ def ivf_topk(
     )
     model = KMeans(
         k=num_clusters, seed=seed, featuresCol="_fv", predictionCol="_pt",
-        maxIter=8,  # coarse quantization converges in a few sweeps; more
-        # iterations sharpen cell boundaries, not recall
+        maxIter=8,  # coarse quantization converges in a few sweeps; keep
+        # k-means|| init (random init can merge well-separated clusters)
     ).fit(fit_df)
     assigned = model.transform(base_n).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.col("_pt").alias("pt")

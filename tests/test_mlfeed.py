@@ -90,6 +90,25 @@ def test_fit_linear_converges_to_truth(spark):
     assert abs(row.score - row.y) < 0.1
 
 
+def test_metrics_accumulator_matches_batch(spark, vecs):
+    vals = vecs.select("vec_id", (F.col("vec_id") * 2.0).alias("v"))
+    m = mlfeed.Metrics(["v"])
+    for part in range(4):
+        m.update(vals.filter(F.col("vec_id") % 4 == part))
+    got = m.compile()["v"]
+    assert got["n"] == 20
+    assert got["mean"] == pytest.approx(19.0)  # mean of 0,2,...,38
+    assert got["min"] == 0.0 and got["max"] == 38.0
+
+
+def test_suggest_arrow_batch_size(spark, vecs):
+    n = mlfeed.suggest_arrow_batch_size(vecs, target_mb=1.0)
+    assert 64 <= n
+    # bigger rows -> smaller batches
+    wide = vecs.select("vec_id", F.array_repeat(F.lit(1.0), 1000).alias("w"))
+    assert mlfeed.suggest_arrow_batch_size(wide, target_mb=1.0) < n
+
+
 def test_index_map(spark):
     from fireworks_spark.operators import toolbox
 
