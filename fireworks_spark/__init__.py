@@ -5,10 +5,26 @@ Not a port: the reference's eager Pipe graph (reference:
 fireworks/core/pipe.py:34-212) is replaced by Spark's lazy DataFrame DAG;
 its Message data model (fireworks/core/message.py:21-116) maps onto a single
 DataFrame schema mixing scalar and ArrayType columns.
+
+Public surface (see COVERAGE.md for the reference-item map):
+
+- session/get_spark, tables — session factory + test-table loaders
+- operators.toolbox — shuffle/repeat/splits/interleave/label/standardize/
+  salted_join/stratified_sample/index_map/apply_embeddings
+- operators.dedup / similarity / textstats / multimodal — the LLM-pipeline
+  operator families
+- mlfeed — Arrow-batched model stages, Model/LinearModel, batch_iterator,
+  fit_linear, Metrics
+- streaming — event-time windows, StreamingNormalizer, stateful operators
+- database — Table binding + delete/update/upsert rewrites, DDL, JDBC
+- experiment — Experiment/Scaffold/Factory
+- explain — attribution (Gradient*Input / IntegratedGradients / Occlusion)
+- sources — FASTA reader; io_formats — format round-trip helpers
+- registry — every declared query + its DuckDB oracle
 """
 
 from fireworks_spark.session import get_spark
 from fireworks_spark.tables import TABLES, load_tables, register_views
 
 __all__ = ["get_spark", "load_tables", "register_views", "TABLES"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
