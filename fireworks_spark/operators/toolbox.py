@@ -114,6 +114,31 @@ def interleave(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
     return out
 
 
+def hstack(
+    a: DataFrame,
+    b: DataFrame,
+    a_order: list[str],
+    b_order: list[str],
+) -> DataFrame:
+    """Positional horizontal concat (Message.merge, reference
+    fireworks/core/message.py:618-637): row i of ``a`` pairs with row i of
+    ``b``. DataFrames are unordered, so position must be DERIVED — each
+    side declares the sort that defines its row order; column sets must be
+    disjoint and lengths equal (reference's merge contract).
+
+    Positional pairing needs global row numbers (single-partition window) —
+    like interleave, this is a feed-construction tool, not a fact-table
+    join; when a shared key exists, use a plain join instead."""
+    dup = set(a.columns) & set(b.columns)
+    if dup:
+        raise ValueError(f"hstack requires disjoint columns; shared: {dup}")
+    wa = Window.orderBy(*a_order)
+    wb = Window.orderBy(*b_order)
+    ra = a.withColumn("_pos", F.row_number().over(wa))
+    rb = b.withColumn("_pos", F.row_number().over(wb))
+    return ra.join(rb, "_pos", "inner").drop("_pos")
+
+
 def index_map(
     df: DataFrame,
     mapping: DataFrame,

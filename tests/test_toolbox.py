@@ -127,6 +127,15 @@ def test_with_label(spark, people):
     assert out.filter(F.col("labels") == "train").count() == 30
 
 
+def test_hstack_positional_merge(spark):
+    a = spark.createDataFrame([(3,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(30, "c"), (10, "a"), (20, "b")], ["y", "tag"])
+    out = {r.x: (r.y, r.tag) for r in toolbox.hstack(a, b, ["x"], ["y"]).collect()}
+    assert out == {1: (10, "a"), 2: (20, "b"), 3: (30, "c")}
+    with pytest.raises(ValueError):
+        toolbox.hstack(a, a, ["x"], ["x"])
+
+
 def test_stratified_sample_fractions(spark):
     df = spark.createDataFrame(
         [(i, "maj" if i < 900 else "min") for i in range(1000)], "id long, c string"
