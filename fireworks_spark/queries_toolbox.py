@@ -102,6 +102,18 @@ def q57_make_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.make_indices(d, top_k=50)
 
 
+def q58_hstack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional horizontal concat (Message.merge): the i-th customer by
+    key pairs with the i-th (acctbal, name) by balance. Both side orders are
+    unique (c_custkey; c_acctbal tie-broken by unique c_name)."""
+    c = table(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_mktsegment")
+    b = c.select("c_acctbal", "c_name")
+    return toolbox.hstack(a, b, ["c_custkey"], ["c_acctbal", "c_name"]).orderBy(
+        "c_custkey"
+    )
+
+
 TOOLBOX_QUERIES = {
     "q50_shuffle_permutation": q50_shuffle_permutation,
     "q51_repeat": q51_repeat,
@@ -111,6 +123,7 @@ TOOLBOX_QUERIES = {
     "q55_standardize": q55_standardize,
     "q56_pad": q56_pad,
     "q57_make_indices": q57_make_indices,
+    "q58_hstack": q58_hstack,
 }
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -166,5 +179,13 @@ TOOLBOX_ORACLE = {
         "WHERE token <> '' GROUP BY token) "
         "SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 "
         "AS BIGINT) AS idx FROM v ORDER BY idx LIMIT 50"
+    ),
+    "q58_hstack": (
+        "WITH a AS (SELECT c_custkey, c_mktsegment, "
+        "row_number() OVER (ORDER BY c_custkey) AS pos FROM customer), "
+        "b AS (SELECT c_acctbal, c_name, "
+        "row_number() OVER (ORDER BY c_acctbal, c_name) AS pos FROM customer) "
+        "SELECT a.c_custkey, a.c_mktsegment, b.c_acctbal, b.c_name "
+        "FROM a JOIN b USING (pos) ORDER BY a.c_custkey"
     ),
 }
