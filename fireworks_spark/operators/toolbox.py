@@ -6,10 +6,10 @@ is a declarative DataFrame transformation, so Catalyst plans the whole chain
 and the operators compose with everything else (filters still push down
 through them, column pruning still reaches the scan).
 
-Scale notes are inline. The positional operators (interleave) are the one
-place a global order is genuinely part of the semantics — they document the
-single-partition window cost and are meant for ML-feed construction streams,
-not for 100 TB fact tables.
+Scale notes are inline. The positional operators (interleave, hstack) are
+the one place a global order is genuinely part of the semantics; they derive
+positions with with_row_index — a distributed two-pass zipWithIndex — so no
+operator here funnels data through a single partition.
 """
 
 from __future__ import annotations
@@ -68,6 +68,54 @@ def one_hot(idx_col: Column | str, num_classes: int) -> Column:
 # --------------------------------------------------------------------------
 
 
+def with_row_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "row_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based global row index in the total order of ``order_cols``
+    (which must be a unique sort key), computed WITHOUT a single-partition
+    window — the RDD zipWithIndex design expressed in DataFrame ops:
+
+    1. range-repartition on the order key (range buckets are globally
+       ordered: every row in bucket i sorts before every row in bucket i+1)
+       and PERSIST — range boundaries come from reservoir sampling seeded by
+       the RDD id, so two separate executions of the same range exchange can
+       bucket rows differently; materializing once is what makes the two
+       passes consistent (the same reason RDD.zipWithIndex caches);
+    2. one tiny counting job over the cached buckets -> cumulative offsets,
+       embedded as a literal map (runs eagerly at call time);
+    3. row_number() windowed PER BUCKET (distributed) + bucket offset.
+
+    All JVM-side; cost over a naive global window is the counting job plus
+    the cache footprint (MEMORY_AND_DISK — spills, never recomputes). The
+    cache handle is exposed on the result as ``_row_index_cache`` so callers
+    feeding huge inputs can ``.unpersist()`` it when done.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    pid = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    acc = 0
+    kv: list = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        kv.extend([F.lit(r["_pid"]), F.lit(acc)])
+        acc += r["_n"]
+    omap = F.create_map(*kv) if kv else F.create_map(F.lit(0), F.lit(0))
+    bw = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = pid.withColumn(
+        index_col,
+        (F.row_number().over(bw) - 1 + F.element_at(omap, F.col("_pid")))
+        .cast("long"),
+    ).drop("_pid")
+    out._row_index_cache = pid
+    return out
+
+
 def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
     """Seeded random permutation (ShufflerPipe, reference
     fireworks/toolbox/pipes.py:440-490): orderBy(rand(seed)).
@@ -93,16 +141,15 @@ def interleave(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
     order_cols) lands at position j*k + i; a shorter source simply exhausts
     early, exactly like the reference's stop-on-StopIteration loop.
 
-    Adds ``pos`` (global position) and ``src`` (source index). The global
-    row_number needs a single-partition window — this operator is for
-    ML-feed stream construction (bounded, ordered), not for giant tables.
+    Adds ``pos`` (global position) and ``src`` (source index). Each source's
+    global position comes from with_row_index (distributed two-pass
+    zipWithIndex), so no single-partition window anywhere.
     """
     k = len(dfs)
     parts = []
     for i, d in enumerate(dfs):
-        w = Window.orderBy(*order_cols)
         parts.append(
-            d.withColumn("_j", F.row_number().over(w) - 1).select(
+            with_row_index(d, order_cols, "_j").select(
                 *d.columns,
                 (F.col("_j") * k + i).cast("long").alias("pos"),
                 F.lit(i).cast("long").alias("src"),
@@ -126,16 +173,14 @@ def hstack(
     side declares the sort that defines its row order; column sets must be
     disjoint and lengths equal (reference's merge contract).
 
-    Positional pairing needs global row numbers (single-partition window) —
-    like interleave, this is a feed-construction tool, not a fact-table
-    join; when a shared key exists, use a plain join instead."""
+    Positions come from with_row_index (distributed zipWithIndex); the
+    pairing itself is then a plain shuffle join on _pos. When a shared key
+    exists, use a plain join instead."""
     dup = set(a.columns) & set(b.columns)
     if dup:
         raise ValueError(f"hstack requires disjoint columns; shared: {dup}")
-    wa = Window.orderBy(*a_order)
-    wb = Window.orderBy(*b_order)
-    ra = a.withColumn("_pos", F.row_number().over(wa))
-    rb = b.withColumn("_pos", F.row_number().over(wb))
+    ra = with_row_index(a, a_order, "_pos")
+    rb = with_row_index(b, b_order, "_pos")
     return ra.join(rb, "_pos", "inner").drop("_pos")
 
 

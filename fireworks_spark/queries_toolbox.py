@@ -114,6 +114,14 @@ def q58_hstack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed zipWithIndex: global 0-based rank in c_custkey order,
+    computed with range buckets + per-bucket windows (no single-partition
+    window)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    return toolbox.with_row_index(c, ["c_custkey"], "idx").orderBy("c_custkey")
+
+
 TOOLBOX_QUERIES = {
     "q50_shuffle_permutation": q50_shuffle_permutation,
     "q51_repeat": q51_repeat,
@@ -124,6 +132,7 @@ TOOLBOX_QUERIES = {
     "q56_pad": q56_pad,
     "q57_make_indices": q57_make_indices,
     "q58_hstack": q58_hstack,
+    "q59_row_index": q59_row_index,
 }
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -187,5 +196,9 @@ TOOLBOX_ORACLE = {
         "row_number() OVER (ORDER BY c_acctbal, c_name) AS pos FROM customer) "
         "SELECT a.c_custkey, a.c_mktsegment, b.c_acctbal, b.c_name "
         "FROM a JOIN b USING (pos) ORDER BY a.c_custkey"
+    ),
+    "q59_row_index": (
+        "SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) - 1 "
+        "AS BIGINT) AS idx FROM customer ORDER BY c_custkey"
     ),
 }

@@ -127,6 +127,23 @@ def test_with_label(spark, people):
     assert out.filter(F.col("labels") == "train").count() == 30
 
 
+def test_with_row_index_matches_global_order(spark):
+    # 1000 rows scattered over 8 input partitions; index must equal the
+    # rank in the declared total order regardless of layout.
+    df = spark.range(1000).repartition(8).select(
+        (F.col("id") * 37 % 1000).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = toolbox.with_row_index(df, ["k"], "idx", num_partitions=6)
+    rows = out.orderBy("k").collect()
+    assert [r.idx for r in rows] == list(range(1000))
+    assert [r.k for r in rows] == sorted(r.k for r in rows)
+    # the fact-side window must be partitioned (by _pid), not global: the
+    # only unpartitioned window allowed is the tiny per-bucket-offsets one
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    rn_lines = [l for l in plan.splitlines() if "row_number" in l]
+    assert any("_pid" in l for l in rn_lines)
+
+
 def test_hstack_positional_merge(spark):
     a = spark.createDataFrame([(3,), (1,), (2,)], ["x"])
     b = spark.createDataFrame([(30, "c"), (10, "a"), (20, "b")], ["y", "tag"])
