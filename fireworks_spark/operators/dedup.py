@@ -492,3 +492,90 @@ def embedding_dup_pairs(
     return raw.select(
         "ida", "idb", F.round("sim", 4).alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# cluster + canonicalize (the final step of a real dedup pipeline)
+# --------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a: str = "ida",
+    b: str = "idb",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected dup-pair edge list ->
+    (id, cluster) where cluster = the minimum id in the component.
+
+    Iterative min-label propagation: each round joins labels to edges and
+    takes the neighborhood minimum, stopping early when no label changes.
+    Rounds = graph diameter; near-dup graphs are dense clumps (a duplicate
+    cluster is almost a clique), so a handful of rounds suffices. Every
+    round persists its frontier and unpersists the previous one — lineage
+    stays O(1), and each round is a single shuffle join keyed on the id.
+    For adversarial long-chain graphs swap in large-star/small-star
+    (alternating-star contraction converges in O(log n) rounds) — same
+    join-per-round shape, not needed for dedup workloads.
+    """
+    e = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels, e.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("_nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("_nmin", "cluster")
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "ida",
+    b: str = "idb",
+) -> DataFrame:
+    """Drop every duplicate except the minimum-id member of each dup
+    cluster (rows in no pair survive untouched): cluster the pair graph,
+    then anti-join the non-canonical ids — the corpus itself never
+    shuffles, it only streams past a (small) drop list."""
+    drop = (
+        dup_clusters(pairs, a, b)
+        .filter(F.col("cluster") != F.col("id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

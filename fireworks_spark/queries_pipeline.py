@@ -104,6 +104,27 @@ def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(e, threshold=0.5).orderBy("ida", "idb")
 
 
+def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard>=0.8 pair graph: the
+    clustering step that turns pairwise near-dup hits into dedup groups.
+    Oracle: DuckDB recursive-CTE transitive closure over the same pairs."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8, df_cap=64)
+    return (
+        dedup.dup_clusters(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster")
+        .orderBy("doc_id")
+    )
+
+
+def q43_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after dropping every near-dup except each cluster's
+    minimum-id member — the actual output of a dedup pipeline."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8, df_cap=64)
+    return dedup.keep_canonical(d, pairs).select("doc_id").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -172,6 +193,8 @@ PIPELINE_QUERIES = {
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
     "q34_dedup_embedding_cosine": q34_dedup_embedding_cosine,
+    "q42_dup_clusters": q42_dup_clusters,
+    "q43_keep_canonical": q43_keep_canonical,
     "q35_ann_cosine_topk": q35_ann_cosine_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q37_text_token_stats": q37_text_token_stats,
@@ -189,6 +212,28 @@ _JACCARD_SQL = (
 _JACCARD_SQL_08 = (
     f"WITH {_SHINGLES_CTE} "
     "SELECT ida, idb, jac FROM jac WHERE jac >= 0.8 ORDER BY ida, idb"
+)
+
+_CLOSURE_CTE = (
+    "p AS (SELECT ida, idb FROM jac WHERE jac >= 0.8), "
+    "e AS (SELECT ida AS s, idb AS d FROM p "
+    "UNION SELECT idb AS s, ida AS d FROM p), "
+    "v AS (SELECT DISTINCT s AS id FROM e), "
+    "cc(id, lab) AS (SELECT id, id FROM v "
+    "UNION SELECT e.d, cc.lab FROM cc JOIN e ON cc.id = e.s), "
+    "canon AS (SELECT id, MIN(lab) AS cluster FROM cc GROUP BY id)"
+)
+
+_CLUSTERS_SQL = (
+    f"WITH RECURSIVE {_SHINGLES_CTE}, {_CLOSURE_CTE} "
+    "SELECT id AS doc_id, CAST(cluster AS BIGINT) AS cluster "
+    "FROM canon ORDER BY doc_id"
+)
+
+_CANONICAL_SQL = (
+    f"WITH RECURSIVE {_SHINGLES_CTE}, {_CLOSURE_CTE} "
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+    "(SELECT id FROM canon WHERE id <> cluster) ORDER BY doc_id"
 )
 
 _ANN_SQL = f"""
@@ -224,6 +269,8 @@ PIPELINE_ORACLE = {
         )
         SELECT ida, idb, sim FROM p WHERE sim >= 0.5 ORDER BY ida, idb
     """,
+    "q42_dup_clusters": _CLUSTERS_SQL,
+    "q43_keep_canonical": _CANONICAL_SQL,
     "q35_ann_cosine_topk": _ANN_SQL,
     # q36 IVF: approximate by design — rows-only check.
     "q37_text_token_stats": f"""

@@ -127,3 +127,24 @@ def test_embedding_dup_pairs_lsh_matches_bruteforce(spark):
     }
     got = {(r.ida, r.idb) for r in dedup.embedding_dup_pairs(df, 0.9).collect()}
     assert got == truth and len(truth) == 3
+
+
+def test_dup_clusters_chain_clique_isolated(spark):
+    # chain 0-1-2-3-4-5 (diameter 5), clique {10,11,12}, edge {20,21}
+    edges = [(i, i + 1) for i in range(5)]
+    edges += [(10, 11), (10, 12), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "ida long, idb long")
+    got = {r.id: r.cluster for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_keep_canonical_drops_non_minimum(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [0, 1, 2, 3, 10, 11, 99]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "ida long, idb long"
+    )
+    kept = sorted(r.doc_id for r in dedup.keep_canonical(docs, pairs).collect())
+    assert kept == [0, 3, 10, 99]
