@@ -182,11 +182,32 @@ def jaccard_pairs(
 
     The verify uses ALL shingles (including any dropped by df_cap during
     candidate generation), so reported Jaccard values are exact.
+
+    Before the (heavy) set joins, candidates are pruned by the exact size
+    bound jac <= min(|A|,|B|) / max(|A|,|B|): |A∩B| <= min and |A∪B| >= max,
+    so a pair failing the ratio cannot reach the threshold — no false
+    negatives. The prune joins only per-doc SIZES (one int per doc), and at
+    high thresholds (dedup runs at 0.8) it eliminates most candidates before
+    any shingle array moves through a shuffle.
     """
     if candidates is None:
         candidates = shingle_candidates(df, id_col, text_col, n, df_cap)
     cand = candidates.select("ida", "idb").distinct()
     sets = shingle_sets(df, id_col, text_col, n)
+    sizes = sets.select(
+        F.col(id_col).alias("_id"), F.size("shingles").alias("_sz")
+    )
+    cand = (
+        cand.join(sizes.select(F.col("_id").alias("ida"), F.col("_sz").alias("_sza")), "ida")
+        .join(sizes.select(F.col("_id").alias("idb"), F.col("_sz").alias("_szb")), "idb")
+        .filter(
+            # 0.0005 slack: jac is rounded to 3 decimals before the
+            # threshold filter, so true jac >= threshold - 0.0005 can pass
+            F.least("_sza", "_szb")
+            >= F.lit(threshold - 0.0005) * F.greatest("_sza", "_szb")
+        )
+        .select("ida", "idb")
+    )
     sa = sets.select(F.col(id_col).alias("ida"), F.col("shingles").alias("_sa"))
     sb = sets.select(F.col(id_col).alias("idb"), F.col("shingles").alias("_sb"))
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
