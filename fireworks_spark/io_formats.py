@@ -61,3 +61,43 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+# --------------------------------------------------------------------------
+# bucketed tables (co-located joins)
+# --------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sort-within-bucket) catalog
+    table: rows are hash-partitioned into ``num_buckets`` files per
+    partition BY KEY AT WRITE TIME, so a later join or aggregation on
+    ``bucket_cols`` between tables bucketed the same way needs NO shuffle —
+    the single biggest lever for repeated 100 TB fact-to-fact joins
+    (pay the shuffle once at ingest, never again).
+
+    Catalog tables are required (bucket metadata lives in the metastore);
+    path-based writes cannot carry it.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def bucketed_join(
+    spark: SparkSession, left: str, right: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on the bucket key. With equal
+    bucket counts the physical plan is a SortMergeJoin whose children read
+    pre-bucketed files directly — zero Exchange operators (asserted in
+    tests/test_io_formats.py)."""
+    return spark.table(left).join(spark.table(right), on, how)

@@ -43,3 +43,24 @@ def test_partitioned_write_prunes(spark, tmp_path, df):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "grp" in plan.split("PartitionFilters")[1][:80]
     assert back.count() == 8
+
+
+def test_bucketed_join_has_no_shuffle(spark, df):
+    # Two tables bucketed identically on the join key: the join plan must
+    # contain zero Exchange operators — the co-located-join guarantee that
+    # makes repeated fact-to-fact joins shuffle-free at scale.
+    other = df.select(F.col("id"), (F.col("id") * 2).alias("double_id"))
+    io.write_bucketed(df, "t_bleft", ["id"], num_buckets=4, sort_cols=["id"])
+    io.write_bucketed(other, "t_bright", ["id"], num_buckets=4, sort_cols=["id"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = io.bucketed_join(spark, "t_bleft", "t_bright", ["id"])
+        assert joined.count() == 24
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
