@@ -138,3 +138,49 @@ def make_indices(
         .orderBy("idx")
     )
     return idx.limit(top_k) if top_k else idx
+
+
+# --------------------------------------------------------------------------
+# cleaning / redaction (map-only, zero shuffle)
+# --------------------------------------------------------------------------
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s<>\"']+"
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_PATTERN = r"\+?\d[\d\s().-]{7,}\d"
+MARKUP_PATTERN = r"<[^>]{0,256}>"
+
+
+def mask_pii(col: Column | str) -> Column:
+    """Redact emails, URLs, IPv4s, and phone-shaped numbers with typed
+    placeholder tokens — the standard pre-training scrub. Order matters:
+    URLs first (they may embed @ and digits), then emails, IPs, phones."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, URL_PATTERN, "<URL>")
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_PATTERN, "<IP>")
+    return F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All URLs in the document, in order (ARRAY<STRING>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Drop HTML/XML tags (bounded-length match so an unclosed '<' cannot
+    make the regex scan the whole document) and collapse the whitespace
+    the removal leaves behind."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(c, MARKUP_PATTERN, " "), r"\s+", " ")
+    )
+
+
+def remove_stopwords(col: Column | str, stopwords: list[str]) -> Column:
+    """Token array minus a stopword list: tokenize once, filter with a
+    literal-array membership test (no join — the list compiles into the
+    expression)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.filter(words(col), lambda t: ~F.array_contains(sw, t))

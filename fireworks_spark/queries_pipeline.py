@@ -187,6 +187,66 @@ def q41_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocabulary(d, top_k=20)
 
 
+def _synthetic_pii(d: DataFrame):
+    """PII-bearing text built deterministically from existing columns (the
+    corpus itself contains no URLs/emails, so the declared check would
+    otherwise never exercise the regexes). Mirrored verbatim in SQL."""
+    return F.concat(
+        F.lit("see http://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" mail bob."),
+        F.col("source"),
+        F.lit("@mail.org call +1 (415) 555-0199 ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+
+
+def q44_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.mask_pii(_synthetic_pii(d)).alias("masked")
+    ).orderBy("doc_id")
+
+
+def q45_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(textstats.extract_urls(_synthetic_pii(d)), "|").alias(
+            "urls"
+        ),
+    ).orderBy("doc_id")
+
+
+def q46_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sw = ["the", "and", "is", "of", "to", "a", "in"]
+    return d.select(
+        "doc_id",
+        F.array_join(textstats.remove_stopwords("text", sw), " ").alias(
+            "filtered"
+        ),
+    ).orderBy("doc_id")
+
+
+def q47_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tagged = F.concat(
+        F.lit('<p class="body">'),
+        F.col("text"),
+        F.lit("</p> <br/> <div>"),
+        F.col("source"),
+        F.lit("</div>"),
+    )
+    return d.select(
+        "doc_id", textstats.strip_markup(tagged).alias("clean")
+    ).orderBy("doc_id")
+
+
 PIPELINE_QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -195,6 +255,10 @@ PIPELINE_QUERIES = {
     "q34_dedup_embedding_cosine": q34_dedup_embedding_cosine,
     "q42_dup_clusters": q42_dup_clusters,
     "q43_keep_canonical": q43_keep_canonical,
+    "q44_pii_mask": q44_pii_mask,
+    "q45_url_extract": q45_url_extract,
+    "q46_stopword_filter": q46_stopword_filter,
+    "q47_strip_markup": q47_strip_markup,
     "q35_ann_cosine_topk": q35_ann_cosine_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q37_text_token_stats": q37_text_token_stats,
@@ -212,6 +276,12 @@ _JACCARD_SQL = (
 _JACCARD_SQL_08 = (
     f"WITH {_SHINGLES_CTE} "
     "SELECT ida, idb, jac FROM jac WHERE jac >= 0.8 ORDER BY ida, idb"
+)
+
+_PII_TEXT_SQL = (
+    "'see http://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) || "
+    "' mail bob.' || source || '@mail.org call +1 (415) 555-0199 ip 10.0.0.' "
+    "|| CAST(doc_id % 255 AS VARCHAR) || ' ' || text"
 )
 
 _CLOSURE_CTE = (
@@ -271,6 +341,34 @@ PIPELINE_ORACLE = {
     """,
     "q42_dup_clusters": _CLUSTERS_SQL,
     "q43_keep_canonical": _CANONICAL_SQL,
+    "q44_pii_mask": (
+        f"WITH s AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents) "
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(t, "
+        "'https?://[^\\s<>\"'']+', '<URL>', 'g'), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS masked "
+        "FROM s ORDER BY doc_id"
+    ),
+    "q45_url_extract": (
+        f"WITH s AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents) "
+        "SELECT doc_id, array_to_string("
+        "regexp_extract_all(t, 'https?://[^\\s<>\"'']+'), '|') AS urls "
+        "FROM s ORDER BY doc_id"
+    ),
+    "q46_stopword_filter": (
+        f"SELECT doc_id, array_to_string(list_filter({_TOKS}, "
+        "t -> NOT list_contains(['the','and','is','of','to','a','in'], t)"
+        "), ' ') AS filtered FROM documents ORDER BY doc_id"
+    ),
+    "q47_strip_markup": (
+        "WITH s AS (SELECT doc_id, '<p class=\"body\">' || text || "
+        "'</p> <br/> <div>' || source || '</div>' AS t FROM documents) "
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(t, "
+        "'<[^>]{0,256}>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean "
+        "FROM s ORDER BY doc_id"
+    ),
     "q35_ann_cosine_topk": _ANN_SQL,
     # q36 IVF: approximate by design — rows-only check.
     "q37_text_token_stats": f"""

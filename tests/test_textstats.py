@@ -85,3 +85,34 @@ def test_vocabulary_and_indices(spark):
     assert idx == {"a": 0, "b": 1, "c": 2}
     top2 = [r.token for r in textstats.make_indices(df, top_k=2).collect()]
     assert top2 == ["a", "b"]
+
+
+def test_mask_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or visit https://x.io/a?b=1 from 10.1.2.3 "
+             "call +1 (415) 555-0199 done")],
+        "id long, text string",
+    )
+    out = df.select(textstats.mask_pii("text").alias("m")).collect()[0].m
+    assert out == "mail <EMAIL> or visit <URL> from <IP> call <PHONE> done"
+
+
+def test_extract_urls_and_strip_markup(spark):
+    df = spark.createDataFrame(
+        [(1, 'pre <a href="http://a.io/x">link</a> mid https://b.io end')],
+        "id long, text string",
+    )
+    r = df.select(
+        textstats.extract_urls("text").alias("u"),
+        textstats.strip_markup("text").alias("s"),
+    ).collect()[0]
+    assert r.u == ["http://a.io/x", "https://b.io"]
+    assert r.s == "pre link mid https://b.io end"
+
+
+def test_remove_stopwords(spark):
+    df = spark.createDataFrame([(1, "The cat and the hat")], "id long, text string")
+    out = df.select(
+        textstats.remove_stopwords("text", ["the", "and"]).alias("w")
+    ).collect()[0].w
+    assert out == ["cat", "hat"]
