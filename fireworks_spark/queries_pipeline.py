@@ -187,6 +187,44 @@ def q41_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocabulary(d, top_k=20)
 
 
+def q48_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (first 3 components shown): the unit-vector
+    prep step before cosine search. Left-fold double math mirrors the
+    DuckDB list_reduce oracle bit-for-bit."""
+    from fireworks_spark.functions import vector
+
+    e = table(spark, sf_dir, "embeddings")
+    n = vector.l2_norm("embedding")
+    comps = [
+        (
+            F.round(F.element_at("embedding", i).cast("double") / n, 4)
+            + F.lit(0.0)
+        ).alias(f"e{i}")
+        for i in (1, 2, 3)
+    ]
+    return e.select("vec_id", *comps).orderBy("vec_id")
+
+
+def q49_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise group centroids (the k-means/IVF building block):
+    posexplode to (group, dim, value), then a plain distributed avg — the
+    array never funnels through a driver or a UDF."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        (F.col("vec_id") % 8).alias("g"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("g", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "c"
+            )
+        )
+        .orderBy("g", "dim")
+    )
+
+
 def _synthetic_pii(d: DataFrame):
     """PII-bearing text built deterministically from existing columns (the
     corpus itself contains no URLs/emails, so the declared check would
@@ -256,6 +294,8 @@ PIPELINE_QUERIES = {
     "q42_dup_clusters": q42_dup_clusters,
     "q43_keep_canonical": q43_keep_canonical,
     "q44_pii_mask": q44_pii_mask,
+    "q48_vector_normalize": q48_vector_normalize,
+    "q49_centroids": q49_centroids,
     "q45_url_extract": q45_url_extract,
     "q46_stopword_filter": q46_stopword_filter,
     "q47_strip_markup": q47_strip_markup,
@@ -361,6 +401,23 @@ PIPELINE_ORACLE = {
         f"SELECT doc_id, array_to_string(list_filter({_TOKS}, "
         "t -> NOT list_contains(['the','and','is','of','to','a','in'], t)"
         "), ' ') AS filtered FROM documents ORDER BY doc_id"
+    ),
+    "q48_vector_normalize": (
+        "WITH n AS (SELECT vec_id, embedding, sqrt(list_reduce("
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "(a, b) -> a + b)) AS nrm FROM embeddings) "
+        "SELECT vec_id, "
+        "ROUND(CAST(embedding[1] AS DOUBLE) / nrm, 4) + 0.0 AS e1, "
+        "ROUND(CAST(embedding[2] AS DOUBLE) / nrm, 4) + 0.0 AS e2, "
+        "ROUND(CAST(embedding[3] AS DOUBLE) / nrm, 4) + 0.0 AS e3 "
+        "FROM n ORDER BY vec_id"
+    ),
+    "q49_centroids": (
+        "WITH e AS (SELECT vec_id % 8 AS g, embedding, "
+        "unnest(range(1, array_length(embedding) + 1)) AS dim FROM embeddings) "
+        "SELECT g, CAST(dim AS BIGINT) AS dim, "
+        "ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 4) + 0.0 AS c "
+        "FROM e GROUP BY g, dim ORDER BY g, dim"
     ),
     "q47_strip_markup": (
         "WITH s AS (SELECT doc_id, '<p class=\"body\">' || text || "
