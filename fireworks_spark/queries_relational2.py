@@ -179,7 +179,30 @@ def q80_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (operators/asof.py — union + per-key window, one shuffle).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from fireworks_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(l, r, ["user_id"], "ts", ["value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        (F.round("value_r", 2) + F.lit(0.0)).alias("click_val"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("delta_us"),
+    ).orderBy("event_id")
+
+
 RELATIONAL2_QUERIES = {
+    "q29_asof_join": q29_asof_join,
     "q79_session_windows": q79_session_windows,
     "q80_grouping_sets": q80_grouping_sets,
     "q70_lag_lead": q70_lag_lead,
@@ -194,6 +217,17 @@ RELATIONAL2_QUERIES = {
 }
 
 RELATIONAL2_ORACLE = {
+    "q29_asof_join": (
+        "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts, value FROM events "
+        "WHERE event_type = 'click') "
+        "SELECT l.event_id, l.user_id, "
+        "ROUND(r.value, 2) + 0.0 AS click_val, "
+        "epoch_us(l.ts) - epoch_us(r.ts) AS delta_us "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts "
+        "ORDER BY l.event_id"
+    ),
     "q79_session_windows": (
         "WITH d AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
         "(PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 "
