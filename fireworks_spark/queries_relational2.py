@@ -201,8 +201,32 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q81_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks inside each user's post-signup hour
+    (operators/interval.py — bucketized equi-join, no nested loop)."""
+    from fireworks_spark.operators.interval import interval_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    j = interval_join(
+        clicks, signups, "ts", "start_ts", "end_ts", keys=["user_id"]
+    )
+    return j.select("event_id", "signup_id", "user_id").orderBy(
+        "event_id", "signup_id"
+    )
+
+
 RELATIONAL2_QUERIES = {
     "q29_asof_join": q29_asof_join,
+    "q81_interval_join": q81_interval_join,
     "q79_session_windows": q79_session_windows,
     "q80_grouping_sets": q80_grouping_sets,
     "q70_lag_lead": q70_lag_lead,
@@ -227,6 +251,16 @@ RELATIONAL2_ORACLE = {
         "epoch_us(l.ts) - epoch_us(r.ts) AS delta_us "
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts "
         "ORDER BY l.event_id"
+    ),
+    "q81_interval_join": (
+        "WITH c AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "s AS (SELECT event_id AS signup_id, user_id, ts AS start_ts, "
+        "ts + INTERVAL 1 HOUR AS end_ts FROM events "
+        "WHERE event_type = 'signup') "
+        "SELECT c.event_id, s.signup_id, c.user_id FROM c JOIN s "
+        "ON c.user_id = s.user_id AND c.ts >= s.start_ts AND c.ts < s.end_ts "
+        "ORDER BY event_id, signup_id"
     ),
     "q79_session_windows": (
         "WITH d AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
