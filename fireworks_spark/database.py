@@ -130,6 +130,24 @@ class Table:
     def upsert(self, batch: DataFrame, key_col: str) -> None:
         self._swap(upsert_rows(self.df(), batch, key_col))
 
+    def compact(self, target_mb: int = 512) -> int:
+        """Small-files compaction — the #1 operational chore on a big lake
+        (every streaming sink and incremental insert fragments the table;
+        scans then pay a task per tiny file). Rewrites the table into
+        ceil(on_disk_bytes / target_mb) files via the same atomic
+        rewrite-and-swap as the mutations; returns the new file count.
+        Size comes from the Hadoop FileSystem API, so it works on any
+        filesystem Spark can reach, not just local paths."""
+        import math
+
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        nbytes = fs.getContentSummary(jpath).getLength()
+        n = max(1, math.ceil(nbytes / (target_mb * 1024 * 1024)))
+        self._swap(self.df().repartition(n))
+        return n
+
     def _swap(self, new_df: DataFrame) -> None:
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"

@@ -4,6 +4,8 @@ table, plus pushdown/pruning plan checks."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -95,3 +97,17 @@ def test_swap_preserves_data_on_disk(spark, tbl):
     tbl.delete("id", [5])
     fresh = db.Table(spark, tbl.path).df()
     assert sorted(r.id for r in fresh.collect()) == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    p = str(tmp_path / "frag")
+    df = spark.range(240).withColumn("v", F.col("id") * 2)
+    df.repartition(12).write.parquet(p)
+    t = db.Table(spark, p)
+    before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert before == 12
+    n = t.compact(target_mb=512)
+    after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n == 1 and after == 1
+    assert t.count() == 240
+    assert t.df().agg(F.sum("v")).collect()[0][0] == 240 * 239
