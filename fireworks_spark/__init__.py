@@ -10,16 +10,21 @@ Public surface (see COVERAGE.md for the reference-item map):
 
 - session/get_spark, tables — session factory + test-table loaders
 - operators.toolbox — shuffle/repeat/splits/interleave/label/standardize/
-  salted_join/stratified_sample/index_map/apply_embeddings
+  salted_join/stratified_sample/index_map/apply_embeddings/with_row_index/
+  hstack
 - operators.dedup / similarity / textstats / multimodal — the LLM-pipeline
-  operator families
+  operator families (incl. dup_clusters/keep_canonical, mask_pii,
+  extract_urls, remove_stopwords, strip_markup)
+- operators.asof / operators.interval — as-of and range/interval joins
 - mlfeed — Arrow-batched model stages, Model/LinearModel, batch_iterator,
   fit_linear, Metrics
 - streaming — event-time windows, StreamingNormalizer, stateful operators
-- database — Table binding + delete/update/upsert rewrites, DDL, JDBC
+- database — Table binding + delete/update/upsert rewrites, compact, DDL,
+  JDBC
 - experiment — Experiment/Scaffold/Factory
 - explain — attribution (Gradient*Input / IntegratedGradients / Occlusion)
-- sources — FASTA reader; io_formats — format round-trip helpers
+- sources — FASTA reader; io_formats — format round-trips, partitioned and
+  bucketed writes (shuffle-free co-located joins)
 - registry — every declared query + its DuckDB oracle
 """
 
