@@ -1,0 +1,225 @@
+"""Term-weighting, retrieval scoring, chunking and repetition statistics
+over a document corpus — the text-ranking slice of a training-data pipeline
+(reference analog: the tokenize/vocab utilities in fireworks/utils/text.py
+plus the quality-filter role its preprocessing pipes play; rewritten here as
+Catalyst expression pipelines).
+
+Scale notes (100 TB):
+- ``tf_idf``: one explode + two hash aggregations. The (doc, term) agg
+  shuffles on the composite key; the document-frequency agg shuffles on
+  term only, and its output — |vocab| rows, orders of magnitude smaller
+  than the corpus — is joined back on term. No driver-side state except
+  the corpus row count (one scalar).
+- ``bm25_topk``: query terms are filtered BEFORE the first aggregation, so
+  only matching postings move through the shuffles; corpus-level scalars
+  (N, avgdl) ride along via a broadcast single-row crossJoin, keeping the
+  whole plan lazy.
+- ``chunk_tokens``: pure per-row generate (sequence + posexplode) — a map
+  stage, no shuffle. Output size = input tokens / stride, the natural
+  fan-out of chunking.
+- ``repetition_stats``: per-document aggregations keyed by doc_id; the
+  bigram mode needs an explode + (doc, bigram) count + per-doc max — all
+  partitioned by doc_id, no global state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "tf_idf",
+    "bm25_topk",
+    "chunk_tokens",
+    "repetition_stats",
+]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a text column (single-space convention of the
+    documents fixture; empty strings dropped so '' rows yield [])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF weights.
+
+    idf = ln(N / df) with df = number of documents containing the term
+    (raw variant — matches the textbook definition DuckDB can replicate
+    exactly). Terms with document frequency below ``min_df`` are dropped.
+
+    Returns (id_col, term, tf, df, tfidf).
+    """
+    n_docs = df.count()  # one scalar action; the corpus itself stays lazy
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 document scores for a bag-of-words query; top-k docs.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (Lucene's non-negative
+    variant). Scoring touches only postings of the query terms — the
+    ``isin`` filter runs before any shuffle, so corpus-scale cost is the
+    token scan, not the aggregation.
+
+    Returns (id_col, score) — top k by score desc, id asc tiebreak.
+    """
+    w = tokens(text_col)
+    base = df.select(id_col, F.explode(w).alias("term"), F.size(w).alias("dl"))
+    # Corpus scalars as a broadcast 1-row frame: keeps the plan fully lazy.
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    postings = (
+        base.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into token windows of ``size`` tokens with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    size - overlap). The standard context-window packing step before
+    tokenizer/model feeding.
+
+    Pure generate stage — no shuffle; each row fans out independently.
+    Returns (id_col, chunk_idx, n_tokens, chunk).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    w = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
+    )
+    d = df.select(id_col, w.alias("_w"), F.posexplode(starts).alias("chunk_idx", "_s"))
+    piece = F.slice(F.col("_w"), F.col("_s") + 1, size)
+    return d.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition measures used as pre-training quality
+    filters (Gopher-style): the fraction of tokens that are repeats of an
+    earlier token, and the share of bigrams taken by the single most
+    frequent bigram.
+
+    Returns (id_col, n_tokens, dup_word_frac, top_bigram_frac).
+    """
+    w = tokens(text_col)
+    base = df.select(id_col, w.alias("_w"), F.size(w).alias("n_tokens"))
+    words = base.select(
+        id_col,
+        "n_tokens",
+        (
+            1.0
+            - F.size(F.array_distinct("_w"))
+            / F.greatest("n_tokens", F.lit(1))
+        ).alias("dup_word_frac"),
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - 1, F.lit(1))).alias("_i"),
+        "_w",
+    )
+    bigrams = words.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    "_i",
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_w", i), F.element_at("_w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_bg"))
+    )
+    return (
+        words.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("dup_word_frac", 4).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("total_bg"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Declared queries q82-q85: text ranking / chunking / repetition over the
+documents corpus (operators/ranking.py). Same driver contract as every other
+query family: identical column aliases on both sides, total ORDER BY,
+ROUND on floats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fireworks_spark.operators import ranking
+from fireworks_spark.tables import table
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+# Shared oracle CTE: whitespace tokens with empties dropped, matching
+# ranking.tokens().
+_W = (
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws "
+    "FROM documents"
+)
+
+
+def q82_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights for every (document, term) pair."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.tf_idf(d).orderBy("doc_id", "term")
+
+
+def q83_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a three-term bag-of-words query."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.bm25_topk(d, _BM25_TERMS, k=20)
+
+
+def q84_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: 32-token chunks, 8-token overlap."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.chunk_tokens(d, size=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q85_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats: duplicate-word fraction and
+    top-bigram share per document."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.repetition_stats(d).orderBy("doc_id")
+
+
+RANKING_QUERIES = {
+    "q82_tfidf": q82_tfidf,
+    "q83_bm25": q83_bm25,
+    "q84_chunk": q84_chunk,
+    "q85_repetition": q85_repetition,
+}
+
+RANKING_ORACLE = {
+    "q82_tfidf": f"""
+        WITH w AS ({_W}),
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        tf AS (
+            SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+            FROM tok GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               ROUND(tf.tf * LN(n.n / dfreq.df), 4) + 0.0 AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ORDER BY doc_id, term
+    """,
+    "q83_bm25": f"""
+        WITH w AS ({_W}),
+        tok AS (
+            SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM w
+        ),
+        postings AS (
+            SELECT doc_id, term, dl, COUNT(*)::BIGINT AS tf
+            FROM tok WHERE term IN ('spark', 'join', 'window')
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM postings GROUP BY 1),
+        stats AS (
+            SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(ws))::DOUBLE AS avgdl
+            FROM w
+        )
+        SELECT doc_id,
+               ROUND(SUM(
+                   LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 4) + 0.0 AS score
+        FROM postings JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+    "q84_chunk": f"""
+        WITH w AS ({_W})
+        SELECT doc_id,
+               (s // 24)::INTEGER AS chunk_idx,
+               len(list_slice(ws, s + 1, s + 32))::INTEGER AS n_tokens,
+               array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk
+        FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) t(s)
+        ORDER BY doc_id, chunk_idx
+    """,
+    "q85_repetition": f"""
+        WITH w AS ({_W}),
+        base AS (
+            SELECT doc_id, len(ws)::INTEGER AS n_tokens,
+                   ROUND(1.0 - len(list_distinct(ws))::DOUBLE
+                         / greatest(len(ws), 1), 4) + 0.0 AS dup_word_frac,
+                   ws
+            FROM w
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1]
+                   )) AS bigram
+            FROM w WHERE len(ws) >= 2
+        ),
+        cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS f FROM cnt GROUP BY 1
+        )
+        SELECT base.doc_id, n_tokens, dup_word_frac,
+               ROUND(COALESCE(top.f, 0.0), 4) + 0.0 AS top_bigram_frac
+        FROM base LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id
+    """,
+}

@@ -39,6 +39,10 @@ from fireworks_spark.queries_streaming import (
     STREAMING_ORACLE,
     STREAMING_QUERIES,
 )
+from fireworks_spark.queries_ranking import (
+    RANKING_ORACLE,
+    RANKING_QUERIES,
+)
 
 QUERIES.update(RELATIONAL_QUERIES)
 ORACLES.update(RELATIONAL_ORACLE)
@@ -54,3 +58,5 @@ QUERIES.update(RELATIONAL2_QUERIES)
 ORACLES.update(RELATIONAL2_ORACLE)
 QUERIES.update(STREAMING_QUERIES)
 ORACLES.update(STREAMING_ORACLE)
+QUERIES.update(RANKING_QUERIES)
+ORACLES.update(RANKING_ORACLE)

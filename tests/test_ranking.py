@@ -1,0 +1,89 @@
+"""Unit tests for operators/ranking.py on tiny inline corpora (SURVEY §5
+tier 1) plus oracle checks for q82-q85 at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fireworks_spark.operators import ranking
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a b a c"),
+            (1, "b b b b"),
+            (2, "c d e f"),
+            (3, "a"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_tf_idf_closed_form(corpus):
+    rows = {
+        (r.doc_id, r.term): r
+        for r in ranking.tf_idf(corpus).collect()
+    }
+    # 'a' appears in docs 0 and 3 -> df=2, N=4 -> idf=ln(2)
+    r = rows[(0, "a")]
+    assert r.tf == 2 and r.df == 2
+    assert r.tfidf == round(2 * math.log(4 / 2), 4)
+    # 'b' df=2; doc1 tf=4
+    assert rows[(1, "b")].tfidf == round(4 * math.log(2), 4)
+    # min_df prunes rare terms
+    pruned = ranking.tf_idf(corpus, min_df=2)
+    assert {r.term for r in pruned.collect()} == {"a", "b", "c"}
+
+
+def test_bm25_scores_and_order(corpus):
+    out = ranking.bm25_topk(corpus, ["b"], k=2).collect()
+    # doc 1 is all-'b' -> highest score for query 'b'
+    assert out[0].doc_id == 1
+    # closed form for doc 1: N=4, df('b')=2, tf=4, dl=4, avgdl=13/4
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    w = idf * (4 * 2.2) / (4 + 1.2 * (0.25 + 0.75 * 4 / (13 / 4)))
+    assert out[0].score == round(w, 4)
+
+
+def test_chunk_tokens_overlap(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(str(i) for i in range(10)))], ["doc_id", "text"]
+    )
+    out = {
+        r.chunk_idx: r for r in ranking.chunk_tokens(df, size=4, overlap=2).collect()
+    }
+    # stride 2 -> starts 0,2,4,6,8
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert out[0].chunk == "0 1 2 3"
+    assert out[1].chunk == "2 3 4 5"  # 2-token overlap with chunk 0
+    assert out[4].chunk == "8 9" and out[4].n_tokens == 2  # clipped tail
+    with pytest.raises(ValueError):
+        ranking.chunk_tokens(df, size=4, overlap=4)
+
+
+def test_repetition_stats(corpus):
+    rows = {r.doc_id: r for r in ranking.repetition_stats(corpus).collect()}
+    # doc 0: 4 tokens, 3 distinct -> dup 1/4; bigrams all distinct -> 1/3
+    assert rows[0].dup_word_frac == 0.25
+    assert rows[0].top_bigram_frac == round(1 / 3, 4)
+    # doc 1: all same word -> dup 3/4, single bigram repeated 3x -> 1.0
+    assert rows[1].dup_word_frac == 0.75
+    assert rows[1].top_bigram_frac == 1.0
+    # doc 3: single token -> no bigrams -> 0.0
+    assert rows[3].dup_word_frac == 0.0
+    assert rows[3].top_bigram_frac == 0.0
+
+
+def test_q82_85_vs_oracle(spark, sf_dir, oracle_con):
+    from fireworks_spark.oracle import compare
+    from fireworks_spark.queries_ranking import RANKING_ORACLE, RANKING_QUERIES
+
+    for name, fn in RANKING_QUERIES.items():
+        problems = compare(
+            fn(spark, sf_dir), oracle_con.sql(RANKING_ORACLE[name]).df()
+        )
+        assert not problems, f"{name}: {problems}"
