@@ -57,6 +57,18 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return ngrams_of(words(col), n)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism when the input is
+    badly under-partitioned (e.g. one small parquet file -> 1 partition,
+    which would run the whole per-row shingle pipeline on one core). At
+    real scale inputs already carry >= cores partitions and this is a
+    no-op — the check costs a plan inspection, not a job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -64,9 +76,16 @@ def _hashed_shingles(
     array, then shingle+hash from the reference. Shingles are xxhash64
     longs, not strings: identity is all Jaccard needs, an 8-byte key
     shuffles ~4x lighter than the text, and set ops compare longs (64-bit
-    collisions are ~2^-64 per shingle pair — immaterial)."""
-    wdf = df.select(id_col, words(text_col).alias("_w"))
-    return wdf.select(
+    collisions are ~2^-64 per shingle pair — immaterial).
+
+    Documents with fewer than n words (no shingles) are dropped HERE, as a
+    filter on the cheap words array between the two projections. Filtering
+    on size(shingles) downstream instead is a 30x trap: predicate pushdown
+    substitutes the full shingle expression into the filter, re-inlining
+    words() inside the transform lambda, and lambda bodies get no CSE — the
+    regex tokenize then re-runs per element."""
+    wdf = _spread(df).select(id_col, words(text_col).alias("_w"))
+    return wdf.filter(F.size("_w") >= n).select(
         id_col,
         F.array_distinct(
             F.transform(ngrams_of(F.col("_w"), n), lambda s: F.xxhash64(s))
@@ -89,10 +108,10 @@ def shingle_sets(
     """(id, shingles) — the distinct hashed-shingle array per document,
     unexploded. Used by the set-based Jaccard verify: intersections are
     computed per candidate pair with array_intersect on long arrays
-    (O(|a|+|b|) per pair, no join amplification on hot shingles)."""
-    return _hashed_shingles(df, id_col, text_col, n).filter(
-        F.size("shingles") > 0
-    )
+    (O(|a|+|b|) per pair, no join amplification on hot shingles). Docs with
+    no shingles are already dropped by _hashed_shingles (cheap pre-lambda
+    filter — see its docstring for why NOT to filter size(shingles) here)."""
+    return _hashed_shingles(df, id_col, text_col, n)
 
 
 def shingle_candidates(
@@ -114,7 +133,34 @@ def shingle_candidates(
     documents overlap exclusively in corpus-wide boilerplate, which carries
     no dedup signal anyway).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sets = shingle_sets(df, id_col, text_col, n).persist()
+    return _candidate_stats(sets, id_col, df_cap)[0].select("ida", "idb")
+
+
+def _candidate_stats(
+    sets: DataFrame,
+    id_col: str,
+    df_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Internal: candidate pairs WITH their cold-shingle co-occurrence count,
+    plus per-document (size, hot-shingle count) stats, all derived from an
+    (ideally persisted) shingle_sets frame so the tokenize+hash pipeline
+    runs ONCE — the branching DAG here (candidates / sizes / hot counts /
+    verify) would otherwise re-tokenize the corpus once per branch, which
+    measured 5x slower than the persisted working set at sf0.1.
+
+    Returns (cand, stats) where cand = (ida, idb, _common) — _common is the
+    number of shared shingles NOT dropped by df_cap (an exact lower bound on
+    |A ∩ B|) — and stats = (_id, _sz, _hot) with _sz the full distinct
+    shingle count and _hot how many of those exceeded df_cap. The pair count
+    comes from the same groupBy that deduplication needed anyway, so _common
+    is free; it powers the exact upper bound
+        jac <= (_common + min(hotA, hotB)) / max(szA, szB)
+    that lets jaccard_pairs discard nearly every candidate before any
+    shingle array moves through a shuffle.
+    """
+    sh = sets.select(id_col, F.explode("shingles").alias("shingle"))
+    sizes = sets.select(id_col, F.size("shingles").alias("_sz"))
     if df_cap is not None:
         hot = (
             sh.groupBy("shingle")
@@ -122,15 +168,29 @@ def shingle_candidates(
             .filter(F.col("df") > df_cap)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    a = sh.select(F.col(id_col).alias("ida"), "shingle")
-    b = sh.select(F.col(id_col).alias("idb"), "shingle")
-    return (
+        hotcnt = (
+            sh.join(hot, "shingle").groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("_hot")
+            )
+        )
+        cold = sh.join(hot, "shingle", "left_anti")
+    else:
+        hotcnt = sizes.select(id_col, F.lit(0).alias("_hot")).limit(0)
+        cold = sh
+    stats = sizes.join(hotcnt, id_col, "left").select(
+        F.col(id_col).alias("_id"),
+        "_sz",
+        F.coalesce("_hot", F.lit(0)).alias("_hot"),
+    )
+    a = cold.select(F.col(id_col).alias("ida"), "shingle")
+    b = cold.select(F.col(id_col).alias("idb"), "shingle")
+    cand = (
         a.join(b, "shingle")
         .filter(F.col("ida") < F.col("idb"))
-        .select("ida", "idb")
-        .distinct()
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("_common"))
     )
+    return cand, stats
 
 
 # --------------------------------------------------------------------------
@@ -183,28 +243,69 @@ def jaccard_pairs(
     The verify uses ALL shingles (including any dropped by df_cap during
     candidate generation), so reported Jaccard values are exact.
 
-    Before the (heavy) set joins, candidates are pruned by the exact size
-    bound jac <= min(|A|,|B|) / max(|A|,|B|): |A∩B| <= min and |A∪B| >= max,
-    so a pair failing the ratio cannot reach the threshold — no false
-    negatives. The prune joins only per-doc SIZES (one int per doc), and at
-    high thresholds (dedup runs at 0.8) it eliminates most candidates before
-    any shingle array moves through a shuffle.
+    Before the (heavy) set joins, candidates are pruned by two exact bounds
+    (no false negatives):
+    - size ratio: jac <= min(|A|,|B|) / max(|A|,|B|);
+    - intersection: jac <= (_common + min(hotA,hotB)) / max(|A|,|B|), where
+      _common (shared cold-shingle count) falls out of the candidate
+      groupBy for free.
+    At dedup thresholds nearly every candidate dies here, so the heavy
+    array_intersect verify touches only near-certain pairs.
+
+    The per-document shingle-set frame is persisted: candidates, stats and
+    verify all branch from it, and without materialization each branch
+    would re-run the tokenize+hash pipeline over the corpus (measured 5x
+    slower at sf0.1). The frame holds one hashed-long array per document —
+    a small fraction of corpus size; MEMORY_AND_DISK eviction makes it safe
+    at any scale.
     """
+    sets = shingle_sets(df, id_col, text_col, n).persist()
     if candidates is None:
-        candidates = shingle_candidates(df, id_col, text_col, n, df_cap)
-    cand = candidates.select("ida", "idb").distinct()
-    sets = shingle_sets(df, id_col, text_col, n)
-    sizes = sets.select(
-        F.col(id_col).alias("_id"), F.size("shingles").alias("_sz")
-    )
+        cand, stats = _candidate_stats(sets, id_col, df_cap)
+    else:
+        cand = candidates.select("ida", "idb").distinct().withColumn(
+            "_common", F.lit(None).cast("long")
+        )
+        stats = sets.select(
+            F.col(id_col).alias("_id"),
+            F.size("shingles").alias("_sz"),
+            F.lit(0).alias("_hot"),
+        )
+    # 0.0005 slack everywhere: jac is rounded to 3 decimals before the
+    # threshold filter, so true jac >= threshold - 0.0005 can pass.
+    thr = F.lit(threshold - 0.0005)
     cand = (
-        cand.join(sizes.select(F.col("_id").alias("ida"), F.col("_sz").alias("_sza")), "ida")
-        .join(sizes.select(F.col("_id").alias("idb"), F.col("_sz").alias("_szb")), "idb")
+        cand.join(
+            stats.select(
+                F.col("_id").alias("ida"),
+                F.col("_sz").alias("_sza"),
+                F.col("_hot").alias("_ha"),
+            ),
+            "ida",
+        )
+        .join(
+            stats.select(
+                F.col("_id").alias("idb"),
+                F.col("_sz").alias("_szb"),
+                F.col("_hot").alias("_hb"),
+            ),
+            "idb",
+        )
+        # exact size bound: jac <= min(|A|,|B|) / max(|A|,|B|)
         .filter(
-            # 0.0005 slack: jac is rounded to 3 decimals before the
-            # threshold filter, so true jac >= threshold - 0.0005 can pass
-            F.least("_sza", "_szb")
-            >= F.lit(threshold - 0.0005) * F.greatest("_sza", "_szb")
+            F.least("_sza", "_szb") >= thr * F.greatest("_sza", "_szb")
+        )
+        # exact intersection bound: |A∩B| <= _common + min(hotA, hotB) and
+        # |A∪B| >= max(|A|,|B|), so jac <= (common+minhot)/max — pairs
+        # below threshold on this bound cannot verify; drop them before the
+        # heavy set join. _common is null for externally-supplied candidate
+        # sets (no co-occurrence counts), where the filter passes through.
+        .filter(
+            F.coalesce(
+                (F.col("_common") + F.least("_ha", "_hb"))
+                >= thr * F.greatest("_sza", "_szb"),
+                F.lit(True),
+            )
         )
         .select("ida", "idb")
     )
@@ -539,9 +640,19 @@ def dup_clusters(
     (alternating-star contraction converges in O(log n) rounds) — same
     join-per-round shape, not needed for dedup workloads.
     """
+    # Both edge directions from ONE scan of pairs (explode, not union —
+    # union's two branches would each re-execute the pairs lineage, which
+    # for jaccard/minhash pair sources doubles the dominant cost).
     e = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .persist()
     )
@@ -551,6 +662,13 @@ def dup_clusters(
         .withColumn("cluster", F.col("id"))
         .persist()
     )
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so sum(labels) strictly decreases until the fixpoint — comparing two
+    # driver-side scalars replaces a per-round join+filter change scan.
+    # decimal(38,0) keeps the sum exact at any id range / row count.
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             e.join(labels, e.dst == labels.id)
@@ -568,17 +686,14 @@ def dup_clusters(
             )
             .persist()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     e.unpersist()
     return labels
 
