@@ -92,8 +92,11 @@ def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 3 — the standard radius for
+    64-bit signatures (Manku et al., WWW'07 web-crawl dedup); banding is
+    sized by pigeonhole (max_hamming+1 bands) so recall is exact."""
     d = table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, max_hamming=8).orderBy("ida", "idb")
+    return dedup.simhash_pairs(d, max_hamming=3).orderBy("ida", "idb")
 
 
 def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
