@@ -167,6 +167,38 @@ def chunk_tokens(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training pack by its
+    START OFFSET in the corpus token stream (documents in ``id_col`` order):
+    pack_id = floor(start_offset / budget). The deterministic sequence-
+    packing step that follows chunking in a training-data pipeline —
+    documents straddling a boundary belong to the pack they start in.
+
+    The global cumulative token count uses toolbox.with_running_total
+    (range-partitioned two-pass cumsum), so no single-partition window at
+    any scale. Returns (id_col, n_tokens, start_offset, pack_id).
+    """
+    from fireworks_spark.operators.toolbox import with_running_total
+
+    counted = df.select(
+        id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    run = with_running_total(
+        counted, [id_col], "n_tokens", total_col="_end"
+    )
+    return run.select(
+        id_col,
+        "n_tokens",
+        (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
+        F.floor((F.col("_end") - F.col("n_tokens")) / budget).alias("pack_id"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

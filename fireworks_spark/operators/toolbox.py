@@ -116,6 +116,59 @@ def with_row_index(
     return out
 
 
+def with_running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col,
+    total_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global cumulative sum of ``value_col`` in the total order of
+    ``order_cols`` (a unique sort key) WITHOUT a single-partition window —
+    the same two-pass range-partition design as with_row_index:
+
+    1. range-repartition on the order key and PERSIST (range boundaries are
+       sampled with an RDD-id seed; materializing once keeps the counting
+       pass and the assignment pass in the same bucketing);
+    2. one tiny job sums ``value_col`` per bucket -> literal prefix offsets;
+    3. per-bucket cumulative window + the bucket's prefix offset.
+
+    ``value_col`` may be a column name or Column expression; the result is
+    the INCLUSIVE running total (row's own value included). The cache
+    handle is exposed as ``_row_index_cache`` like with_row_index.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    pid = (
+        df.withColumn("_val", val.cast("long"))
+        .repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = pid.groupBy("_pid").agg(F.sum("_val").alias("_s")).collect()
+    acc = 0
+    kv: list = []
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        kv.extend([F.lit(r["_pid"]), F.lit(acc)])
+        acc += r["_s"] or 0
+    omap = F.create_map(*kv) if kv else F.create_map(F.lit(0), F.lit(0))
+    bw = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        pid.withColumn(
+            total_col,
+            (F.sum("_val").over(bw) + F.element_at(omap, F.col("_pid")))
+            .cast("long"),
+        )
+        .drop("_pid", "_val")
+    )
+    out._row_index_cache = pid
+    return out
+
+
 def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
     """Seeded random permutation (ShufflerPipe, reference
     fireworks/toolbox/pipes.py:440-490): orderBy(rand(seed)).

@@ -48,11 +48,52 @@ def q85_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.repetition_stats(d).orderBy("doc_id")
 
 
+def q86_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (512-token packs) by start offset in
+    the id-ordered corpus token stream — distributed two-pass cumsum, no
+    single-partition window."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.pack_sequences(d, budget=512).orderBy("doc_id")
+
+
+def q87_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training quality gate: length/shape bounds AND
+    repetition bounds (Gopher-style) folded into one keep verdict per
+    document."""
+    d = table(spark, sf_dir, "documents")
+    rep = ranking.repetition_stats(d)
+    n_tok = F.size(ranking.tokens("text")).cast("long")
+    avg_len = F.length("text").cast("double") / n_tok
+    shape = d.select(
+        "doc_id",
+        ((n_tok >= 5) & (n_tok <= 100000) & (avg_len <= 20.0)).alias(
+            "keep_shape"
+        ),
+    )
+    return (
+        shape.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "keep_shape",
+            (
+                (F.col("dup_word_frac") <= 0.8)
+                & (F.col("top_bigram_frac") <= 0.2)
+            ).alias("keep_repetition"),
+        )
+        .withColumn(
+            "keep", F.col("keep_shape") & F.col("keep_repetition")
+        )
+        .orderBy("doc_id")
+    )
+
+
 RANKING_QUERIES = {
     "q82_tfidf": q82_tfidf,
     "q83_bm25": q83_bm25,
     "q84_chunk": q84_chunk,
     "q85_repetition": q85_repetition,
+    "q86_pack_sequences": q86_pack_sequences,
+    "q87_quality_gate": q87_quality_gate,
 }
 
 RANKING_ORACLE = {
@@ -104,6 +145,56 @@ RANKING_ORACLE = {
                array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk
         FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) t(s)
         ORDER BY doc_id, chunk_idx
+    """,
+    "q86_pack_sequences": f"""
+        WITH w AS ({_W}),
+        c AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM w),
+        r AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS start_offset
+            FROM c
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               (start_offset // 512)::BIGINT AS pack_id
+        FROM r ORDER BY doc_id
+    """,
+    "q87_quality_gate": f"""
+        WITH w AS ({_W}),
+        shape AS (
+            SELECT doc_id,
+                   (len(ws) >= 5 AND len(ws) <= 100000
+                    AND length(text)::DOUBLE / len(ws) <= 20.0)
+                       AS keep_shape
+            FROM w JOIN documents USING (doc_id)
+        ),
+        dup AS (
+            SELECT doc_id,
+                   ROUND(1.0 - len(list_distinct(ws))::DOUBLE
+                         / greatest(len(ws), 1), 4) AS dwf
+            FROM w
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1]
+                   )) AS bigram
+            FROM w WHERE len(ws) >= 2
+        ),
+        cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS tbf
+            FROM cnt GROUP BY 1
+        )
+        SELECT shape.doc_id, keep_shape,
+               (dwf <= 0.8 AND COALESCE(tbf, 0.0) <= 0.2) AS keep_repetition,
+               (keep_shape AND dwf <= 0.8 AND COALESCE(tbf, 0.0) <= 0.2)
+                   AS keep
+        FROM shape JOIN dup USING (doc_id) LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id
     """,
     "q85_repetition": f"""
         WITH w AS ({_W}),

@@ -121,6 +121,67 @@ def session_agg(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a key only until the watermark
+    passes it, so state size tracks the (event-time) window of in-flight
+    duplicates instead of the whole history — the streaming counterpart of
+    batch exact_dedup, for at-least-once sources that can re-deliver.
+
+    ``keys`` defaults to [event_id]. Rows whose duplicate arrives within
+    the watermark horizon are emitted once; a duplicate arriving later
+    than the horizon is a NEW row by definition of the contract (the
+    batch/stream parity test injects duplicates inside the horizon only).
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within (lower, upper) of the
+    left row's event time, per key. Both sides carry watermarks so the
+    join state is purged once event time passes the range — the unbounded
+    state trap of naive stream joins is exactly what the time bound
+    removes. Returns (key, l_event, r_event, l_ts, r_ts)."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("k"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("rk"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.expr(f"l_ts + {lower}"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + {upper}"))
+        & (F.col("l_event") != F.col("r_event")),
+    ).select("k", "l_event", "r_event", "l_ts", "r_ts")
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -87,3 +87,28 @@ def test_q82_85_vs_oracle(spark, sf_dir, oracle_con):
             fn(spark, sf_dir), oracle_con.sql(RANKING_ORACLE[name]).df()
         )
         assert not problems, f"{name}: {problems}"
+
+
+def test_with_running_total_distributed(spark):
+    from fireworks_spark.operators.toolbox import with_running_total
+
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(200)], ["k", "v"]
+    ).repartition(8)
+    out = with_running_total(df, ["k"], "v", total_col="rt", num_partitions=5)
+    rows = {r.k: r.rt for r in out.collect()}
+    acc = 0
+    for i in range(200):
+        acc += i % 7 + 1
+        assert rows[i] == acc
+    out._row_index_cache.unpersist()
+
+
+def test_pack_sequences_budget(spark):
+    # 5 docs x 10 tokens, budget 25 -> packs 0,0,0,1,1 by start offset
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(5)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in ranking.pack_sequences(df, budget=25).collect()}
+    assert [out[i].start_offset for i in range(5)] == [0, 10, 20, 30, 40]
+    assert [out[i].pack_id for i in range(5)] == [0, 0, 0, 1, 1]

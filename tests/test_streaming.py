@@ -160,3 +160,55 @@ def test_normalizer_foreach_batch_hook(spark, sf_dir, events_path):
     assert norm.n == e.count()
     mu, _ = norm.compile()["value"]
     assert abs(mu - row.mu) < 1e-9 * max(1, abs(row.mu))
+
+
+def test_dedup_stream_removes_within_watermark_dups(
+    spark, sf_dir, tmp_path_factory
+):
+    """Two copies of the events file land as two micro-batch files; the
+    deduped stream must emit each event_id exactly once (batch parity:
+    countDistinct event_id)."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_dup_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    stream = streaming.read_event_stream(
+        spark, str(d), max_files_per_trigger=1
+    )
+    deduped = streaming.dedup_stream(stream)
+    streaming.run_to_memory(deduped, "dedup_stream_t", output_mode="append")
+    got = spark.table("dedup_stream_t").count()
+    want = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got == want
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, events_path):
+    """Stream-stream time-bounded self-join == the equivalent batch join
+    (15-minute forward window per user)."""
+    stream = streaming.read_event_stream(spark, events_path)
+    joined = streaming.interval_join_stream(
+        stream, stream, key="user_id", upper="interval 15 minutes"
+    )
+    streaming.run_to_memory(joined, "ivjoin_stream_t", output_mode="append")
+    got = spark.table("ivjoin_stream_t").count()
+
+    e = table(spark, sf_dir, "events")
+    l = e.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = e.select(
+        F.col("user_id").alias("rk"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.expr("l_ts + interval 15 minutes"))
+        & (F.col("l_event") != F.col("r_event")),
+    ).count()
+    assert got == want
