@@ -780,19 +780,25 @@ def dup_clusters(
     a: str = "ida",
     b: str = "idb",
     max_iter: int = 25,
+    local_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected dup-pair edge list ->
     (id, cluster) where cluster = the minimum id in the component.
 
-    Iterative min-label propagation: each round joins labels to edges and
-    takes the neighborhood minimum, stopping early when no label changes.
-    Rounds = graph diameter; near-dup graphs are dense clumps (a duplicate
-    cluster is almost a clique), so a handful of rounds suffices. Every
-    round persists its frontier and unpersists the previous one — lineage
-    stays O(1), and each round is a single shuffle join keyed on the id.
-    For adversarial long-chain graphs swap in large-star/small-star
-    (alternating-star contraction converges in O(log n) rounds) — same
-    join-per-round shape, not needed for dedup workloads.
+    Two regimes, picked by the materialized edge count:
+    - |edges| <= local_edge_limit: driver-side union-find over the
+      collected edge list. A dedup pair graph is tiny relative to its
+      corpus (it is the OUTPUT of dedup, bounded by the duplicate rate) —
+      a million edges is ~16 MB on the driver, and union-find beats any
+      number of distributed rounds of scheduler latency.
+    - larger graphs: iterative min-label propagation — each round joins
+      labels to edges and takes the neighborhood minimum, stopping when no
+      label changes. Rounds = graph diameter; near-dup graphs are dense
+      clumps (almost cliques), so a handful of rounds suffices. Every
+      round persists its frontier and unpersists the previous one; each
+      round is a single shuffle join keyed on the id. For adversarial
+      long-chain graphs swap in large-star/small-star (O(log n) rounds,
+      same join shape) — not needed for dedup workloads.
     """
     # Both edge directions from ONE scan of pairs (explode, not union —
     # union's two branches would each re-execute the pairs lineage, which
@@ -810,6 +816,33 @@ def dup_clusters(
         .distinct()
         .persist()
     )
+    n_edges = e.count()  # also materializes the persisted edge set
+    if n_edges <= local_edge_limit:
+        edges = e.collect()
+        e.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges:
+            s, d = r["src"], r["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by MIN root so the label is the component minimum
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "id long, cluster long"
+        )
     labels = (
         e.select(F.col("src").alias("id"))
         .distinct()
