@@ -770,6 +770,37 @@ def embedding_dup_pairs(
     ).filter(F.col("sim") >= threshold)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one word n-gram with any benchmark document (the standard
+    eval-set overlap removal before pre-training).
+
+    The benchmark side (eval sets are small by nature) reduces to a
+    distinct hashed-shingle set and is BROADCAST; the corpus streams
+    map-side through (1) a semi-join of its exploded shingles against the
+    broadcast set -> tainted ids, then (2) an anti-join of the corpus
+    against that (small) taint list. The corpus never shuffles.
+    """
+    bench_sh = F.broadcast(
+        shingle_table(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    tainted = (
+        shingle_table(corpus, id_col, text_col, n)
+        .join(bench_sh, "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(tainted, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # cluster + canonicalize (the final step of a real dedup pipeline)
 # --------------------------------------------------------------------------

@@ -332,6 +332,37 @@ def split_assign(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def mix_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic domain-mix resampling: keep a ``rates[stratum]``
+    fraction of each stratum (training-mix reweighting, e.g. downsample
+    web crawl against books). Selection is keyed — row kept iff
+    key mod denom < rate * denom — so the SAME rows are kept on every run
+    and on every cluster size; no rand(), no shuffle, a single map-side
+    filter that combines with scan pushdown.
+    """
+    kv: list = []
+    for s, r in sorted(rates.items()):
+        kv.extend([F.lit(s), F.lit(float(r))])
+    rate = (
+        F.coalesce(
+            F.element_at(F.create_map(*kv), F.col(stratum_col)),
+            F.lit(float(default_rate)),
+        )
+        if kv
+        else F.lit(float(default_rate))
+    )
+    return df.filter(
+        F.pmod(F.col(key_col), F.lit(denom)) < rate * denom
+    )
+
+
 def standardize(
     df: DataFrame,
     cols: list[str],

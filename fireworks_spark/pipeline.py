@@ -1,0 +1,118 @@
+"""Fluent Pipe facade: the reference's user-facing composition surface
+(pipes wrap pipes via ``input=``, reference fireworks/core/pipe.py and
+fireworks/toolbox/pipes.py) re-expressed as method chaining over a lazy
+DataFrame. Each method delegates to the operator library and returns a new
+Pipe, so a reference pipeline like
+
+    ShufflerPipe(input=RepeaterPipe(input=ds, num_repeats=3), seed=7)
+
+reads here as
+
+    Pipe(ds).repeat(3).shuffle(seed=7)
+
+Nothing executes until an action (collect / batches / write) — the chain IS
+the Catalyst logical plan, which is what makes the facade free: no
+per-stage materialization, full pushdown/pruning across the whole chain.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+from fireworks_spark.operators import toolbox
+
+
+class Pipe:
+    """Lazy chaining wrapper over a DataFrame (reference Pipe-graph parity).
+
+    ``df`` is the underlying DataFrame at every step — drop to it freely
+    with ``.df`` for anything the facade doesn't wrap.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- composition ----------------------------------------------------
+    def apply(self, fn: Callable[[DataFrame], DataFrame]) -> "Pipe":
+        """HookedPassThroughPipe / FunctionPipe shape: arbitrary
+        DataFrame -> DataFrame stage."""
+        return Pipe(self.df.transform(fn))
+
+    def __getitem__(self, cols) -> "Pipe":
+        """Column projection (Message column indexing parity)."""
+        if isinstance(cols, str):
+            cols = [cols]
+        return Pipe(self.df.select(*cols))
+
+    # -- toolbox pipes ---------------------------------------------------
+    def shuffle(self, seed: int | None = None) -> "Pipe":
+        """ShufflerPipe (P10)."""
+        return Pipe(toolbox.shuffle(self.df, seed=seed))
+
+    def repeat(self, n: int, epoch_col: str | None = None) -> "Pipe":
+        """RepeaterPipe (P9)."""
+        return Pipe(toolbox.repeat(self.df, n, epoch_col=epoch_col))
+
+    def label(self, title: str, labels_col: str = "labels") -> "Pipe":
+        """Title2LabelPipe (P7)."""
+        return Pipe(toolbox.with_label(self.df, title, labels_col))
+
+    def label_index(self, col: str, index_col: str = "label_idx") -> "Pipe":
+        """LabelerPipe index half (P8)."""
+        return Pipe(toolbox.label_index(self.df, col, index_col))
+
+    def standardize(self, cols: list[str]) -> "Pipe":
+        """Normalizer apply (P21)."""
+        return Pipe(toolbox.standardize(self.df, cols))
+
+    def row_index(self, order_cols: list[str], index_col: str = "row_idx") -> "Pipe":
+        """Global positional index (Message row semantics)."""
+        return Pipe(toolbox.with_row_index(self.df, order_cols, index_col))
+
+    def hstack(
+        self,
+        other: "Pipe | DataFrame",
+        order_cols: list[str],
+        other_order_cols: list[str] | None = None,
+    ) -> "Pipe":
+        """Positional horizontal concat (Message.merge)."""
+        o = other.df if isinstance(other, Pipe) else other
+        return Pipe(
+            toolbox.hstack(self.df, o, order_cols, other_order_cols or order_cols)
+        )
+
+    def interleave(self, *others: "Pipe | DataFrame", order_cols: list[str]) -> "Pipe":
+        """ClockworkHubJunction (P18): deterministic round-robin."""
+        dfs = [self.df] + [o.df if isinstance(o, Pipe) else o for o in others]
+        return Pipe(toolbox.interleave(dfs, order_cols))
+
+    def split(
+        self, key_col: str, test_fraction: float = 0.2, seed: int = 0
+    ) -> tuple["Pipe", "Pipe"]:
+        """train_test_split (P20), deterministic hash variant."""
+        parts = toolbox.hash_split(
+            self.df,
+            {"train": 1.0 - test_fraction, "test": test_fraction},
+            key_col,
+            seed=seed,
+        )
+        return Pipe(parts["train"]), Pipe(parts["test"])
+
+    def cache(self) -> "Pipe":
+        """CachingPipe / MessageCache (P5/P6/P22): block-manager persist."""
+        return Pipe(self.df.persist())
+
+    # -- feed / actions --------------------------------------------------
+    def batches(self, batch_size: int, drop_tail: bool = True) -> Iterator:
+        """BatchingPipe (P12): driver-side pandas batch iterator."""
+        from fireworks_spark.mlfeed import batch_iterator
+
+        return batch_iterator(self.df, batch_size, drop_tail=drop_tail)
+
+    def collect(self):
+        return self.df.collect()
+
+    def count(self) -> int:
+        return self.df.count()

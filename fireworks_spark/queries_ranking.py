@@ -87,6 +87,40 @@ def q87_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the eval
+    set; every remaining doc sharing a word 3-gram with it is dropped.
+    Benchmark shingles broadcast; the corpus never shuffles."""
+    from fireworks_spark.operators import dedup
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        dedup.decontaminate(corpus, bench)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q89_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix resampling: src0 kept fully, src1 half,
+    src2 quarter, everything else 10%; counts per source afterwards."""
+    from fireworks_spark.operators.toolbox import mix_sample
+
+    d = table(spark, sf_dir, "documents")
+    kept = mix_sample(
+        d,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("source")
+    )
+
+
 RANKING_QUERIES = {
     "q82_tfidf": q82_tfidf,
     "q83_bm25": q83_bm25,
@@ -94,6 +128,8 @@ RANKING_QUERIES = {
     "q85_repetition": q85_repetition,
     "q86_pack_sequences": q86_pack_sequences,
     "q87_quality_gate": q87_quality_gate,
+    "q88_decontaminate": q88_decontaminate,
+    "q89_domain_mix": q89_domain_mix,
 }
 
 RANKING_ORACLE = {
@@ -145,6 +181,37 @@ RANKING_ORACLE = {
                array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk
         FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) t(s)
         ORDER BY doc_id, chunk_idx
+    """,
+    "q88_decontaminate": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, array_length(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     AS shingle
+          FROM toks WHERE array_length(w) >= 3
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        tainted AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench)
+        )
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM tainted)
+        ORDER BY doc_id
+    """,
+    "q89_domain_mix": """
+        SELECT source, COUNT(*)::BIGINT AS kept FROM documents
+        WHERE doc_id % 10000 <
+              CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                          WHEN 'src2' THEN 0.25 ELSE 0.1 END * 10000
+        GROUP BY source ORDER BY source
     """,
     "q86_pack_sequences": f"""
         WITH w AS ({_W}),

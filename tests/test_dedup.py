@@ -148,3 +148,40 @@ def test_keep_canonical_drops_non_minimum(spark):
     )
     kept = sorted(r.doc_id for r in dedup.keep_canonical(docs, pairs).collect())
     assert kept == [0, 3, 10, 99]
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # shares 'a b c' with bench -> dropped
+            (2, "x y z w v"),       # clean -> kept
+            (3, "q r s t u"),       # clean -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c zz yy")], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.decontaminate(corpus, bench).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_mix_sample_deterministic_rates(spark):
+    from fireworks_spark.operators.toolbox import mix_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 1000 else "b") for i in range(2000)],
+        ["doc_id", "source"],
+    )
+    out = mix_sample(
+        df, {"a": 0.25}, default_rate=1.0, denom=1000
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts == {"a": 250, "b": 1000}
+    # deterministic: same rows every run
+    ids1 = sorted(r.doc_id for r in out.filter("source='a'").collect())
+    ids2 = sorted(r.doc_id for r in out.filter("source='a'").collect())
+    assert ids1 == ids2 == list(range(250))
