@@ -167,6 +167,40 @@ def chunk_tokens(
     )
 
 
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram entropy in nats: -sum_t p_t ln p_t over the
+    token distribution. Low entropy flags repetitive/templated text; used
+    alongside repetition_stats in pre-training quality gates.
+
+    Two aggregations partitioned by doc_id ((doc, term) counts then the
+    entropy fold) — no global state, scales with the token count.
+    Returns (id_col, n_tokens, entropy).
+    """
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    cnt = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                -F.sum(F.col("c") * F.log(F.col("c")))
+            ).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            # -sum(p ln p) = ln n - (1/n) sum(c ln c), computed stably
+            F.round(
+                F.log("n_tokens") + F.col("_clogc") / F.col("n_tokens"), 4
+            ).alias("entropy"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -121,6 +121,13 @@ def q89_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (nats) — the low-entropy filter of a
+    quality pipeline."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.token_entropy(d).orderBy("doc_id")
+
+
 RANKING_QUERIES = {
     "q82_tfidf": q82_tfidf,
     "q83_bm25": q83_bm25,
@@ -130,6 +137,7 @@ RANKING_QUERIES = {
     "q87_quality_gate": q87_quality_gate,
     "q88_decontaminate": q88_decontaminate,
     "q89_domain_mix": q89_domain_mix,
+    "q90_token_entropy": q90_token_entropy,
 }
 
 RANKING_ORACLE = {
@@ -181,6 +189,18 @@ RANKING_ORACLE = {
                array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk
         FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) t(s)
         ORDER BY doc_id, chunk_idx
+    """,
+    "q90_token_entropy": f"""
+        WITH w AS ({_W}),
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        cnt AS (
+            SELECT doc_id, term, COUNT(*)::BIGINT AS c
+            FROM tok GROUP BY 1, 2
+        )
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+               ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) + 0.0
+                   AS entropy
+        FROM cnt GROUP BY doc_id ORDER BY doc_id
     """,
     "q88_decontaminate": """
         WITH toks AS (

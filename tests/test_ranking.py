@@ -112,3 +112,16 @@ def test_pack_sequences_budget(spark):
     out = {r.doc_id: r for r in ranking.pack_sequences(df, budget=25).collect()}
     assert [out[i].start_offset for i in range(5)] == [0, 10, 20, 30, 40]
     assert [out[i].pack_id for i in range(5)] == [0, 0, 0, 1, 1]
+
+
+def test_token_entropy_closed_form(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a a b b"), (1, "c c c c"), (2, "a b c d")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in ranking.token_entropy(df).collect()}
+    assert rows[0].entropy == round(math.log(2), 4)  # uniform over 2
+    assert rows[1].entropy == 0.0                    # single symbol
+    assert rows[2].entropy == round(math.log(4), 4)  # uniform over 4
