@@ -13,9 +13,13 @@ Public surface (see COVERAGE.md for the reference-item map):
   salted_join/stratified_sample/index_map/apply_embeddings/with_row_index/
   hstack
 - operators.dedup / similarity / textstats / multimodal — the LLM-pipeline
-  operator families (incl. dup_clusters/keep_canonical, mask_pii,
-  extract_urls, remove_stopwords, strip_markup)
+  operator families (incl. dup_clusters/keep_canonical, decontaminate,
+  mask_pii, extract_urls, remove_stopwords, strip_markup)
+- operators.ranking — TF-IDF, BM25, token chunking, repetition stats,
+  sequence packing, token entropy
 - operators.asof / operators.interval — as-of and range/interval joins
+- pipeline.Pipe — the reference's fluent chaining surface over all of the
+  above
 - mlfeed — Arrow-batched model stages, Model/LinearModel, batch_iterator,
   fit_linear, Metrics
 - streaming — event-time windows, StreamingNormalizer, stateful operators
