@@ -224,7 +224,48 @@ def q81_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum of value — a RANGE frame over event
+    TIME, not row count (the time-series smoothing shape). Spark's
+    rangeBetween needs a numeric order key, so the frame runs over
+    unix_micros(ts); bounds are inclusive on both engines."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("rolling_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q92_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile (scale path for q72). Sketches are not
+    hash-comparable across engines, so the declared check is the tolerance
+    assertion itself: both sides emit within_tol=TRUE iff their approx p50
+    is within 2%% of their exact p50."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        (
+            F.abs(
+                F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+                - F.expr("percentile(o_totalprice, 0.5)")
+            )
+            / F.expr("percentile(o_totalprice, 0.5)")
+            < 0.02
+        ).alias("within_tol")
+    )
+
+
 RELATIONAL2_QUERIES = {
+    "q91_rolling_time_window": q91_rolling_time_window,
+    "q92_approx_percentile": q92_approx_percentile,
     "q29_asof_join": q29_asof_join,
     "q81_interval_join": q81_interval_join,
     "q79_session_windows": q79_session_windows,
@@ -241,6 +282,18 @@ RELATIONAL2_QUERIES = {
 }
 
 RELATIONAL2_ORACLE = {
+    "q91_rolling_time_window": (
+        "SELECT user_id, event_id, "
+        "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2) "
+        "+ 0.0 AS rolling_1h "
+        "FROM events ORDER BY user_id, event_id"
+    ),
+    "q92_approx_percentile": (
+        "SELECT ABS(approx_quantile(o_totalprice, 0.5) - "
+        "quantile_cont(o_totalprice, 0.5)) / "
+        "quantile_cont(o_totalprice, 0.5) < 0.02 AS within_tol FROM orders"
+    ),
     "q29_asof_join": (
         "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
         "WHERE event_type = 'purchase'), "
