@@ -96,12 +96,40 @@ def q67_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-changing frame sampling over binary media (every 2nd
+    64-byte frame), fingerprinted JVM-side. The fixture media is the UTF-8
+    encoding of ASCII text, so the oracle slices the same frames with
+    substring and hashes them."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    frames = multimodal.frame_sample(d, "media", "doc_id", frame_bytes=64, every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q94_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over raw media bytes (int8 PCM view, 256-byte
+    windows) — ASCII fixture bytes equal their code points, so the oracle
+    recomputes the RMS from ord(char)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    return multimodal.audio_windows(d, "media", "doc_id", window_bytes=256).orderBy(
+        "doc_id", "win_idx"
+    )
+
+
 MLFEED_QUERIES = {
     "q63_linear_score": q63_linear_score,
     "q64_batch_transform": q64_batch_transform,
     "q65_grouped_normalize": q65_grouped_normalize,
     "q66_media_meta": q66_media_meta,
     "q67_media_features": q67_media_features,
+    "q93_frame_sample": q93_frame_sample,
+    "q94_audio_windows": q94_audio_windows,
 }
 
 _W_SQL = "[" + ", ".join(repr(w) for w in _WEIGHTS) + "]"
@@ -137,5 +165,21 @@ MLFEED_ORACLE = {
             for j in range(8)
         )
         + " FROM documents ORDER BY doc_id"
+    ),
+    "q93_frame_sample": (
+        "SELECT doc_id, frame_idx::INT AS frame_idx, "
+        "md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5 "
+        "FROM documents, "
+        "unnest(range(0, greatest((length(text) + 63) // 64, 1), 2)) "
+        "t(frame_idx) ORDER BY doc_id, frame_idx"
+    ),
+    "q94_audio_windows": (
+        "WITH pos AS (SELECT doc_id, "
+        "unnest(range(1, length(text) + 1)) AS p, text FROM documents), "
+        "w AS (SELECT doc_id, ((p - 1) // 256)::INT AS win_idx, "
+        "ord(substring(text, p::INT, 1))::DOUBLE AS v FROM pos) "
+        "SELECT doc_id, win_idx, COUNT(*)::INT AS n_bytes, "
+        "ROUND(SQRT(AVG(v * v)), 4) + 0.0 AS rms "
+        "FROM w GROUP BY doc_id, win_idx ORDER BY doc_id, win_idx"
     ),
 }

@@ -146,7 +146,40 @@ def test_extract_features_deterministic(spark):
     assert [row.f0, row.f1, row.f2, row.f3] == [ord(c) / 100.0 for c in h[:4]]
 
 
-def test_frame_sample_is_explicit_stub(spark):
-    df = spark.createDataFrame([(1, b"x")], "doc_id long, media binary")
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(df)
+def test_frame_sample_cardinality_and_content(spark):
+    raw = bytes(range(200))  # 200 bytes -> 4 frames of 64 (last short)
+    df = spark.createDataFrame([(1, raw)], "doc_id long, media binary")
+    rows = {
+        r.frame_idx: bytes(r.frame)
+        for r in multimodal.frame_sample(
+            df, "media", "doc_id", frame_bytes=64, every_n=2
+        ).collect()
+    }
+    assert sorted(rows) == [0, 2]  # frames 0 and 2 of 0..3
+    assert rows[0] == raw[0:64]
+    assert rows[2] == raw[128:192]
+
+
+def test_resize_gray_block_means(spark):
+    # 4x4 grid of bytes 0..15, resized to 2x2 -> block means
+    raw = bytes(range(16))
+    df = spark.createDataFrame([(1, raw)], "doc_id long, media binary")
+    row = multimodal.resize_gray(
+        df, "media", "doc_id", width=4, out_w=2, out_h=2
+    ).collect()[0]
+    assert row.thumb == [2.5, 4.5, 10.5, 12.5]
+
+
+def test_audio_windows_rms(spark):
+    import numpy as np
+
+    raw = bytes([3] * 256 + [4] * 100)  # two windows
+    df = spark.createDataFrame([(1, raw)], "doc_id long, media binary")
+    rows = {
+        r.win_idx: r
+        for r in multimodal.audio_windows(
+            df, "media", "doc_id", window_bytes=256
+        ).collect()
+    }
+    assert rows[0].n_bytes == 256 and rows[0].rms == 3.0
+    assert rows[1].n_bytes == 100 and rows[1].rms == 4.0
