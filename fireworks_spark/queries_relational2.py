@@ -263,9 +263,83 @@ def q92_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (toolbox.salted_join): events (big, skewed-key-
+    tolerant side) joined to nation names through user_id % 25. The salt is
+    internal plumbing — the result must equal the plain join, which is
+    exactly what the oracle asserts."""
+    from fireworks_spark.operators.toolbox import salted_join
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 25).alias("n_nationkey")
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        salted_join(e, n, "n_nationkey", salt=8)
+        .select("event_id", "n_name")
+        .orderBy("event_id")
+    )
+
+
+def q96_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the CoGroupedMap Arrow shape): purchases
+    and clicks cogrouped per user; each group pair runs pandas.merge_asof
+    — the canonical cogroup use. Must equal q29's window-based as-of join
+    (oracle: DuckDB native ASOF LEFT JOIN)."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # NOTE: both sides derive from the same scan, so same-named columns
+    # carry the SAME attribute id — the cogroup plan deduplicates them and
+    # the right pandas frame would silently lose its 'ts'. Fresh aliases
+    # force distinct attributes.
+    r = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # a key absent on one side arrives as an empty, column-less frame
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "value": pd.Series(dtype="float64")}
+            )
+        left = left.sort_values("ts")
+        if len(right) == 0:
+            out = left[["event_id", "user_id"]].copy()
+            out["value"] = float("nan")
+            return out
+        right = (
+            right[["r_ts", "r_value"]]
+            .rename(columns={"r_ts": "ts", "r_value": "value"})
+            .sort_values("ts")
+        )
+        m = pd.merge_asof(left, right, on="ts", direction="backward")
+        return m[["event_id", "user_id", "value"]]
+
+    out = (
+        l.groupBy("user_id")
+        .cogroup(r.groupBy("user_id"))
+        .applyInPandas(merge, "event_id long, user_id long, value double")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.round("value", 2) + F.lit(0.0)).alias("click_val"),
+    ).orderBy("event_id")
+
+
 RELATIONAL2_QUERIES = {
     "q91_rolling_time_window": q91_rolling_time_window,
     "q92_approx_percentile": q92_approx_percentile,
+    "q95_salted_join": q95_salted_join,
+    "q96_cogroup_asof": q96_cogroup_asof,
     "q29_asof_join": q29_asof_join,
     "q81_interval_join": q81_interval_join,
     "q79_session_windows": q79_session_windows,
@@ -282,6 +356,21 @@ RELATIONAL2_QUERIES = {
 }
 
 RELATIONAL2_ORACLE = {
+    "q95_salted_join": (
+        "SELECT event_id, n_name FROM events "
+        "JOIN nation ON user_id % 25 = n_nationkey "
+        "ORDER BY event_id"
+    ),
+    "q96_cogroup_asof": (
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts, value FROM events "
+        "WHERE event_type = 'click') "
+        "SELECT l.event_id, l.user_id, "
+        "ROUND(r.value, 2) + 0.0 AS click_val "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts "
+        "ORDER BY l.event_id"
+    ),
     "q91_rolling_time_window": (
         "SELECT user_id, event_id, "
         "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
