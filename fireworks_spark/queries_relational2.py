@@ -284,11 +284,16 @@ def q95_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q96_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas (the CoGroupedMap Arrow shape): purchases
     and clicks cogrouped per user; each group pair runs pandas.merge_asof
-    — the canonical cogroup use. Must equal q29's window-based as-of join
-    (oracle: DuckDB native ASOF LEFT JOIN)."""
+    — the canonical cogroup use. Must equal the window-based as-of join
+    (oracle: DuckDB native ASOF LEFT JOIN).
+
+    Scoped to a 10%% user slice: every cogroup pays a per-group Python
+    round-trip, so this query exists to pin the cogroup SEMANTICS — the
+    scale path for as-of joins is q29's single-shuffle window formulation
+    (operators/asof.py), which has no per-group Python cost."""
     import pandas as pd
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     l = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -363,9 +368,9 @@ RELATIONAL2_ORACLE = {
     ),
     "q96_cogroup_asof": (
         "WITH l AS (SELECT event_id, user_id, ts FROM events "
-        "WHERE event_type = 'purchase'), "
+        "WHERE event_type = 'purchase' AND user_id % 10 = 0), "
         "r AS (SELECT user_id, ts, value FROM events "
-        "WHERE event_type = 'click') "
+        "WHERE event_type = 'click' AND user_id % 10 = 0) "
         "SELECT l.event_id, l.user_id, "
         "ROUND(r.value, 2) + 0.0 AS click_val "
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts "
