@@ -57,16 +57,7 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return ngrams_of(words(col), n)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism when the input is
-    badly under-partitioned (e.g. one small parquet file -> 1 partition,
-    which would run the whole per-row shingle pipeline on one core). At
-    real scale inputs already carry >= cores partitions and this is a
-    no-op — the check costs a plan inspection, not a job."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+from fireworks_spark.operators.spread import spread as _spread
 
 
 def _hashed_shingles(

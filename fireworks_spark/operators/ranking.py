@@ -17,15 +17,17 @@ Scale notes (100 TB):
 - ``chunk_tokens``: pure per-row generate (sequence + posexplode) — a map
   stage, no shuffle. Output size = input tokens / stride, the natural
   fan-out of chunking.
-- ``repetition_stats``: per-document aggregations keyed by doc_id; the
-  bigram mode needs an explode + (doc, bigram) count + per-doc max — all
-  partitioned by doc_id, no global state.
+- ``repetition_stats``: fully per-row (sorted-array fold for the bigram
+  mode) — zero shuffles at any scale.
+- every entry point guards against under-partitioned small-file inputs
+  with operators.spread (no-op at real scale).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from fireworks_spark.operators.spread import spread
 
 __all__ = [
     "tokens",
@@ -57,6 +59,7 @@ def tf_idf(
 
     Returns (id_col, term, tf, df, tfidf).
     """
+    df = spread(df)
     n_docs = df.count()  # one scalar action; the corpus itself stays lazy
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -98,7 +101,7 @@ def bm25_topk(
     Returns (id_col, score) — top k by score desc, id asc tiebreak.
     """
     w = tokens(text_col)
-    base = df.select(id_col, F.explode(w).alias("term"), F.size(w).alias("dl"))
+    base = spread(df).select(id_col, F.explode(w).alias("term"), F.size(w).alias("dl"))
     # Corpus scalars as a broadcast 1-row frame: keeps the plan fully lazy.
     stats = df.select(
         F.count(F.lit(1)).alias("n_docs"),
@@ -153,6 +156,7 @@ def chunk_tokens(
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
+    df = spread(df)
     w = tokens(text_col)
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
@@ -180,7 +184,7 @@ def token_entropy(
     entropy fold) — no global state, scales with the token count.
     Returns (id_col, n_tokens, entropy).
     """
-    tok = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tok = spread(df).select(id_col, F.explode(tokens(text_col)).alias("term"))
     cnt = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
     return (
         cnt.groupBy(id_col)
@@ -252,7 +256,7 @@ def repetition_stats(
     Returns (id_col, n_tokens, dup_word_frac, top_bigram_frac).
     """
     w = tokens(text_col)
-    base = df.select(id_col, w.alias("_w"), F.size(w).alias("n_tokens"))
+    base = spread(df).select(id_col, w.alias("_w"), F.size(w).alias("n_tokens"))
     bg = F.when(
         F.size("_w") >= 2,
         F.array_sort(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fireworks_spark.operators.spread import spread
 from fireworks_spark.functions.text import normalize_text, words
 
 # language -> stopword alternation used by the n-gram/stopword language
@@ -41,6 +42,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def with_token_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    df = spread(df)
     return df.select(
         id_col,
         F.length(text_col).cast("long").alias("n_chars_calc"),
@@ -54,6 +56,7 @@ def with_quality_score(
 ) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a boolean
     keep-flag — the classic pre-training quality filter shape."""
+    df = spread(df)
     n_tok = token_count(text_col)
     n_chars = F.length(text_col).cast("long")
     punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_PATTERN)).cast("long")
@@ -77,6 +80,7 @@ def with_lang_id(
 ) -> DataFrame:
     """Stopword/CJK-heuristic language ID. Ties break in fixed order
     en > fr > de > es; any CJK character wins 'zh'."""
+    df = spread(df)
     t = normalize_text(text_col)
     cnt = {k: F.regexp_count(t, F.lit(pat)) for k, pat in LANG_STOPWORDS.items()}
     cjk = F.regexp_count(F.col(text_col), F.lit(CJK_PATTERN))
@@ -96,6 +100,7 @@ def with_fingerprint(
     """64-bit hex document fingerprint of the canonical (normalized) text —
     stable across whitespace/case variants; join key for cross-corpus exact
     dedup."""
+    df = spread(df)
     return df.select(
         id_col,
         F.substring(F.md5(normalize_text(text_col)), 1, 16).alias("fp"),

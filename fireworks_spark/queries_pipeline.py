@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fireworks_spark.operators import dedup, similarity, textstats
+from fireworks_spark.operators.spread import spread
 from fireworks_spark.tables import table
 
 # --- shared DuckDB SQL fragments (mirror fireworks_spark.functions.text) ---
@@ -247,14 +248,14 @@ def _synthetic_pii(d: DataFrame):
 
 
 def q44_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", textstats.mask_pii(_synthetic_pii(d)).alias("masked")
     ).orderBy("doc_id")
 
 
 def q45_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.array_join(textstats.extract_urls(_synthetic_pii(d)), "|").alias(
@@ -264,7 +265,7 @@ def q45_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q46_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     sw = ["the", "and", "is", "of", "to", "a", "in"]
     return d.select(
         "doc_id",
@@ -275,7 +276,7 @@ def q46_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q47_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     tagged = F.concat(
         F.lit('<p class="body">'),
         F.col("text"),
