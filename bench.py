@@ -69,7 +69,11 @@ def main() -> None:
     n.select(
         SF.transform(SF.split("n_name", ""), lambda w: SF.xxhash64(w))
     ).count()
-    n.mapInPandas(lambda it: it, n.schema).count()
+    # fan across all cores: python workers are per-core and reused, so
+    # spawning the whole pool here keeps the first Arrow query honest
+    n.repartition(int(cpus) if str(cpus).isdigit() else 32).mapInPandas(
+        lambda it: it, n.schema
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
