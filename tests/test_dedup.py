@@ -185,3 +185,21 @@ def test_mix_sample_deterministic_rates(spark):
     ids1 = sorted(r.doc_id for r in out.filter("source='a'").collect())
     ids2 = sorted(r.doc_id for r in out.filter("source='a'").collect())
     assert ids1 == ids2 == list(range(250))
+
+
+def test_dup_clusters_distributed_path_matches_local(spark):
+    # two components: {1,2,3} chained, {10,11}; force the distributed
+    # label-propagation path with local_edge_limit=0 and cross-check it
+    # against the driver-side union-find path
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["ida", "idb"]
+    )
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    local = {
+        (r.id, r.cluster) for r in dedup.dup_clusters(pairs).collect()
+    }
+    distributed = {
+        (r.id, r.cluster)
+        for r in dedup.dup_clusters(pairs, local_edge_limit=0).collect()
+    }
+    assert local == want and distributed == want

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the pure algorithmic kernels —
+driver-side pieces that underpin distributed operators, checked against
+independent naive implementations over random inputs."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---- union-find labeling (dedup.dup_clusters fast path) -------------------
+
+
+def _naive_components(edges):
+    """BFS connected components -> {node: min_node_in_component}."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, queue = [], [start]
+        seen.add(start)
+        while queue:
+            x = queue.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    queue.append(y)
+        lab = min(comp)
+        for x in comp:
+            out[x] = lab
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_union_find_matches_bfs(edges):
+    # replicate dup_clusters' union-find kernel on the undirected edge set
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    undirected = [(a, b) for a, b in edges if a != b]
+    for a, b in undirected:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    got = {x: find(x) for x in parent}
+    assert got == _naive_components(undirected)
+
+
+# ---- sequence packing boundary math (ranking.pack_sequences) --------------
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.integers(1, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_offsets_partition_the_stream(token_counts, budget):
+    # start offsets are the exclusive prefix sums; pack ids never decrease
+    # and adjacent packs differ by at most ceil(n_i/budget) steps
+    offsets, acc = [], 0
+    for n in token_counts:
+        offsets.append(acc)
+        acc += n
+    packs = [o // budget for o in offsets]
+    assert packs == sorted(packs)
+    assert packs[0] == 0
+    total_packs = packs[-1] + 1
+    assert total_packs <= max(1, -(-acc // budget)) + 1
+
+
+# ---- spherical k-means (similarity._spherical_kmeans) ---------------------
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_spherical_kmeans_deterministic_and_unit(seed):
+    import numpy as np
+
+    from fireworks_spark.operators.similarity import _spherical_kmeans
+
+    rng = np.random.default_rng(123)
+    X = rng.standard_normal((80, 8))
+    C1 = _spherical_kmeans(X, 5, seed)
+    C2 = _spherical_kmeans(X, 5, seed)
+    assert np.array_equal(C1, C2)  # same seed -> identical centroids
+    norms = np.linalg.norm(C1, axis=1)
+    assert np.allclose(norms, 1.0)  # centroids live on the unit sphere
+
+
+# ---- bm25/tf-idf idf monotonicity -----------------------------------------
+
+
+@given(st.integers(1, 10_000), st.integers(1, 10_000))
+@settings(max_examples=200, deadline=None)
+def test_lucene_idf_nonnegative_and_monotone(n_docs, df):
+    df = min(df, n_docs)
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    assert idf >= 0.0
+    if df < n_docs:
+        rarer = math.log(1 + (n_docs - (df + 1) + 0.5) / (df + 1 + 0.5))
+        assert rarer <= idf
