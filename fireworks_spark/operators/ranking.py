@@ -205,6 +205,61 @@ def token_entropy(
     )
 
 
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document perplexity under a corpus-trained bigram language model
+    with add-k (Laplace) smoothing — the classic LM-based quality filter
+    (high perplexity = unusual/garbled text, low = templated).
+
+    p(w2|w1) = (C(w1,w2) + k) / (C(w1) + k*V);  V = unigram vocab size.
+    ppl(doc) = exp(-mean over bigram positions of ln p).
+
+    Scale shape: unigram/bigram count tables are vocab-bounded (much
+    smaller than the corpus) and are joined back onto the exploded bigram
+    stream by key — two count shuffles + one keyed join + a per-doc agg.
+    Documents with fewer than 2 tokens are dropped (no bigram evidence).
+    Returns (id_col, n_bigrams, ppl).
+    """
+    w = tokens(text_col)
+    base = spread(df).select(id_col, w.alias("_w")).filter(F.size("_w") >= 2)
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.struct(
+                    F.element_at("_w", i).alias("w1"),
+                    F.element_at("_w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    uni = (
+        spread(df)
+        .select(F.explode(tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = uni.count()  # one scalar action; count tables stay lazy
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    logp = F.log(
+        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k * vocab_size))
+    )
+    return (
+        bigrams.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(logp)), 4).alias("ppl"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

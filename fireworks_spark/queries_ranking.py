@@ -128,6 +128,13 @@ def q90_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.token_entropy(d).orderBy("doc_id")
 
 
+def q97_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filter: per-doc perplexity under an add-1 bigram
+    model trained on the corpus itself."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.bigram_perplexity(d).orderBy("doc_id")
+
+
 RANKING_QUERIES = {
     "q82_tfidf": q82_tfidf,
     "q83_bm25": q83_bm25,
@@ -138,6 +145,7 @@ RANKING_QUERIES = {
     "q88_decontaminate": q88_decontaminate,
     "q89_domain_mix": q89_domain_mix,
     "q90_token_entropy": q90_token_entropy,
+    "q97_bigram_perplexity": q97_bigram_perplexity,
 }
 
 RANKING_ORACLE = {
@@ -189,6 +197,33 @@ RANKING_ORACLE = {
                array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk
         FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) t(s)
         ORDER BY doc_id, chunk_idx
+    """,
+    "q97_bigram_perplexity": f"""
+        WITH w AS ({_W}),
+        base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+        bge AS (
+            SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(ws) - 1),
+                           i -> {{'w1': ws[i], 'w2': ws[i + 1]}}
+                       )) AS s
+                FROM base
+            )
+        ),
+        uni AS (
+            SELECT t AS w1, COUNT(*)::BIGINT AS c1 FROM (
+                SELECT unnest(ws) AS t FROM w
+            ) GROUP BY 1
+        ),
+        v AS (SELECT COUNT(*)::DOUBLE AS vs FROM uni),
+        big AS (
+            SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM bge GROUP BY 1, 2
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               ROUND(EXP(-AVG(LN((c2 + 1.0) / (c1 + vs)))), 4) + 0.0 AS ppl
+        FROM bge JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "q90_token_entropy": f"""
         WITH w AS ({_W}),

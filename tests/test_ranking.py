@@ -125,3 +125,23 @@ def test_token_entropy_closed_form(spark):
     assert rows[0].entropy == round(math.log(2), 4)  # uniform over 2
     assert rows[1].entropy == 0.0                    # single symbol
     assert rows[2].entropy == round(math.log(4), 4)  # uniform over 4
+
+
+def test_bigram_perplexity_closed_form(spark):
+    import math
+
+    # corpus: doc0 = "a b a b", doc1 = "a b"; V = 2
+    # bigram counts: (a,b)=3, (b,a)=1 ; unigram: a=3, b=3
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in ranking.bigram_perplexity(df).collect()}
+    p_ab = (3 + 1) / (3 + 2)   # p(b|a)
+    p_ba = (1 + 1) / (3 + 2)   # p(a|b)
+    # doc0 bigrams: ab, ba, ab
+    want0 = math.exp(-(2 * math.log(p_ab) + math.log(p_ba)) / 3)
+    assert rows[0].n_bigrams == 3
+    assert rows[0].ppl == round(want0, 4)
+    # doc1: single ab bigram
+    assert rows[1].n_bigrams == 1
+    assert rows[1].ppl == round(1 / p_ab, 4)
