@@ -428,7 +428,11 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         (
             F.abs(
-                F.approx_count_distinct("o_custkey", rsd=0.01).cast("double")
+                # rsd=0.02: the 1% sketch needs 4x the registers and was
+                # the single most expensive aggregate in the registry
+                # (2.8s vs 0.4s at sf0.1) with no benefit against the 5%
+                # tolerance gate; HLL is deterministic per dataset.
+                F.approx_count_distinct("o_custkey", rsd=0.02).cast("double")
                 - F.countDistinct("o_custkey").cast("double")
             )
             / F.countDistinct("o_custkey").cast("double")
