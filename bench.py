@@ -86,6 +86,11 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = None
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        # Drop this query's persisted intermediates (dedup shingle sets,
+        # toolbox working frames) outside the timed section: leaked cache
+        # blocks otherwise accumulate over the 99-query session and the
+        # growing GC/eviction pressure skews every later measurement.
+        spark.catalog.clearCache()
 
     ok = [v for v in timings.values() if v is not None]
     out = {
