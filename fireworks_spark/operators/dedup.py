@@ -924,3 +924,75 @@ def keep_canonical(
         .select(F.col("id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-level line dedup (the C4/CCNet boilerplate filter): across the
+    WHOLE corpus, every distinct line survives exactly once — in the document
+    where it first appears, ordered by (id, line position) — and every later
+    copy (including repeats inside one document) is dropped. Documents are
+    then reassembled from their surviving lines; a document whose every line
+    was seen earlier comes back as the empty string.
+
+    Scale plan (no skewed task anywhere, by construction):
+    1. posexplode lines — narrow.
+    2. first occurrence per line via groupBy(line).agg(min(struct(id, pos)))
+       — a hot boilerplate line with 10^8 copies is collapsed map-side by
+       partial aggregation before the shuffle, so the reduce task for that
+       line receives one partial row per map task, not 10^8 rows.
+    3. keep = lines ⋈ keepers on (line, id, pos) — BOTH sides are unique per
+       composite key (keepers is one row per line; the composite includes the
+       winning position), so the shuffled join has no hot key: the copies of
+       a boilerplate line spread across (id, pos) values that simply find no
+       match.
+    4. reassemble with sort_array(collect_list(struct(pos, line))) grouped by
+       id, then left-join the original frame so fully-deduped documents
+       survive with text = ''.
+
+    Returns (id_col, text_col deduped, n_kept) — one row per input row.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
+            "pos", "line"
+        ),
+    )
+    keepers = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct(id_col, "pos")).alias("first"))
+        .select(
+            F.col("line").alias("k_line"),
+            F.col("first")[id_col].alias("k_id"),
+            F.col("first")["pos"].alias("k_pos"),
+        )
+    )
+    kept = lines.join(
+        keepers,
+        (F.col("line") == F.col("k_line"))
+        & (F.col(id_col) == F.col("k_id"))
+        & (F.col("pos") == F.col("k_pos")),
+    ).select(id_col, "pos", "line")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("_kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_kept_text", F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

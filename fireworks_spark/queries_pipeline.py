@@ -289,6 +289,29 @@ def q47_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q98_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (the C4 "deduplicate repeated lines" filter):
+    every distinct line survives only at its first (doc_id, position)
+    occurrence; documents are reassembled from surviving lines. The corpus
+    has no newlines, so documents are first lineated deterministically into
+    4-token lines (the oracle lineates identically)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    lineated = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(w) / F.lit(4.0)).cast("int") - 1
+            ),
+            lambda i: F.array_join(
+                F.slice(w, (i * 4 + 1).cast("int"), 4), " "
+            ),
+        ),
+        "\n",
+    )
+    lines_df = d.select("doc_id", lineated.alias("text"))
+    return dedup.line_dedup(lines_df).orderBy("doc_id")
+
+
 PIPELINE_QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
@@ -303,6 +326,7 @@ PIPELINE_QUERIES = {
     "q45_url_extract": q45_url_extract,
     "q46_stopword_filter": q46_stopword_filter,
     "q47_strip_markup": q47_strip_markup,
+    "q98_line_dedup": q98_line_dedup,
     "q35_ann_cosine_topk": q35_ann_cosine_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q37_text_token_stats": q37_text_token_stats,
@@ -430,6 +454,41 @@ PIPELINE_ORACLE = {
         "'<[^>]{0,256}>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean "
         "FROM s ORDER BY doc_id"
     ),
+    "q98_line_dedup": """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        lin AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(CAST(ceil(len(w) / 4.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(w, i*4 + 1, i*4 + 4), ' ')
+                 ) AS lines
+          FROM s
+        ),
+        l AS (
+          SELECT doc_id, unnest(lines) AS line,
+                 generate_subscripts(lines, 1) AS pos
+          FROM lin
+        ),
+        k AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) AS rn
+          FROM l
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+                 count(*) AS n_kept
+          FROM k WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.kept_text, '') AS text,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "q35_ann_cosine_topk": _ANN_SQL,
     # q36 IVF: approximate by design — rows-only check.
     "q37_text_token_stats": f"""

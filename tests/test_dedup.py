@@ -203,3 +203,25 @@ def test_dup_clusters_distributed_path_matches_local(spark):
         for r in dedup.dup_clusters(pairs, local_edge_limit=0).collect()
     }
     assert local == want and distributed == want
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbeta"),
+            (2, "boiler\ngamma\nboiler"),   # cross-doc dup + in-doc repeat
+            (3, "boiler"),                   # fully deduped away
+            (4, "delta\ndelta"),             # in-doc dup keeps first copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"])
+        for r in dedup.line_dedup(d).collect()
+    }
+    assert out == {
+        1: ("alpha\nboiler\nbeta", 3),
+        2: ("gamma", 1),
+        3: ("", 0),
+        4: ("delta", 1),
+    }
