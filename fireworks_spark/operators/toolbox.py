@@ -470,3 +470,55 @@ def apply_embeddings(
             ).alias(out_col)
         )
     )
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column profiler (data-quality audit): one output row per column with
+    row count, null count, exact distinct count, and min/max rendered as
+    strings. Everything is computed in a SINGLE pass over the input — the
+    per-column aggregates are laid side by side in one groupBy().agg() so a
+    100 TB scan is paid once, not once per column — then unpivoted with a
+    stack() projection (narrow). Exact COUNT(DISTINCT) over many columns
+    expands via Spark's Expand operator (one duplicate of each row per
+    distinct-aggregate); for very wide tables swap in approx_count_distinct
+    per column, which keeps the pass fully streaming."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__n_{c}`, `__nulls_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Key-skew diagnostic: the `top` most frequent keys with their counts
+    and corpus fraction — run this before a join/groupBy on key_col to
+    decide whether salting (salted_join) is needed. One partially-aggregated
+    shuffle on the key, then a driver-sized top-k sort."""
+    n = df.count()
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(n)), 6).alias("frac"),
+        )
+        .orderBy(F.desc("cnt"), key_col)
+        .limit(top)
+    )

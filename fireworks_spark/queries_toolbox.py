@@ -122,6 +122,24 @@ def q59_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toolbox.with_row_index(c, ["c_custkey"], "idx").orderBy("c_custkey")
 
 
+def q99_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over orders (row/null/distinct counts,
+    min/max as strings) — the audit every ingest runs before heavier work.
+    Float columns are excluded from the declared check (engine-dependent
+    decimal rendering); the operator itself takes any column list."""
+    o = table(spark, sf_dir, "orders")
+    return toolbox.profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).orderBy("col_name")
+
+
+def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: top event types by frequency with corpus
+    fraction — the pre-join check that decides salting."""
+    e = table(spark, sf_dir, "events")
+    return toolbox.heavy_hitters(e, "event_type", top=10)
+
+
 TOOLBOX_QUERIES = {
     "q50_shuffle_permutation": q50_shuffle_permutation,
     "q51_repeat": q51_repeat,
@@ -133,6 +151,8 @@ TOOLBOX_QUERIES = {
     "q57_make_indices": q57_make_indices,
     "q58_hstack": q58_hstack,
     "q59_row_index": q59_row_index,
+    "q99_profile": q99_profile,
+    "q100_heavy_hitters": q100_heavy_hitters,
 }
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -200,5 +220,28 @@ TOOLBOX_ORACLE = {
     "q59_row_index": (
         "SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) - 1 "
         "AS BIGINT) AS idx FROM customer ORDER BY c_custkey"
+    ),
+    "q99_profile": (
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_str, "
+            f"CAST(max({c}) AS VARCHAR) AS max_str FROM orders"
+            for c in (
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        )
+        + " ORDER BY col_name"
+    ),
+    "q100_heavy_hitters": (
+        "SELECT event_type, count(*) AS cnt, "
+        "round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS frac "
+        "FROM events GROUP BY event_type "
+        "ORDER BY cnt DESC, event_type LIMIT 10"
     ),
 }

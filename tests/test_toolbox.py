@@ -181,3 +181,26 @@ def test_salted_join_equals_plain_join(spark):
         for r in toolbox.salted_join(big, small, "k", salt=8).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_profile_counts_nulls_distinct_minmax(spark):
+    d = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c"), (None, "a")],
+        "k int, s string",
+    )
+    rows = {r["col_name"]: r for r in toolbox.profile(d).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2
+    assert (rows["k"]["min_str"], rows["k"]["max_str"]) == ("1", "2")
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert (rows["s"]["min_str"], rows["s"]["max_str"]) == ("a", "c")
+
+
+def test_heavy_hitters_orders_by_count_then_key(spark):
+    d = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 2 + [("z",)] * 2 + [("w",)],
+        "k string",
+    )
+    out = toolbox.heavy_hitters(d, "k", top=3).collect()
+    assert [(r["k"], r["cnt"]) for r in out] == [("x", 3), ("y", 2), ("z", 2)]
+    assert abs(out[0]["frac"] - 0.375) < 1e-9
