@@ -266,3 +266,30 @@ def to_torch(pdf: pd.DataFrame, columns: list[str]):
             "itself works without it"
         ) from e
     return {c: torch.as_tensor(np.stack(pdf[c].to_numpy())) for c in columns}
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (§2.6): table-valued function surface
+# --------------------------------------------------------------------------
+
+
+def register_tokens_udtf(spark, name: str = "tokens"):
+    """Register a Python UDTF `tokens(text)` -> (pos, token) rows, usable in
+    SQL as ``SELECT d.doc_id, t.* FROM docs d, LATERAL tokens(d.text) t``.
+
+    This is the table-valued corner of the §2.6 UDF/UDAF/UDTF surface: a
+    cardinality-changing function evaluated per input row. It exists for
+    API parity and for logic that genuinely needs imperative row expansion;
+    for plain tokenization the JVM path (posexplode(split())) is the hot
+    path — the test asserts both produce identical rows. Returns the UDTF
+    handle (also usable directly in the DataFrame API)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield i, t
+
+    spark.udtf.register(name, Tokens)
+    return Tokens

@@ -183,3 +183,28 @@ def test_audio_windows_rms(spark):
     }
     assert rows[0].n_bytes == 256 and rows[0].rms == 3.0
     assert rows[1].n_bytes == 100 and rows[1].rms == 4.0
+
+
+def test_tokens_udtf_matches_jvm_explode(spark):
+    from fireworks_spark import mlfeed
+
+    mlfeed.register_tokens_udtf(spark)
+    d = spark.createDataFrame(
+        [(1, "a b  c"), (2, ""), (3, None), (4, "xy")],
+        "doc_id long, text string",
+    )
+    d.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        "SELECT doc_id, t.pos, t.token "
+        "FROM udtf_docs, LATERAL tokens(text) t ORDER BY doc_id, pos"
+    ).collect()
+    want = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+        .orderBy("doc_id", "pos")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
