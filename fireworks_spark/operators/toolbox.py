@@ -522,3 +522,37 @@ def heavy_hitters(
         .orderBy(F.desc("cnt"), key_col)
         .limit(top)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    by: str | list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile clipping (winsorization) — the outlier guard applied to a
+    numeric feature before normalization/training. Exact interpolated
+    percentile bounds are computed per group (or globally) in ONE
+    aggregation pass; the bounds frame has one row per group, so it is
+    broadcast back and the clip itself (greatest/least) stays inside
+    whole-stage codegen. Two scans of the input, zero wide shuffles of it.
+    At extreme group cardinality swap percentile for approx_percentile —
+    the plan shape is unchanged."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    bounds = grouped.agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    out = out_col or value_col
+    return joined.withColumn(
+        out,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")

@@ -140,6 +140,25 @@ def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toolbox.heavy_hitters(e, "event_type", top=10)
 
 
+def q101_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile clipping (winsorization at [p05, p95]) of order
+    totals — the outlier guard before normalization. Bounds come from one
+    agg pass and broadcast back; the clip is pure codegen."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        toolbox.winsorize(
+            o, "o_totalprice", lo=0.05, hi=0.95,
+            by="o_orderstatus", out_col="clipped",
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("clipped", 2).alias("clipped"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 TOOLBOX_QUERIES = {
     "q50_shuffle_permutation": q50_shuffle_permutation,
     "q51_repeat": q51_repeat,
@@ -153,6 +172,7 @@ TOOLBOX_QUERIES = {
     "q59_row_index": q59_row_index,
     "q99_profile": q99_profile,
     "q100_heavy_hitters": q100_heavy_hitters,
+    "q101_winsorize": q101_winsorize,
 }
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -243,5 +263,14 @@ TOOLBOX_ORACLE = {
         "round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS frac "
         "FROM events GROUP BY event_type "
         "ORDER BY cnt DESC, event_type LIMIT 10"
+    ),
+    "q101_winsorize": (
+        "WITH b AS (SELECT o_orderstatus, "
+        "quantile_cont(o_totalprice, 0.05) AS lo, "
+        "quantile_cont(o_totalprice, 0.95) AS hi "
+        "FROM orders GROUP BY o_orderstatus) "
+        "SELECT o_orderkey, o_orderstatus, "
+        "round(least(greatest(o_totalprice, lo), hi), 2) AS clipped "
+        "FROM orders JOIN b USING (o_orderstatus) ORDER BY o_orderkey"
     ),
 }

@@ -204,3 +204,14 @@ def test_heavy_hitters_orders_by_count_then_key(spark):
     out = toolbox.heavy_hitters(d, "k", top=3).collect()
     assert [(r["k"], r["cnt"]) for r in out] == [("x", 3), ("y", 2), ("z", 2)]
     assert abs(out[0]["frac"] - 0.375) < 1e-9
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 1000.0)]
+    d = spark.createDataFrame(rows, "g string, v double")
+    out = toolbox.winsorize(d, "v", lo=0.05, hi=0.95, by="g", out_col="w")
+    a = {r["v"]: r["w"] for r in out.where("g = 'a'").collect()}
+    # exact interpolated p5/p95 of 1..100 are 5.95 and 95.05
+    assert a[1.0] == 5.95 and a[100.0] == 95.05 and a[50.0] == 50.0
+    b = out.where("g = 'b'").collect()[0]
+    assert b["w"] == 1000.0  # single-element group: bounds equal the value
