@@ -101,3 +101,51 @@ def bucketed_join(
     pre-bucketed files directly — zero Exchange operators (asserted in
     tests/test_io_formats.py)."""
     return spark.table(left).join(spark.table(right), on, how)
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of non-negative integer columns as a
+    single LONG sort key — pure bit expressions, fully codegen'd. Values
+    are clamped to [0, 2^bits); callers with floats/negatives should first
+    rank or offset them into that range (e.g. via ntile or min-subtract)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    assert n * bits <= 63, "interleaved key must fit a signed long"
+    cap = (1 << bits) - 1
+    clamped = [
+        F.least(F.greatest(F.col(c).cast("long"), F.lit(0)), F.lit(cap))
+        for c in cols
+    ]
+    key = F.lit(0)
+    for i in range(bits):
+        for j, cc in enumerate(clamped):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return key
+
+
+def zorder_sort(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Cluster rows along a Z-order curve over ``cols`` so every output file
+    covers a small hyper-rectangle of the key space — the data-skipping
+    layout (Delta/Iceberg OPTIMIZE ZORDER analog): parquet min/max footers
+    on EACH of the interleaved columns become selective, so point/range
+    predicates on ANY of them prune files, not just the leading sort column.
+    repartitionByRange on the Morton key (range exchange = globally ordered
+    buckets) + sortWithinPartitions; write with write_table afterwards.
+    ``num_files`` pins the output file count (otherwise AQE picks it from
+    shuffle sizes — which can coalesce small inputs to one file)."""
+    k = zorder_key(cols, bits).alias("_zkey")
+    z = df.withColumn("_zkey", k)
+    z = (
+        z.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else z.repartitionByRange("_zkey")
+    )
+    return z.sortWithinPartitions("_zkey").drop("_zkey")
