@@ -278,3 +278,57 @@ class StreamingNormalizer:
 
     def foreach_batch(self):
         return lambda batch_df, _epoch_id: self.update(batch_df)
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+    num_hashes: int = 8,
+    n: int = 3,
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup: a row-wise (shuffle-free, so
+    streaming-legal) minhash signature per document, then
+    dropDuplicatesWithinWatermark on the whole signature — bounded state,
+    exactly like dedup_stream, but keyed on content similarity instead of
+    identity.
+
+    Semantics: a doc is dropped iff all ``num_hashes`` minhash values match
+    an earlier doc inside the watermark horizon. Two docs at Jaccard J
+    collide with probability J^k — at the default k=8, a re-crawl at
+    J=0.98 is caught 85% of the time while a merely-related pair at J=0.5
+    survives 99.6% of the time. Raise k for precision, lower it for recall;
+    k=1..4 approaches band-style aggressiveness. Documents with fewer than
+    ``n`` words carry no shingles and fall back to an exact-text signature
+    (they dedup only against identical text, never against each other).
+
+    The signature projection mirrors minhash_signatures_rowwise; the
+    batch/stream parity is asserted in tests (same signatures => stream
+    keep-set == batch dropDuplicates keep-set per micro-batch replay).
+    """
+    from fireworks_spark.functions.text import words
+    from fireworks_spark.operators.dedup import ngrams_of
+
+    d = docs.withColumn("_w", words(text_col)).withColumn(
+        "_sh",
+        F.array_distinct(
+            F.transform(ngrams_of(F.col("_w"), n), lambda s: F.xxhash64(s))
+        ),
+    )
+
+    def _hash_k(k: int):
+        return lambda s: F.xxhash64(F.lit(k), s)
+
+    mins = [
+        F.array_min(F.transform("_sh", _hash_k(k))).cast("string")
+        for k in range(num_hashes)
+    ]
+    sig = F.when(
+        F.size("_sh") > 0, F.concat_ws("|", *mins)
+    ).otherwise(F.concat(F.lit("exact|"), F.xxhash64(F.col(text_col)).cast("string")))
+    d = d.withColumn(sig_col, sig).drop("_w", "_sh")
+    return d.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        [sig_col]
+    )

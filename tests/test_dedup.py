@@ -225,3 +225,10 @@ def test_line_dedup_keeps_first_occurrence_only(spark):
         3: ("", 0),
         4: ("delta", 1),
     }
+
+
+def test_rowwise_minhash_equals_grouped_minhash(docs):
+    a = dedup.minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
+    b = dedup.minhash_signatures_rowwise(docs, num_hashes=8).orderBy("doc_id")
+    assert a.columns == b.columns
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

@@ -212,3 +212,35 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, events_path):
         & (F.col("l_event") != F.col("r_event")),
     ).count()
     assert got == want
+
+
+def test_near_dedup_stream_drops_signature_dups(spark, tmp_path):
+    """Near-dup stream: identical shingle sets (and identical short texts)
+    collapse to one surviving doc inside the watermark; distinct content
+    survives."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha beta gamma delta epsilon", t0),
+        (2, "alpha beta gamma delta epsilon", t0),          # exact near-dup
+        (3, "completely different words in this one", t0),
+        (4, "hi", t0),                                      # short: exact-sig
+        (5, "hi", t0),                                      # short dup
+        (6, "yo", t0),                                      # short distinct
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    d = str(tmp_path / "docs_stream")
+    src.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    kept = streaming.near_dedup_stream(stream, watermark="1 hour")
+    streaming.run_to_memory(kept, "near_dedup_t", output_mode="append")
+    out = spark.table("near_dedup_t").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == sorted(
+        ["alpha beta gamma delta epsilon",
+         "completely different words in this one", "hi", "yo"]
+    )
+    # every surviving signature is unique
+    sigs = [r["_sig"] for r in out]
+    assert len(sigs) == len(set(sigs))
