@@ -109,11 +109,14 @@ def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the exact-Jaccard>=0.8 pair graph: the
-    clustering step that turns pairwise near-dup hits into dedup groups.
-    Oracle: DuckDB recursive-CTE transitive closure over the same pairs."""
+    """Connected components over the Jaccard>=0.8 pair graph (candidates
+    from banded MinHash — at 0.8 with 16 bands the per-pair miss
+    probability is (1 - 0.8^2)^16 ~ 7e-8, so the graph equals the exact
+    one; jac values themselves are exact, computed on candidates only):
+    the clustering step that turns pairwise near-dup hits into dedup
+    groups. Oracle: DuckDB recursive-CTE transitive closure."""
     d = table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold=0.8, df_cap=64)
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
     return (
         dedup.dup_clusters(pairs)
         .select(F.col("id").alias("doc_id"), "cluster")
@@ -123,9 +126,10 @@ def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q43_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus after dropping every near-dup except each cluster's
-    minimum-id member — the actual output of a dedup pipeline."""
+    minimum-id member — the actual output of a dedup pipeline. Pair graph
+    via the same LSH-candidate route as q42 (recall-certain at 0.8)."""
     d = table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold=0.8, df_cap=64)
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
     return dedup.keep_canonical(d, pairs).select("doc_id").orderBy("doc_id")
 
 
