@@ -11,10 +11,10 @@ Public surface (see COVERAGE.md for the reference-item map):
 - session/get_spark, tables — session factory + test-table loaders
 - operators.toolbox — shuffle/repeat/splits/interleave/label/standardize/
   salted_join/stratified_sample/index_map/apply_embeddings/with_row_index/
-  hstack
+  hstack/profile/heavy_hitters/winsorize
 - operators.dedup / similarity / textstats / multimodal — the LLM-pipeline
-  operator families (incl. dup_clusters/keep_canonical, decontaminate,
-  mask_pii, extract_urls, remove_stopwords, strip_markup)
+  operator families (incl. dup_clusters/keep_canonical, line_dedup,
+  decontaminate, mask_pii, extract_urls, remove_stopwords, strip_markup)
 - operators.ranking — TF-IDF, BM25, token chunking, repetition stats,
   sequence packing, token entropy
 - operators.asof / operators.interval — as-of and range/interval joins
@@ -22,13 +22,14 @@ Public surface (see COVERAGE.md for the reference-item map):
   above
 - mlfeed — Arrow-batched model stages, Model/LinearModel, batch_iterator,
   fit_linear, Metrics
-- streaming — event-time windows, StreamingNormalizer, stateful operators
+- streaming — event-time windows, StreamingNormalizer, stateful operators,
+  bounded-state exact and minhash near-dup stream dedup
 - database — Table binding + delete/update/upsert rewrites, compact, DDL,
   JDBC
 - experiment — Experiment/Scaffold/Factory
 - explain — attribution (Gradient*Input / IntegratedGradients / Occlusion)
 - sources — FASTA reader; io_formats — format round-trips, partitioned and
-  bucketed writes (shuffle-free co-located joins)
+  bucketed writes (shuffle-free co-located joins), Z-order clustering
 - registry — every declared query + its DuckDB oracle
 """
 
