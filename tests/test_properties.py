@@ -124,3 +124,33 @@ def test_lucene_idf_nonnegative_and_monotone(n_docs, df):
     if df < n_docs:
         rarer = math.log(1 + (n_docs - (df + 1) + 0.5) / (df + 1 + 0.5))
         assert rarer <= idf
+
+
+# ---- line dedup (dedup.line_dedup) ----------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_line_dedup_matches_python_reference(spark, doc_lines):
+    from fireworks_spark.operators import dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"])
+        for r in dedup.line_dedup(d).collect()
+    }
+    seen: set = set()
+    for i, (_, text) in enumerate(rows):
+        kept = []
+        for line in text.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        assert got[i] == ("\n".join(kept), len(kept))
