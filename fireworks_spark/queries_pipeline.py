@@ -165,6 +165,22 @@ def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: probe only the query's hyperplane-sign bucket
+    (equi-join on bucket id — the O(N/2^bits) scale path between brute
+    force and IVF). Approximate by construction, so rows-only for the
+    driver; tests/test_similarity.py asserts every returned neighbor is a
+    true neighbor (it appears in the brute-force ranking with the same
+    similarity)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.lsh_bucket_topk(e, q, k=5, num_bits=6)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -333,6 +349,7 @@ PIPELINE_QUERIES = {
     "q98_line_dedup": q98_line_dedup,
     "q35_ann_cosine_topk": q35_ann_cosine_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
+    "q102_ann_lsh_topk": q102_ann_lsh_topk,
     "q37_text_token_stats": q37_text_token_stats,
     "q38_text_quality": q38_text_quality,
     "q39_text_langid": q39_text_langid,
