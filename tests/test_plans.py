@@ -57,3 +57,42 @@ def test_partial_agg_and_codegen_on_relational_core(spark, sf_dir):
     import re
 
     assert re.search(r"\*\(\d+\) HashAggregate", final)
+
+
+def test_line_dedup_partial_min_before_shuffle(spark, sf_dir):
+    """The boilerplate-skew defense: the per-line first-occurrence min must
+    partially aggregate map-side (a hot line collapses before the
+    exchange), and the keep join must not be a cross join."""
+    plan = _plan(QUERIES["q98_line_dedup"](spark, sf_dir))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """The per-group percentile bounds frame is one row per group — it must
+    come back as a broadcast join, leaving the fact side unshuffled."""
+    plan = _plan(QUERIES["q101_winsorize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """All per-column aggregates ride ONE scan of the input (the unpivot is
+    a projection of a 1-row frame, not a second pass)."""
+    plan = _plan(QUERIES["q99_profile"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_minhash_signatures_no_shuffle(spark, sf_dir):
+    """Row-wise minhash is a narrow projection: no KEY shuffle anywhere —
+    the only allowed exchange is spread()'s round-robin scatter (the
+    small-file parallelism guard, a no-op on well-partitioned input)."""
+    from fireworks_spark.operators import dedup
+    from fireworks_spark.tables import table
+
+    sig = dedup.minhash_signatures_rowwise(
+        table(spark, sf_dir, "documents"), num_hashes=8
+    )
+    plan = _plan(sig)
+    assert "HashPartitioning" not in plan
+    assert "RangePartitioning" not in plan
