@@ -764,6 +764,90 @@ def embedding_dup_pairs(
     ).filter(F.col("sim") >= threshold)
 
 
+def semdedup(
+    df: DataFrame,
+    eps: float = 0.9,
+    num_clusters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with spherical k-means, then — WITHIN each
+    cluster, scanning members in ascending id order — dropping every vector
+    whose max cosine to ANY earlier member (kept or dropped, the paper's
+    upper-triangular rule) is >= eps. Returns the kept rows as
+    (id_col, cluster).
+
+    Scale design (the point of clustering first): the quadratic comparison
+    never crosses a cluster boundary. The quantizer trains driver-side on a
+    bounded sample (centroids, not the fit set, define the partition — see
+    ivf_topk); ONE Arrow-batched matmul pass assigns cluster ids; then each
+    cluster dedups independently inside applyInPandas with a BLOCKED
+    triangular gram (O(block^2) memory, not O(m^2)), so the per-task cost
+    is (N/k)^2 with k chosen to bound cluster size — at 100 TB you pick
+    k ~ N/20k and the heaviest task touches ~20k vectors. Mirrors the
+    reference's dedup-by-content semantics (fireworks/toolbox) lifted to
+    embedding space."""
+    import numpy as np
+
+    from fireworks_spark.operators.similarity import _spherical_kmeans
+
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).limit(100_000).collect()
+        ]
+    )
+    C = _spherical_kmeans(sample, num_clusters, seed)
+
+    import pandas as pd
+
+    def _assign(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["nv"]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "nid": b["nid"],
+                    "nv": b["nv"],
+                    "pt": np.argmax(Xn @ C.T, axis=1).astype(np.int32),
+                }
+            )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("nid").reset_index(drop=True)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        n = len(Xn)
+        drop = np.zeros(n, dtype=bool)
+        B = 2048
+        for js in range(0, n, B):
+            je = min(js + B, n)
+            colmax = np.full(je - js, -np.inf)
+            for is_ in range(0, je, B):
+                ie = min(is_ + B, je)
+                G = Xn[is_:ie] @ Xn[js:je].T
+                # mask pairs where row index >= column index (triangular)
+                i_idx = np.arange(is_, ie)[:, None]
+                j_idx = np.arange(js, je)[None, :]
+                G = np.where(i_idx < j_idx, G, -np.inf)
+                colmax = np.maximum(colmax, G.max(axis=0))
+            drop[js:je] = colmax >= eps
+        return pdf.loc[~drop, ["nid", "pt"]]
+
+    vec_type = dict(df.dtypes)[vec_col]
+    assigned = df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    ).mapInPandas(_assign, f"nid long, nv {vec_type}, pt int")
+    kept = assigned.groupBy("pt").applyInPandas(_prune, "nid long, pt int")
+    return kept.select(
+        F.col("nid").alias(id_col), F.col("pt").alias("cluster")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

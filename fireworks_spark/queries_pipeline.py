@@ -181,6 +181,17 @@ def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    within each cluster drop every vector whose cosine to an earlier (lower
+    id) member reaches eps. Depends on the learned quantizer (no SQL
+    equivalent), so rows-only for the driver; tests/test_dedup.py asserts
+    the kept set matches a full-gram Python reference implementation
+    exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    return dedup.semdedup(e, eps=0.9, num_clusters=8).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -350,6 +361,7 @@ PIPELINE_QUERIES = {
     "q35_ann_cosine_topk": q35_ann_cosine_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
+    "q103_semdedup": q103_semdedup,
     "q37_text_token_stats": q37_text_token_stats,
     "q38_text_quality": q38_text_quality,
     "q39_text_langid": q39_text_langid,

@@ -232,3 +232,53 @@ def test_rowwise_minhash_equals_grouped_minhash(docs):
     b = dedup.minhash_signatures_rowwise(docs, num_hashes=8).orderBy("doc_id")
     assert a.columns == b.columns
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_semdedup_matches_python_reference(spark):
+    """Differential check of the full SemDeDup pipeline (train -> assign ->
+    triangular prune) against a plain-numpy reference with a FULL gram
+    matrix — also exercises the blocked-gram path's masking logic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dirs = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    vecs = []
+    for i in range(60):
+        if i % 4 == 3:  # isotropic noise rows
+            v = rng.normal(size=3)
+        else:  # planted near-dup groups around the 3 axes
+            v = dirs[i % 4] + rng.normal(scale=0.01, size=3)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    eps, k, seed = 0.95, 3, 42
+    got = sorted(
+        r.vec_id for r in dedup.semdedup(df, eps, k, seed=seed).collect()
+    )
+
+    # reference: same quantizer code, full-gram triangular prune
+    from fireworks_spark.operators.similarity import _spherical_kmeans
+
+    X = np.array([v for _, v in vecs])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, k, seed)
+    assign = np.argmax(Xn @ C.T, axis=1)
+    kept = []
+    for c in set(assign.tolist()):
+        ids = [i for i in range(len(vecs)) if assign[i] == c]
+        M = Xn[ids] @ Xn[ids].T
+        for pos, i in enumerate(ids):
+            if pos == 0 or M[:pos, pos].max() < eps:
+                kept.append(i)
+    assert got == sorted(kept)
+    # planted groups actually collapsed: far fewer kept than input rows
+    assert len(got) < 40
+
+
+def test_semdedup_keeps_everything_at_eps_above_1(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = dedup.semdedup(df, eps=1.1, num_clusters=2)
+    assert sorted(r.vec_id for r in out.collect()) == list(range(10))
