@@ -138,6 +138,64 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance = sum over token occurrences of
+    ln p_target(tok) - ln p_raw(tok), where both unigram LMs are add-k
+    smoothed over the RAW corpus vocabulary (target tokens outside it are
+    ignored — the hashed-feature analog). Documents scoring high look like
+    the target distribution; used to resample a raw crawl toward a
+    high-quality corpus before pre-training. Returns (id_col, dsir_logw).
+
+    Scale: two token aggregations (map-side-combined shuffles on token),
+    one |vocab|-row log-ratio table joined back on token, one per-doc agg.
+    Corpus scalars (totals, vocab size) ride along via a broadcast
+    single-row crossJoin so the plan stays lazy end-to-end; no driver
+    state.
+    """
+    raw = spread(raw)
+    rtok = raw.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    ttok = spread(target).select(F.explode(tokens(text_col)).alias("tok"))
+    rc = rtok.groupBy("tok").agg(F.count(F.lit(1)).alias("rc"))
+    tc = ttok.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    totals = rc.agg(
+        F.sum("rc").alias("tr"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt")))
+    lr = (
+        rc.join(tc, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + F.lit(k))
+                    / (F.col("tt") + F.lit(k) * F.col("v"))
+                )
+                - F.log(
+                    (F.col("rc") + F.lit(k))
+                    / (F.col("tr") + F.lit(k) * F.col("v"))
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = rtok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.join(lr, "tok")
+        .groupBy(id_col)
+        .agg(
+            (F.round(F.sum(F.col("cnt") * F.col("lr")), 4) + F.lit(0.0)).alias(
+                "dsir_logw"
+            )
+        )
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     id_col: str = "doc_id",

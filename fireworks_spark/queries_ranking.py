@@ -135,8 +135,19 @@ def q97_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.bigram_perplexity(d).orderBy("doc_id")
 
 
+def q104_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of every document against a deterministic
+    target slice (doc_id % 7 = 0): add-1 unigram LMs over the raw vocab,
+    score = sum of per-occurrence log ratios."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.dsir_weights(
+        d, d.filter(F.col("doc_id") % 7 == 0)
+    ).orderBy("doc_id")
+
+
 RANKING_QUERIES = {
     "q82_tfidf": q82_tfidf,
+    "q104_dsir_weights": q104_dsir_weights,
     "q83_bm25": q83_bm25,
     "q84_chunk": q84_chunk,
     "q85_repetition": q85_repetition,
@@ -149,6 +160,33 @@ RANKING_QUERIES = {
 }
 
 RANKING_ORACLE = {
+    "q104_dsir_weights": f"""
+        WITH w AS ({_W}),
+        rtok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        rc0 AS (SELECT tok, COUNT(*)::BIGINT AS rc FROM rtok GROUP BY tok),
+        tc0 AS (
+            SELECT tok, COUNT(*)::BIGINT AS tc
+            FROM rtok WHERE doc_id % 7 = 0 GROUP BY tok
+        ),
+        tot AS (
+            SELECT (SELECT SUM(rc)::DOUBLE FROM rc0) AS tr,
+                   (SELECT COUNT(*)::DOUBLE FROM rc0) AS v,
+                   (SELECT COALESCE(SUM(tc), 0)::DOUBLE FROM tc0) AS tt
+        ),
+        lr AS (
+            SELECT rc0.tok,
+                   LN((COALESCE(tc, 0) + 1.0) / (tt + v))
+                 - LN((rc + 1.0) / (tr + v)) AS lr
+            FROM rc0 LEFT JOIN tc0 USING (tok) CROSS JOIN tot
+        ),
+        pd AS (
+            SELECT doc_id, tok, COUNT(*)::BIGINT AS cnt
+            FROM rtok GROUP BY doc_id, tok
+        )
+        SELECT pd.doc_id, ROUND(SUM(cnt * lr), 4) + 0.0 AS dsir_logw
+        FROM pd JOIN lr USING (tok)
+        GROUP BY pd.doc_id ORDER BY pd.doc_id
+    """,
     "q82_tfidf": f"""
         WITH w AS ({_W}),
         tok AS (SELECT doc_id, unnest(ws) AS term FROM w),

@@ -145,3 +145,27 @@ def test_bigram_perplexity_closed_form(spark):
     # doc1: single ab bigram
     assert rows[1].n_bigrams == 1
     assert rows[1].ppl == round(1 / p_ab, 4)
+
+
+def test_dsir_weights_closed_form(spark):
+    """Two-doc corpus, target = doc 0. Hand-computed add-1 unigram ratios:
+    vocab {a,b,c} (v=3), raw counts a=3,b=2,c=1 (tr=6), target counts
+    a=2,b=1 (tt=3)."""
+    import math
+
+    d = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.dsir_logw
+        for r in ranking.dsir_weights(d, d.filter("doc_id = 0")).collect()
+    }
+    lr = {
+        "a": math.log(3 / 6) - math.log(4 / 9),
+        "b": math.log(2 / 6) - math.log(3 / 9),
+        "c": math.log(1 / 6) - math.log(2 / 9),
+    }
+    assert out[0] == round(2 * lr["a"] + lr["b"], 4)
+    assert out[1] == round(lr["a"] + lr["b"] + lr["c"], 4)
+    # target-resembling doc scores higher
+    assert out[0] > out[1]
