@@ -96,3 +96,23 @@ def test_minhash_signatures_no_shuffle(spark, sf_dir):
     plan = _plan(sig)
     assert "HashPartitioning" not in plan
     assert "RangePartitioning" not in plan
+
+
+def test_semdedup_plan_no_cartesian(spark, sf_dir):
+    """The quadratic comparison lives inside per-cluster Arrow tasks; the
+    Spark plan itself must stay linear — no crossJoin/cartesian anywhere."""
+    plan = _plan(QUERIES["q103_semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # per-cluster prune
+    assert "MapInPandas" in plan  # assignment pass
+
+
+def test_dsir_plan_broadcasts_scalars_only(spark, sf_dir):
+    """Corpus scalars ride a broadcast nested-loop join of ONE row; the
+    token-level joins must be hash joins (no cartesian over token rows)."""
+    plan = _plan(QUERIES["q104_dsir_weights"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # log-ratio join back to per-doc counts is a real equi-join
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # partial aggregation (map-side combine) on the token counts
+    assert "partial_count" in plan or "HashAggregate" in plan
