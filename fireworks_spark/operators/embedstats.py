@@ -1,0 +1,147 @@
+"""Embedding-column statistics: covariance matrix and PCA projection —
+the whitening/dimensionality-reduction preprocessing of an embedding-based
+training-data pipeline (feeds SemDeDup/ANN; reference analog: the
+Normalizer/preprocessing pipes of fireworks/toolbox/preprocessing.py:14-109
+lifted from scalar columns to vector columns).
+
+Scale notes (100 TB):
+- ``covariance_matrix`` is one generate-then-aggregate pipeline, entirely
+  JVM-side: each row streams its dim^2 (i, j, x_i*x_j) triples through
+  whole-stage codegen into a partial HashAggregate, so every task emits at
+  most dim^2 partial rows (4096 at dim=64) regardless of row count — the
+  classic map-side outer-product accumulation, with the final shuffle
+  bounded by dim^2 groups. No Python, no driver state.
+- ``pca_project`` collects only the dim x dim covariance (tiny, constant
+  in N), eigendecomposes on the driver, and projects with one Arrow
+  matmul pass — same shape as similarity.ivf_topk's assignment stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fireworks_spark.operators.spread import spread
+
+__all__ = ["covariance_matrix", "pca_fit", "pca_project"]
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", round_to: int | None = 4
+) -> DataFrame:
+    """Population covariance of a vector column as (i, j, cov) rows,
+    0-based indices, cov = E[x_i x_j] - E[x_i] E[x_j]."""
+    base = (
+        spread(df)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    idx = F.sequence(F.lit(0), F.size("v") - 1)
+    # per-row (i, j, x_i*x_j) triples; "v" is a materialized attribute so
+    # the lambda only indexes it (no re-evaluated subexpressions inside)
+    triples = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col("v"), i + 1)
+                        * F.element_at(F.col("v"), j + 1)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    exy = (
+        base.select(F.explode(triples).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.avg("p").alias("exy"))
+    )
+    means = (
+        base.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+    )
+    mi = F.broadcast(means.select(F.col("i"), F.col("m").alias("mi")))
+    mj = F.broadcast(
+        means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    )
+    cov = F.col("exy") - F.col("mi") * F.col("mj")
+    if round_to is not None:
+        cov = F.round(cov, round_to) + F.lit(0.0)
+    return (
+        exy.join(mi, "i")
+        .join(mj, "j")
+        .select("i", "j", cov.alias("cov"))
+    )
+
+
+def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding"):
+    """Top-k principal components from the distributed covariance (only
+    dim^2 rows ever reach the driver). Returns (components [k, dim] with a
+    deterministic sign convention, mean [dim], explained_variance [k])."""
+    import numpy as np
+
+    rows = covariance_matrix(df, vec_col, round_to=None).collect()
+    dim = max(r["i"] for r in rows) + 1
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+    mean = np.array(
+        [
+            r["m"]
+            for r in (
+                spread(df)
+                .select(F.col(vec_col).cast("array<double>").alias("v"))
+                .filter(F.col("v").isNotNull())
+                .select(F.posexplode("v").alias("i", "x"))
+                .groupBy("i")
+                .agg(F.avg("x").alias("m"))
+                .orderBy("i")
+                .collect()
+            )
+        ]
+    )
+    w, V = np.linalg.eigh((C + C.T) / 2.0)
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order].T
+    # deterministic sign: largest-|coefficient| entry of each component >= 0
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1.0
+    return comps, mean, w[order]
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Project every vector onto the top-k principal components (mean-
+    centered). Returns (id_col, pc array<double> of length k)."""
+    import numpy as np
+    import pandas as pd
+
+    comps, mean, _ = pca_fit(df, k, vec_col)
+
+    def _proj(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["nv"]])
+            P = np.round((X - mean) @ comps.T, round_to) + 0.0
+            yield pd.DataFrame({"nid": b["nid"], "pc": list(P)})
+
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+        .mapInPandas(_proj, "nid long, pc array<double>")
+        .select(F.col("nid").alias(id_col), "pc")
+    )

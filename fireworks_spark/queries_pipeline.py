@@ -181,6 +181,29 @@ def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding column as (i, j, cov)
+    rows — the whitening statistic. One generate-then-aggregate JVM
+    pipeline: every task emits at most dim^2 partial rows via map-side
+    combine, so the shuffle is bounded by dim^2 groups, not row count."""
+    from fireworks_spark.operators import embedstats
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedstats.covariance_matrix(e).orderBy("i", "j")
+
+
+def q106_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA projection of every embedding (driver-side eig of the
+    distributed covariance, Arrow matmul projection pass). Depends on the
+    eigendecomposition (no SQL equivalent), so rows-only for the driver;
+    tests/test_similarity.py asserts exact reconstruction on planted
+    low-rank data and orthonormal components."""
+    from fireworks_spark.operators import embedstats
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedstats.pca_project(e, k=8).orderBy("vec_id")
+
+
 def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
     within each cluster drop every vector whose cosine to an earlier (lower
@@ -362,6 +385,8 @@ PIPELINE_QUERIES = {
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
     "q103_semdedup": q103_semdedup,
+    "q105_embedding_covariance": q105_embedding_covariance,
+    "q106_pca_project": q106_pca_project,
     "q37_text_token_stats": q37_text_token_stats,
     "q38_text_quality": q38_text_quality,
     "q39_text_langid": q39_text_langid,
@@ -432,6 +457,24 @@ PIPELINE_ORACLE = {
     # pairs and the oracle is the exact-Jaccard SQL at the same threshold.
     "q32_dedup_minhash_lsh": _JACCARD_SQL_08,
     # q33 simhash: no SQL equivalent (xxhash64) — rows-only check.
+    "q105_embedding_covariance": """
+        WITH e AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        tr AS (SELECT unnest(flatten(list_transform(range(len(v)), i ->
+                   list_transform(range(len(v)), j ->
+                       struct_pack(i := i, j := j, p := v[i+1]*v[j+1])))))
+                   AS s FROM e),
+        x AS (SELECT s.i::INT AS i, s.j::INT AS j, avg(s.p) AS exy
+              FROM tr GROUP BY 1, 2),
+        mm AS (SELECT unnest(list_transform(range(len(v)), i ->
+                   struct_pack(i := i, x := v[i+1]))) AS s FROM e),
+        m AS (SELECT s.i::INT AS i, avg(s.x) AS m FROM mm GROUP BY 1)
+        SELECT x.i, x.j, ROUND(exy - mi.m * mj.m, 4) + 0.0 AS cov
+        FROM x JOIN m mi ON x.i = mi.i JOIN m mj ON x.j = mj.i
+        ORDER BY x.i, x.j
+    """,
     "q34_dedup_embedding_cosine": f"""
         WITH p AS (
           SELECT a.vec_id AS ida, b.vec_id AS idb,

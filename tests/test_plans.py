@@ -116,3 +116,13 @@ def test_dsir_plan_broadcasts_scalars_only(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     # partial aggregation (map-side combine) on the token counts
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_covariance_plan_partial_agg_no_cartesian(spark, sf_dir):
+    """The dim^2 outer-product accumulation must happen map-side (partial
+    HashAggregate above the Generate), with only broadcast joins after."""
+    plan = _plan(QUERIES["q105_embedding_covariance"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert "partial_avg" in plan  # map-side combine of the triples
+    assert "BroadcastHashJoin" in plan  # 64-row means joined broadcast

@@ -108,3 +108,40 @@ def test_lsh_bucket_results_are_true_neighbors(emb, queries):
     }
     for r in got:
         assert exact[(r.qid, r.nid)] == r.sim
+
+
+def test_covariance_matrix_closed_form(spark):
+    from fireworks_spark.operators import embedstats
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    got = {(r.i, r.j): r.cov for r in embedstats.covariance_matrix(df).collect()}
+    # means (2, 2); E[x0^2]=5, E[x0x1]=6, E[x1^2]=8
+    assert got == {(0, 0): 1.0, (0, 1): 2.0, (1, 0): 2.0, (1, 1): 4.0}
+
+
+def test_pca_recovers_planted_low_rank(spark):
+    """Rank-2 data in 5 dims: k=2 projection must reconstruct exactly and
+    components must be orthonormal."""
+    import numpy as np
+
+    from fireworks_spark.operators import embedstats
+
+    rng = np.random.default_rng(3)
+    B = np.linalg.qr(rng.normal(size=(5, 2)))[0].T  # orthonormal basis (2,5)
+    Z = rng.normal(size=(40, 2)) * np.array([3.0, 1.5])
+    X = Z @ B + rng.normal(size=5) * 0  # exactly rank 2 around its mean
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, mean, ev = embedstats.pca_fit(df, 2)
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-8)
+    proj = {
+        r.vec_id: np.array(r.pc)
+        for r in embedstats.pca_project(df, 2, round_to=6).collect()
+    }
+    for i in range(40):
+        rec = proj[i] @ comps + mean
+        assert np.allclose(rec, X[i], atol=1e-4)
