@@ -204,6 +204,38 @@ def q106_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedstats.pca_project(e, k=8).orderBy("vec_id")
 
 
+def q107_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 30 BPE merges on the documents corpus. The corpus-scale stage
+    is one map-side-combined word count; the merge loop runs driver-side
+    over the bounded frequency table (every production BPE trainer's
+    shape). Deterministic (count-desc + lexicographic tiebreaks), but an
+    iterative algorithm with no SQL equivalent — rows-only; hand-computed
+    merges asserted in tests/test_bpe.py."""
+    from fireworks_spark.operators import bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, num_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).orderBy("rank")
+
+
+def q108_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the 30 learned merges (Arrow-batched
+    subword segmentation); returns per-doc subtoken counts. Rows-only
+    (depends on the learned merge table)."""
+    from fireworks_spark.operators import bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, num_merges=30)
+    return (
+        bpe.bpe_encode(d, merges)
+        .select("doc_id", "n_subtokens")
+        .orderBy("doc_id")
+    )
+
+
 def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
     within each cluster drop every vector whose cosine to an earlier (lower
@@ -387,6 +419,8 @@ PIPELINE_QUERIES = {
     "q103_semdedup": q103_semdedup,
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_pca_project": q106_pca_project,
+    "q107_bpe_merges": q107_bpe_merges,
+    "q108_bpe_encode": q108_bpe_encode,
     "q37_text_token_stats": q37_text_token_stats,
     "q38_text_quality": q38_text_quality,
     "q39_text_langid": q39_text_langid,
