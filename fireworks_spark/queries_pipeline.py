@@ -183,9 +183,9 @@ def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix of the embedding column as (i, j, cov)
-    rows — the whitening statistic. One generate-then-aggregate JVM
-    pipeline: every task emits at most dim^2 partial rows via map-side
-    combine, so the shuffle is bounded by dim^2 groups, not row count."""
+    rows — the whitening statistic. Each Arrow batch collapses to one
+    dim x dim BLAS partial before anything moves, so the shuffle is
+    bounded by dim^2 groups, not row count."""
     from fireworks_spark.operators import embedstats
 
     e = table(spark, sf_dir, "embeddings")

@@ -123,6 +123,6 @@ def test_covariance_plan_partial_agg_no_cartesian(spark, sf_dir):
     HashAggregate above the Generate), with only broadcast joins after."""
     plan = _plan(QUERIES["q105_embedding_covariance"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "Generate explode" in plan
-    assert "partial_avg" in plan  # map-side combine of the triples
-    assert "BroadcastHashJoin" in plan  # 64-row means joined broadcast
+    assert "MapInPandas" in plan  # one dim^2 BLAS partial per Arrow batch
+    assert "partial_sum" in plan  # map-side combine of the partials
+    assert "Exchange hashpartitioning(i" in plan  # dim^2-bounded shuffle
