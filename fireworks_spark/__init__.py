@@ -14,9 +14,12 @@ Public surface (see COVERAGE.md for the reference-item map):
   hstack/profile/heavy_hitters/winsorize
 - operators.dedup / similarity / textstats / multimodal — the LLM-pipeline
   operator families (incl. dup_clusters/keep_canonical, line_dedup,
-  decontaminate, mask_pii, extract_urls, remove_stopwords, strip_markup)
+  semdedup, decontaminate, mask_pii, extract_urls, remove_stopwords,
+  strip_markup)
 - operators.ranking — TF-IDF, BM25, token chunking, repetition stats,
-  sequence packing, token entropy
+  sequence packing, token entropy, DSIR importance weights
+- operators.embedstats — embedding covariance matrix, PCA fit/projection
+- operators.bpe — BPE tokenizer training + subword encoding
 - operators.asof / operators.interval — as-of and range/interval joins
 - pipeline.Pipe — the reference's fluent chaining surface over all of the
   above
