@@ -189,3 +189,44 @@ def remove_stopwords(col: Column | str, stopwords: list[str]) -> Column:
     expression)."""
     sw = F.array(*[F.lit(w) for w in stopwords])
     return F.filter(words(col), lambda t: ~F.array_contains(sw, t))
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Corpus-level originality score: the fraction of each document's
+    DISTINCT word n-grams that appear in no other document (and in no other
+    position pool — document frequency exactly 1). Low scores flag
+    boilerplate/templated text; the quality-filter complement of the
+    jaccard/minhash dedup family. Documents with fewer than ``n`` words are
+    absent from the output (they have no n-grams).
+
+    Returns (id_col, n_grams, novel_frac).
+
+    Scale: tokenize once into a materialized array, explode distinct
+    n-grams, one map-side-combined document-frequency agg on the gram key
+    (hot boilerplate grams collapse before the shuffle), join back on gram
+    — each (gram, doc) row meets exactly one frequency row, so no hot key —
+    then a per-doc agg. String grams, not hashes, so a DuckDB oracle can
+    replicate bit-for-bit."""
+    from fireworks_spark.operators.dedup import ngrams_of
+
+    df = spread(df)
+    w = df.select(id_col, words(text_col).alias("w")).filter(F.size("w") >= n)
+    grams = w.select(
+        id_col, F.explode(F.array_distinct(ngrams_of(F.col("w"), n))).alias("g")
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.round(
+                    F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 4
+                )
+                + F.lit(0.0)
+            ).alias("novel_frac"),
+        )
+    )

@@ -204,6 +204,13 @@ def q106_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedstats.pca_project(e, k=8).orderBy("vec_id")
 
 
+def q109_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level originality: fraction of each doc's distinct word
+    trigrams with document frequency exactly 1 (boilerplate detector)."""
+    d = table(spark, sf_dir, "documents")
+    return textstats.ngram_novelty(d).orderBy("doc_id")
+
+
 def q107_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 30 BPE merges on the documents corpus. The corpus-scale stage
     is one map-side-combined word count; the merge loop runs driver-side
@@ -421,6 +428,7 @@ PIPELINE_QUERIES = {
     "q106_pca_project": q106_pca_project,
     "q107_bpe_merges": q107_bpe_merges,
     "q108_bpe_encode": q108_bpe_encode,
+    "q109_ngram_novelty": q109_ngram_novelty,
     "q37_text_token_stats": q37_text_token_stats,
     "q38_text_quality": q38_text_quality,
     "q39_text_langid": q39_text_langid,
@@ -491,6 +499,21 @@ PIPELINE_ORACLE = {
     # pairs and the oracle is the exact-Jaccard SQL at the same threshold.
     "q32_dedup_minhash_lsh": _JACCARD_SQL_08,
     # q33 simhash: no SQL equivalent (xxhash64) — rows-only check.
+    "q109_ngram_novelty": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, array_length(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+            FROM toks WHERE array_length(w) >= 3
+        ),
+        dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               ROUND(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END::DOUBLE), 4)
+                   + 0.0 AS novel_frac
+        FROM sh JOIN dfreq USING (g)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     "q105_embedding_covariance": """
         WITH e AS (
             SELECT CAST(embedding AS DOUBLE[]) AS v

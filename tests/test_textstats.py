@@ -116,3 +116,22 @@ def test_remove_stopwords(spark):
         textstats.remove_stopwords("text", ["the", "and"]).alias("w")
     ).collect()[0].w
     assert out == ["cat", "hat"]
+
+
+def test_ngram_novelty_closed_form(spark):
+    from fireworks_spark.operators import textstats
+
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d"),      # grams: "a b c", "b c d"
+            (1, "a b c x"),      # grams: "a b c", "b c x"
+            (2, "q r"),          # too short -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.novel_frac)
+        for r in textstats.ngram_novelty(d).collect()
+    }
+    # "a b c" shared (df=2); the others unique
+    assert out == {0: (2, 0.5), 1: (2, 0.5)}
