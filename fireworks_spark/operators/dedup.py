@@ -1113,3 +1113,52 @@ def minhash_signatures_rowwise(
         for k in range(num_hashes)
     ]
     return sets.select(id_col, *sig)
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 20,
+    overlap: int = 10,
+) -> DataFrame:
+    """Chunk-level exact-duplicate contamination — the ExactSubstr signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) at token-window granularity: the fraction of
+    each document's full-length token windows that appear verbatim in at
+    least one OTHER document. Overlapping windows (stride = size - overlap)
+    catch duplicated spans that cross aligned-chunk boundaries. Documents
+    shorter than ``size`` tokens have no full window and are absent.
+
+    Returns (id_col, n_chunks, dup_chunk_frac).
+
+    Scale: the windowing is a pure generate stage; the distinct (chunk,
+    doc) projection collapses intra-doc repeats map-side; the doc-count agg
+    shuffles on the chunk key with partial aggregation (a viral boilerplate
+    chunk arrives as one partial row per map task); the join back has one
+    frequency row per chunk, so no hot key.
+    """
+    from fireworks_spark.operators.ranking import chunk_tokens
+
+    ch = chunk_tokens(df, id_col, text_col, size, overlap).filter(
+        F.col("n_tokens") == size
+    )
+    docs_per = (
+        ch.select(id_col, "chunk")
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    return (
+        ch.join(docs_per, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            (
+                F.round(
+                    F.avg(F.when(F.col("nd") >= 2, 1.0).otherwise(0.0)), 4
+                )
+                + F.lit(0.0)
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -135,6 +135,16 @@ def q97_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.bigram_perplexity(d).orderBy("doc_id")
 
 
+def q110_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact-duplicate contamination (Lee et al. ExactSubstr
+    signal): fraction of each doc's full 20-token windows (stride 10)
+    appearing verbatim in another document."""
+    from fireworks_spark.operators import dedup
+
+    d = table(spark, sf_dir, "documents")
+    return dedup.chunk_dup_stats(d, size=20, overlap=10).orderBy("doc_id")
+
+
 def q104_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights of every document against a deterministic
     target slice (doc_id % 7 = 0): add-1 unigram LMs over the raw vocab,
@@ -148,6 +158,7 @@ def q104_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANKING_QUERIES = {
     "q82_tfidf": q82_tfidf,
     "q104_dsir_weights": q104_dsir_weights,
+    "q110_chunk_dup_stats": q110_chunk_dup_stats,
     "q83_bm25": q83_bm25,
     "q84_chunk": q84_chunk,
     "q85_repetition": q85_repetition,
@@ -160,6 +171,26 @@ RANKING_QUERIES = {
 }
 
 RANKING_ORACLE = {
+    "q110_chunk_dup_stats": f"""
+        WITH w AS ({_W}),
+        st AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, greatest(len(ws) - 1, 0) + 1, 10)) AS s
+            FROM w
+        ),
+        ch AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ws, s + 1, s + 20), ' ') AS chunk
+            FROM st WHERE len(list_slice(ws, s + 1, s + 20)) = 20
+        ),
+        cd AS (SELECT DISTINCT doc_id, chunk FROM ch),
+        nd AS (SELECT chunk, count(*) AS nd FROM cd GROUP BY chunk)
+        SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               ROUND(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END::DOUBLE), 4)
+                   + 0.0 AS dup_chunk_frac
+        FROM ch JOIN nd USING (chunk)
+        GROUP BY ch.doc_id ORDER BY ch.doc_id
+    """,
     "q104_dsir_weights": f"""
         WITH w AS ({_W}),
         rtok AS (SELECT doc_id, unnest(ws) AS tok FROM w),

@@ -282,3 +282,22 @@ def test_semdedup_keeps_everything_at_eps_above_1(spark):
     )
     out = dedup.semdedup(df, eps=1.1, num_clusters=2)
     assert sorted(r.vec_id for r in out.collect()) == list(range(10))
+
+
+def test_chunk_dup_stats_closed_form(spark):
+    """size=4/overlap=2 windows: docs 0 and 1 share exactly one full
+    window ("a b c d"); doc 2 shares none; short docs are absent."""
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "x y a b c d"),
+            (2, "p q r s"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_chunks, r.dup_chunk_frac)
+        for r in dedup.chunk_dup_stats(d, size=4, overlap=2).collect()
+    }
+    assert out == {0: (2, 0.5), 1: (2, 0.5), 2: (1, 0.0)}
