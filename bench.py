@@ -123,7 +123,33 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
+    # Full per-query line first (humans / archaeology), then a compact
+    # summary as the LAST line: the driver keeps only a bounded tail of
+    # stdout, and the full dict is long enough to get its head truncated,
+    # leaving nothing parseable (BENCH_r02/r03 "parsed": null). The compact
+    # line always fits inside the tail window.
     print(json.dumps(out))
+    failed = sorted(k for k, v in timings.items() if v is None)
+    top = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": out["sf"],
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "failed": failed,
+                "top10": top,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fireworks_spark.functions.time import epoch_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -71,8 +73,7 @@ def asof_join(
     out = matched.filter(F.col("_side") == l_marker).drop("_side")
     if tolerance_micros is not None:
         stale = (
-            F.unix_micros(F.col(ts_col))
-            - F.unix_micros(F.col(f"{ts_col}{suffix}"))
+            epoch_micros(ts_col) - epoch_micros(f"{ts_col}{suffix}")
         ) > tolerance_micros
         for c in [*[f"{c}{suffix}" for c in right_cols], f"{ts_col}{suffix}"]:
             out = out.withColumn(

@@ -26,11 +26,9 @@ from fireworks_spark.operators.spread import spread
 __all__ = ["covariance_matrix", "pca_fit", "pca_project"]
 
 
-def covariance_matrix(
-    df: DataFrame, vec_col: str = "embedding", round_to: int | None = 4
-) -> DataFrame:
-    """Population covariance of a vector column as (i, j, cov) rows,
-    0-based indices, cov = E[x_i x_j] - E[x_i] E[x_j].
+def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """Shared sufficient-statistics aggregate for covariance AND mean:
+    (i, j, sum(x_i*x_j), sum(x_i), sum(x_j), n) per dimension pair.
 
     Each Arrow batch is reduced to ONE dim x dim partial (a BLAS X'X plus a
     column sum) before anything moves — the classic map-side outer-product
@@ -70,12 +68,21 @@ def covariance_matrix(
     part = base.mapInPandas(
         _partials, "i int, j int, sp double, si double, sj double, n long"
     )
-    agg = part.groupBy("i", "j").agg(
+    return part.groupBy("i", "j").agg(
         F.sum("sp").alias("sp"),
         F.sum("si").alias("si"),
         F.sum("sj").alias("sj"),
         F.sum("n").alias("n"),
     )
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", round_to: int | None = 4
+) -> DataFrame:
+    """Population covariance of a vector column as (i, j, cov) rows,
+    0-based indices, cov = E[x_i x_j] - E[x_i] E[x_j]. One corpus scan
+    (see :func:`_cov_partials`)."""
+    agg = _cov_partials(df, vec_col)
     n = F.col("n").cast("double")
     cov = F.col("sp") / n - (F.col("si") / n) * (F.col("sj") / n)
     if round_to is not None:
@@ -86,29 +93,21 @@ def covariance_matrix(
 def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding"):
     """Top-k principal components from the distributed covariance (only
     dim^2 rows ever reach the driver). Returns (components [k, dim] with a
-    deterministic sign convention, mean [dim], explained_variance [k])."""
+    deterministic sign convention, mean [dim], explained_variance [k]).
+
+    ONE corpus scan: the covariance partials already carry sum(x_i) and n
+    per (i, j) group, so the per-dimension mean is si/n off the same
+    aggregate — no second pass."""
     import numpy as np
 
-    rows = covariance_matrix(df, vec_col, round_to=None).collect()
+    rows = _cov_partials(df, vec_col).collect()
     dim = max(r["i"] for r in rows) + 1
     C = np.zeros((dim, dim))
+    mean = np.zeros(dim)
     for r in rows:
-        C[r["i"], r["j"]] = r["cov"]
-    mean = np.array(
-        [
-            r["m"]
-            for r in (
-                spread(df)
-                .select(F.col(vec_col).cast("array<double>").alias("v"))
-                .filter(F.col("v").isNotNull())
-                .select(F.posexplode("v").alias("i", "x"))
-                .groupBy("i")
-                .agg(F.avg("x").alias("m"))
-                .orderBy("i")
-                .collect()
-            )
-        ]
-    )
+        n = float(r["n"])
+        C[r["i"], r["j"]] = r["sp"] / n - (r["si"] / n) * (r["sj"] / n)
+        mean[r["i"]] = r["si"] / n
     w, V = np.linalg.eigh((C + C.T) / 2.0)
     order = np.argsort(w)[::-1][:k]
     comps = V[:, order].T

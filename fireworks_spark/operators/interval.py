@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fireworks_spark.functions.time import epoch_micros
+
 
 def interval_join(
     left: DataFrame,
@@ -39,7 +41,7 @@ def interval_join(
     keys = keys or []
     b = F.lit(bucket_micros).cast("long")
     lb = left.withColumn(
-        "_b", F.floor(F.unix_micros(F.col(ts_col)) / b).cast("long")
+        "_b", F.floor(epoch_micros(ts_col) / b).cast("long")
     )
     rb = (
         right.filter(F.col(end_col) > F.col(start_col))
@@ -47,9 +49,9 @@ def interval_join(
             "_b",
             F.explode(
                 F.sequence(
-                    F.floor(F.unix_micros(F.col(start_col)) / b).cast("long"),
+                    F.floor(epoch_micros(start_col) / b).cast("long"),
                     F.floor(
-                        (F.unix_micros(F.col(end_col)) - F.lit(1)) / b
+                        (epoch_micros(end_col) - F.lit(1)) / b
                     ).cast("long"),
                 )
             ),

@@ -197,11 +197,16 @@ def q106_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed covariance, Arrow matmul projection pass). Depends on the
     eigendecomposition (no SQL equivalent), so rows-only for the driver;
     tests/test_similarity.py asserts exact reconstruction on planted
-    low-rank data and orthonormal components."""
+    low-rank data and orthonormal components. Output is flattened to
+    scalar pc0..pc7 columns (the driver's canonicalizer hashes scalar
+    cells, not arrays)."""
     from fireworks_spark.operators import embedstats
 
     e = table(spark, sf_dir, "embeddings")
-    return embedstats.pca_project(e, k=8).orderBy("vec_id")
+    proj = embedstats.pca_project(e, k=8)
+    return proj.select(
+        "vec_id", *[F.col("pc")[i].alias(f"pc{i}") for i in range(8)]
+    ).orderBy("vec_id")
 
 
 def q109_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

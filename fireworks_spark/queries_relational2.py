@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fireworks_spark.tables import table
+from fireworks_spark.functions.time import epoch_micros
 
 
 def q70_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,7 +198,7 @@ def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (F.round("value_r", 2) + F.lit(0.0)).alias("click_val"),
-        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("delta_us"),
+        (epoch_micros("ts") - epoch_micros("ts_r")).alias("delta_us"),
     ).orderBy("event_id")
 
 
@@ -232,7 +233,7 @@ def q91_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (

@@ -28,9 +28,9 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# events fixture schema with ts as epoch-nanos long (the parquet stores
-# TIMESTAMP(NANOS); nanosAsLong reads it as bigint — same trick as
-# tables.table, which the streaming reader must declare explicitly)
+# events fixture schema with ts as epoch-nanos long — the TIMESTAMP(NANOS)
+# testdata era, kept for nanos-written fixtures (nanosAsLong reads the
+# column as bigint; tables.normalize_event_ts maps it to TIMESTAMP)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -50,18 +50,27 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream over an events directory (each file that lands in
     it is a micro-batch — the file source requires a directory, not a bare
-    file). ts converts ns->us with integer arithmetic, identically to the
-    batch reader."""
+    file).
+
+    The file source needs a declared schema; rather than hardcode one era of
+    the testdata's physical ts type, peek at the directory with a batch read
+    (footer-only, no data scan) and declare exactly what is on disk. The ts
+    column then goes through the same ``tables.normalize_event_ts`` as the
+    batch reader — bigint epoch-nanos, timestamp[us] (NTZ), and true
+    TIMESTAMP parquet all normalize to identical session-tz TIMESTAMP
+    values, so stream and batch stay value-identical by construction."""
+    from fireworks_spark.tables import normalize_event_ts
+
     if (
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         != "true"
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(path))
 
 
 def tumbling_agg(

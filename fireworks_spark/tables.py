@@ -28,33 +28,54 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-tz TIMESTAMP, whatever the
+    parquet writer stored:
+
+    - ``bigint`` — TIMESTAMP(NANOS) read via ``nanosAsLong``: integer ns->us
+      truncation (``div`` stays in long arithmetic; ``/`` would round-trip
+      through double, whose 2^53 exact range epoch-nanos exceed — off-by-1us
+      near boundaries vs DuckDB).
+    - ``timestamp_ntz`` — ``timestamp[us]`` parquet: cast to TIMESTAMP. The
+      session timezone is UTC, so the instant is identical to what DuckDB
+      reads from the same file.
+    - ``timestamp`` — already normalized; no-op.
+
+    One shared choke point so a testdata regeneration that changes the
+    physical ts type shows up here (and in tests/test_schema_canary), not as
+    scattered query failures.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Parquet scan => columnar, pruned, pushed-down.
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects. We read nanos as epoch-nanos longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    timestamps — the same ns→us truncation DuckDB applies, so both engines
-    see identical values.
+    ``events.parquet`` has stored ``ts`` as TIMESTAMP(NANOS) (read as
+    epoch-nanos longs via ``spark.sql.legacy.parquet.nanosAsLong``) and as
+    ``timestamp[us]`` (read as TIMESTAMP_NTZ) across driver testdata
+    generations; :func:`normalize_event_ts` maps either to session-tz
+    TIMESTAMP with values identical to DuckDB's view of the same file.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         # get_spark sets this at session build; set here too so the driver's
-        # own session (not built by get_spark) can read events.
+        # own session (not built by get_spark) can read nanos-era events.
         if (
             spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
             != "true"
         ):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # Integer ns->us truncation: `div` stays in long arithmetic.
-            # (`/` would round-trip through double, whose 2^53 exact range
-            # epoch-nanos exceed — off-by-1us near boundaries vs DuckDB.)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

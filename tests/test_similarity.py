@@ -145,3 +145,32 @@ def test_pca_recovers_planted_low_rank(spark):
     for i in range(40):
         rec = proj[i] @ comps + mean
         assert np.allclose(rec, X[i], atol=1e-4)
+
+
+def test_pca_fit_single_aggregation_pass(spark, monkeypatch):
+    """The per-dimension mean is derived from the covariance partials
+    (mean = si/n), so fitting costs exactly ONE collect — one corpus scan,
+    not a second posexplode pass (the round-3 plan had two)."""
+    # patch the concrete class (pyspark 4 splits the API base from
+    # pyspark.sql.classic, whose collect is what actually runs)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from fireworks_spark.operators import embedstats
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(2 * i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    calls = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    comps, mean, ev = embedstats.pca_fit(df, 1)
+    assert len(calls) == 1
+    import numpy as np
+
+    assert np.allclose(mean, [9.5, 19.0, 1.0])

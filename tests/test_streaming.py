@@ -46,6 +46,18 @@ def test_tumbling_stream_equals_batch(spark, sf_dir, events_path):
         (r.h, r.event_type): (r.cnt, r.sum_val) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+    # anchor against DuckDB directly so stream==batch can't pass vacuously
+    # (both reading garbage): group count and total event mass must match
+    # an independent engine's view of the same parquet.
+    import duckdb
+
+    n_groups, n_events = duckdb.sql(
+        "SELECT count(*), sum(cnt) FROM ("
+        "  SELECT date_trunc('hour', ts) h, event_type, count(*) cnt"
+        f"  FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2)"
+    ).fetchone()
+    assert len(got) == n_groups
+    assert sum(c for c, _ in got.values()) == n_events
 
 
 def test_session_and_sliding_run(spark, events_path):
