@@ -149,3 +149,95 @@ def zorder_sort(
         else z.repartitionByRange("_zkey")
     )
     return z.sortWithinPartitions("_zkey").drop("_zkey")
+
+
+# --------------------------------------------------------------------------
+# feather / Arrow IPC (reference Message.read/to 'feather', message.py:13-17)
+# --------------------------------------------------------------------------
+#
+# Spark has no built-in feather source, but pyarrow ships in every executor's
+# Python, so the connector is a file-parallel mapInPandas: one task per
+# file on read, one file per partition on write — the same
+# embarrassingly-parallel layout every Spark file source uses, just with
+# Arrow IPC instead of parquet as the on-disk bytes. Zero driver data
+# movement; the driver only reads one schema footer.
+
+
+def read_feather(
+    spark: SparkSession,
+    path: str,
+    tasks_per_file: int = 1,
+) -> DataFrame:
+    """Distributed read of a feather file or directory of feather files.
+
+    The driver lists files and reads ONE schema (footer-only); the data is
+    read inside Arrow-batched Python tasks, one file per task, so the scan
+    parallelizes across executors like any file source. Files must share a
+    schema (first file wins, mismatches raise inside the task)."""
+    import glob
+    import os
+
+    import pyarrow.feather as pf
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "*.feather"))
+            + glob.glob(os.path.join(path, "*.arrow"))
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no feather files under {path}")
+    schema = from_arrow_schema(
+        pf.read_table(files[0], memory_map=True).schema,
+        prefer_timestamp_ntz=True,
+    )
+
+    def _read(batches):
+        import pyarrow.feather as pf  # re-import inside the task
+
+        for b in batches:
+            for f in b["f"]:
+                yield pf.read_table(f).to_pandas()
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files) * tasks_per_file).mapInPandas(
+        _read, schema
+    )
+
+
+def write_feather(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Distributed write: each partition streams its Arrow batches into one
+    ``part-NNNNN.feather`` file under ``path`` (directory-of-parts, the
+    Spark sink layout). Local/NFS filesystems only — a cloud deployment
+    would swap the open() for the relevant filesystem client; the
+    per-partition shape is unchanged."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    comp = compression
+
+    def _write(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.feather as pf
+        from pyspark import TaskContext
+
+        rows = 0
+        chunks = [b for b in batches if len(b)]
+        if chunks:
+            t = pa.Table.from_pandas(
+                pd.concat(chunks, ignore_index=True), preserve_index=False
+            )
+            pid = TaskContext.get().partitionId()
+            f = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex}.feather")
+            pf.write_feather(t, f, compression=comp)
+            rows = t.num_rows
+        yield __import__("pandas").DataFrame({"rows": [rows]})
+
+    # the action IS the write; the returned manifest is one row per task
+    df.mapInPandas(_write, "rows long").write.mode("overwrite").format(
+        "noop"
+    ).save()

@@ -116,3 +116,42 @@ def test_zorder_sort_clusters_both_columns(spark, tmp_path):
     # span_y == 63 in EVERY file.
     assert sorted(spans_x)[len(spans_x) // 2] < 40
     assert sorted(spans_y)[len(spans_y) // 2] < 40
+
+
+def test_feather_roundtrip(spark, tmp_path):
+    """Distributed feather sink then source must round-trip values and
+    schema (modulo Spark's NTZ preference for naive arrow timestamps)."""
+    from fireworks_spark.io_formats import read_feather, write_feather
+
+    df = spark.range(0, 1000, 1, 4).selectExpr(
+        "id", "cast(id * 1.5 as double) as x", "concat('r', id) as s"
+    )
+    out = str(tmp_path / "fth")
+    write_feather(df, out)
+    import glob
+
+    parts = glob.glob(out + "/part-*.feather")
+    assert len(parts) == 4  # one file per input partition
+    back = read_feather(spark, out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert back.count() == 1000
+    assert (
+        back.selectExpr("sum(id)", "round(sum(x), 2)").collect()
+        == df.selectExpr("sum(id)", "round(sum(x), 2)").collect()
+    )
+
+
+def test_feather_single_file_read(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.feather as pf
+
+    from fireworks_spark.io_formats import read_feather
+
+    f = str(tmp_path / "one.feather")
+    pf.write_feather(
+        pa.Table.from_pandas(pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})),
+        f,
+    )
+    got = read_feather(spark, f).orderBy("a").collect()
+    assert [(r.a, r.b) for r in got] == [(1, "x"), (2, "y"), (3, "z")]
