@@ -1,0 +1,71 @@
+"""Hypertable-style multi-granularity time rollup (continuous-aggregate
+shape). The reference has no time layer at all (its pipes are positional,
+reference fireworks/toolbox/pipes.py:48-63); this is the Spark-first
+expression of the hour/day/week rollup a time-series store maintains as
+materialized continuous aggregates.
+
+Scale: ONE pass over the input. GROUPING SETS plans as Expand (xG rows,
+map-side, inside codegen) -> partial HashAggregate -> one Exchange keyed by
+(grain, bucket, keys) -> final HashAggregate. The shuffle carries at most
+G x |buckets| x |keys| partially-aggregated rows — bucket cardinality, not
+event cardinality — so 100 TB of events shuffles megabytes. Maintaining
+the same result incrementally is tumbling_agg (streaming.py); this is the
+batch/backfill face.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["time_rollup"]
+
+_GRAINS = ("hour", "day", "week", "month", "year")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grains: tuple[str, ...] = ("hour", "day", "week"),
+    keys: list[str] | None = None,
+    round_to: int = 2,
+) -> DataFrame:
+    """Aggregate ``value_col`` (count + sum) at every granularity in
+    ``grains`` in one grouping-sets pass.
+
+    Output: (grain, bucket, *keys, cnt, sum_val) — one row per (grain,
+    truncated bucket, keys), i.e. the union of G independent GROUP BYs
+    without G scans of the input.
+    """
+    for g in grains:
+        if g not in _GRAINS:
+            raise ValueError(f"unknown grain {g!r}; pick from {_GRAINS}")
+    keys = keys or []
+    bucket_cols = [f"_b_{g}" for g in grains]
+    with_buckets = df
+    for g, bc in zip(grains, bucket_cols):
+        with_buckets = with_buckets.withColumn(
+            bc, F.date_trunc(g, F.col(ts_col))
+        )
+    sets = [[F.col(bc), *[F.col(k) for k in keys]] for bc in bucket_cols]
+    # grouping() flags are only legal inside the grouping-sets aggregate,
+    # so materialize them as aggregate outputs and derive grain afterwards
+    agg = with_buckets.groupingSets(
+        sets, *[F.col(bc) for bc in bucket_cols], *[F.col(k) for k in keys]
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.round(F.sum(value_col), round_to) + F.lit(0.0)).alias("sum_val"),
+        *[F.grouping(bc).alias(f"_g_{g}") for g, bc in zip(grains, bucket_cols)],
+    )
+    # exactly one bucket column is grouped per set; grain = which one
+    grain = F.lit(None).cast("string")
+    for g in grains:
+        grain = F.when(F.col(f"_g_{g}") == 0, F.lit(g)).otherwise(grain)
+    return agg.select(
+        grain.alias("grain"),
+        F.coalesce(*bucket_cols).alias("bucket"),
+        *keys,
+        "cnt",
+        "sum_val",
+    )

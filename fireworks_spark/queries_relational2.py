@@ -341,7 +341,23 @@ def q96_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+
+def q111_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate backfill: hour/day/week
+    rollups of event value per type in ONE grouping-sets pass
+    (operators/timeagg.py — Expand + partial agg, a single bucket-bounded
+    shuffle instead of three scans)."""
+    from fireworks_spark.operators.timeagg import time_rollup
+
+    e = table(spark, sf_dir, "events")
+    return time_rollup(
+        e, "ts", "value", grains=("hour", "day", "week"),
+        keys=["event_type"],
+    ).orderBy("grain", "bucket", "event_type")
+
+
 RELATIONAL2_QUERIES = {
+    "q111_time_rollup": q111_time_rollup,
     "q91_rolling_time_window": q91_rolling_time_window,
     "q92_approx_percentile": q92_approx_percentile,
     "q95_salted_join": q95_salted_join,
@@ -362,6 +378,19 @@ RELATIONAL2_QUERIES = {
 }
 
 RELATIONAL2_ORACLE = {
+    "q111_time_rollup": (
+        "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, "
+        "event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val "
+        "FROM events GROUP BY 2, 3 "
+        "UNION ALL "
+        "SELECT 'day', date_trunc('day', ts), event_type, count(*), "
+        "round(sum(value), 2) FROM events GROUP BY 2, 3 "
+        "UNION ALL "
+        "SELECT 'week', date_trunc('week', ts), event_type, count(*), "
+        "round(sum(value), 2) FROM events GROUP BY 2, 3 "
+        "ORDER BY grain, bucket, event_type"
+    ),
+
     "q95_salted_join": (
         "SELECT event_id, n_name FROM events "
         "JOIN nation ON user_id % 25 = n_nationkey "

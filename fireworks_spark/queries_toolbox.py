@@ -159,7 +159,21 @@ def q101_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q112_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries sketch + exact recount: every user with > n/120 of all
+    events, found with O(capacity) memory per partition (operators/
+    sketch.py). The sketch bounds the candidate set (no false negatives by
+    the pigeonhole argument); the recount makes the output exact, so the
+    oracle is the plain HAVING query."""
+    from fireworks_spark.operators.sketch import heavy_hitters_sketch
+
+    e = table(spark, sf_dir, "events")
+    return heavy_hitters_sketch(e, "user_id", capacity=120)
+
+
 TOOLBOX_QUERIES = {
+    "q112_mg_heavy_hitters": q112_mg_heavy_hitters,
     "q50_shuffle_permutation": q50_shuffle_permutation,
     "q51_repeat": q51_repeat,
     "q52_split_assign": q52_split_assign,
@@ -179,6 +193,12 @@ _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 TOOLBOX_ORACLE = {
+    "q112_mg_heavy_hitters": (
+        "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id "
+        "HAVING count(*) > (SELECT count(*) FROM events) / 120.0 "
+        "ORDER BY cnt DESC, user_id"
+    ),
+
     "q50_shuffle_permutation": (
         "SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey"
     ),

@@ -127,6 +127,8 @@ _NEVER_DRIVER_CHECKED = [
     "q89_domain_mix",
     "q90_token_entropy",
     "q97_bigram_perplexity",
+    "q111_time_rollup",
+    "q112_mg_heavy_hitters",
 ]
 
 
