@@ -68,13 +68,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # get_spark sets this at session build; set here too so the driver's
-        # own session (not built by get_spark) can read nanos-era events.
+        # get_spark sets these at session build; set here too so the
+        # driver's own session (not built by get_spark) behaves
+        # identically: nanosAsLong for nanos-era events, and UTC so the
+        # NTZ->TIMESTAMP cast and hour/day/week truncations are wall-clock
+        # arithmetic matching DuckDB's naive view (a DST-bearing session
+        # timezone would skew epoch deltas across transitions).
         if (
             spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
             != "true"
         ):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 

@@ -118,3 +118,17 @@ def test_embeddings_vector_column(spark, sf_dir):
     assert emb is not None and emb.startswith("array<"), (
         f"embeddings.embedding is {emb!r}; vector ops assume array<float/double>"
     )
+
+
+def test_events_read_pins_utc(spark, sf_dir):
+    """A driver session configured with a DST-bearing timezone must still
+    read events as UTC wall-clock (table() pins session tz before the
+    NTZ->TIMESTAMP cast); otherwise epoch deltas skew across transitions."""
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
