@@ -66,6 +66,10 @@ def read_event_stream(
         != "true"
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same runtime pinning as tables.table: the NTZ->TIMESTAMP cast and
+    # window alignment must be UTC wall-clock arithmetic in ANY session
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
