@@ -503,6 +503,47 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def rebalance_strata(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Rebalance strata to a UNIFORM mix by deterministic downsampling:
+    every stratum is thinned to (approximately) the smallest stratum's
+    size — the observed-counts autopilot over mix_sample's static rates
+    (training-mix correction, e.g. equalizing domains before packing).
+
+    Mechanics: one partially-aggregated count per stratum, the integer
+    threshold floor(min_cnt * denom / cnt) per stratum (integer arithmetic
+    so any SQL engine reproduces it bit-for-bit), broadcast back, and a
+    codegen filter ``key mod denom < threshold``. Selection is keyed, so
+    the kept set is identical on every run and cluster size — no rand().
+    Scale: the counts frame has one row per stratum (broadcast), the
+    filter is map-side; the input is scanned twice but shuffled never.
+
+    Caveat (shared with mix_sample): realized rates track thresholds only
+    when keys are roughly uniform modulo ``denom`` — true for dense or
+    hashed ids spanning many multiples of denom, false for pathological
+    patterns (e.g. ids in one short run, or all even with even denom).
+    For such keys pre-mix with a coprime multiplier or a hash column
+    first; the mechanism is unchanged.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    m = counts.agg(F.min("_cnt").alias("_min_cnt"))
+    # integer division end-to-end: any SQL engine reproduces the threshold
+    # bit-for-bit (double division could round differently at the edge)
+    thresholds = counts.crossJoin(F.broadcast(m)).select(
+        stratum_col,
+        F.expr(f"(_min_cnt * {int(denom)}) div _cnt").alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(F.pmod(F.col(key_col), F.lit(denom)) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
 def heavy_hitters(
     df: DataFrame, key_col: str, top: int = 10
 ) -> DataFrame:

@@ -155,7 +155,32 @@ def q104_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+def q113_rebalance_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-mix rebalance of lineitem across return flags (N holds ~2x
+    the mass of A/R): observed counts -> integer keep-thresholds ->
+    deterministic keyed filter (toolbox.rebalance_strata — counts
+    broadcast, filter map-side, no rand()). Output: per-flag kept count +
+    key checksum, so the oracle pins the exact kept SET, not just sizes."""
+    from fireworks_spark.operators.toolbox import rebalance_strata
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lkey"),
+    )
+    kept = rebalance_strata(li, "l_returnflag", "lkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("lkey").alias("key_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 RANKING_QUERIES = {
+    "q113_rebalance_strata": q113_rebalance_strata,
     "q82_tfidf": q82_tfidf,
     "q104_dsir_weights": q104_dsir_weights,
     "q110_chunk_dup_stats": q110_chunk_dup_stats,
@@ -171,6 +196,18 @@ RANKING_QUERIES = {
 }
 
 RANKING_ORACLE = {
+    "q113_rebalance_strata": (
+        "WITH base AS (SELECT l_returnflag, "
+        "l_orderkey * 10 + l_linenumber AS lkey FROM lineitem), "
+        "cnt AS (SELECT l_returnflag, count(*) AS c FROM base GROUP BY 1), "
+        "m AS (SELECT min(c) AS mc FROM cnt) "
+        "SELECT b.l_returnflag, count(*) AS kept, "
+        "CAST(sum(b.lkey) AS BIGINT) AS key_sum "
+        "FROM base b JOIN cnt USING (l_returnflag), m "
+        "WHERE b.lkey % 10000 < (mc * 10000) // c "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+
     "q110_chunk_dup_stats": f"""
         WITH w AS ({_W}),
         st AS (

@@ -129,6 +129,7 @@ _NEVER_DRIVER_CHECKED = [
     "q97_bigram_perplexity",
     "q111_time_rollup",
     "q112_mg_heavy_hitters",
+    "q113_rebalance_strata",
 ]
 
 

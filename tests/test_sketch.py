@@ -100,3 +100,77 @@ def test_time_rollup_single_shuffle(spark, sf_dir):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Expand" in plan
+
+
+def test_sketch_recount_uses_broadcast_join(spark, sf_dir):
+    """Pass 2 must recount via a BROADCAST semi-join on the bounded
+    candidate set — never a shuffle of the corpus keyed by candidate."""
+    from fireworks_spark.tables import table
+
+    e = table(spark, sf_dir, "events")
+    plan = (
+        heavy_hitters_sketch(e, "user_id", capacity=120)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_mg_fold_property_guarantee():
+    """Property: for random weighted streams, every counter's residual
+    undercounts its true frequency by at most total/(capacity+1), and any
+    key above that bound survives — the two Misra-Gries invariants."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(1, 20)),
+            min_size=1,
+            max_size=300,
+        ),
+        st.integers(2, 8),
+    )
+    def check(stream, capacity):
+        true: dict = {}
+        counters: dict = {}
+        for k, w in stream:
+            true[k] = true.get(k, 0) + w
+            _mg_fold(counters, k, w, capacity)
+        total = sum(w for _, w in stream)
+        bound = total / (capacity + 1)
+        assert len(counters) <= capacity
+        for k, c in counters.items():
+            assert c <= true[k]
+            assert true[k] - c <= bound
+        for k, t in true.items():
+            if t > bound:
+                assert k in counters
+
+    check()
+
+
+def test_rebalance_strata_equalizes(spark):
+    """Skewed strata (10:3:1) must come out within one threshold step of
+    the smallest stratum, deterministically."""
+    from fireworks_spark.operators.toolbox import rebalance_strata
+
+    # keys uniform mod 10000 (multipliers coprime to the denom) — the
+    # documented contract of keyed mod sampling
+    rows = [(13 * i, "big") for i in range(5000)]
+    rows += [(1_000_000 + 37 * i, "mid") for i in range(1500)]
+    rows += [(5_000_000 + 101 * i, "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out1 = rebalance_strata(df, "s", "k")
+    counts = {r.s: r.c for r in out1.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert counts["small"] == 500
+    for s in ("big", "mid"):
+        # keyed mod sampling is approximate (lattice effects of the
+        # key progression); 12% is the honest local tolerance
+        assert abs(counts[s] - 500) <= 0.12 * 500 + 10
+    # deterministic: same kept set on a second evaluation
+    got1 = sorted(r.k for r in out1.collect())
+    got2 = sorted(r.k for r in rebalance_strata(df, "s", "k").collect())
+    assert got1 == got2
