@@ -70,6 +70,9 @@ ORACLES.update(RANKING_ORACLE)
 # q01..q28 et al. go last. Remove this block once every query has a
 # driver-green row.
 _NEVER_DRIVER_CHECKED = [
+    "q111_time_rollup",
+    "q112_mg_heavy_hitters",
+    "q113_rebalance_strata",
     "q29_asof_join",
     "q81_interval_join",
     "q91_rolling_time_window",
@@ -127,9 +130,6 @@ _NEVER_DRIVER_CHECKED = [
     "q89_domain_mix",
     "q90_token_entropy",
     "q97_bigram_perplexity",
-    "q111_time_rollup",
-    "q112_mg_heavy_hitters",
-    "q113_rebalance_strata",
 ]
 
 
