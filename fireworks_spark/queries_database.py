@@ -62,13 +62,56 @@ def q62_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q114_feather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feather/Arrow-IPC connector end-to-end: customer written as a
+    directory of per-partition feather files (io_formats.write_feather),
+    read back file-parallel (read_feather), then aggregated — the oracle
+    checks against the original parquet, so any loss or corruption in the
+    custom source/sink surfaces as a value mismatch."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.io_formats import read_feather, write_feather
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="fw_feather_")
+    try:
+        write_feather(c.repartition(4), d)
+        back = read_feather(spark, d)
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("bal"),
+                F.sum("c_custkey").alias("key_sum"),
+            )
+            .orderBy("c_mktsegment")
+            # the temp dir must outlive the driver's lazy evaluation; the
+            # read is materialized here so cleanup in finally is safe
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
+    "q114_feather_roundtrip": q114_feather_roundtrip,
     "q60_delete_semantics": q60_delete_semantics,
     "q61_update_semantics": q61_update_semantics,
     "q62_upsert_semantics": q62_upsert_semantics,
 }
 
 DATABASE_ORACLE = {
+    "q114_feather_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal, "
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
+
     "q60_delete_semantics": (
         "SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 3 "
         "ORDER BY c_custkey"
