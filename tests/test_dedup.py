@@ -301,3 +301,51 @@ def test_chunk_dup_stats_closed_form(spark):
         for r in dedup.chunk_dup_stats(d, size=4, overlap=2).collect()
     }
     assert out == {0: (2, 0.5), 1: (2, 0.5), 2: (1, 0.0)}
+
+
+def test_jaccard_pairs_matches_bruteforce_random_corpora(spark):
+    """End-to-end ground-truth check: on random small corpora (token
+    soups with planted overlap), the candidate+bounds+verify pipeline must
+    return exactly the pairs a brute-force O(n^2) python Jaccard finds —
+    no pair lost to candidate generation or bound pruning, none invented."""
+    import itertools
+    import random
+
+    from fireworks_spark.operators.dedup import jaccard_pairs
+
+    vocab = [f"w{i}" for i in range(40)]
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(12):
+            if i >= 6 and rng.random() < 0.5:
+                # mutate an earlier doc: high-overlap pair
+                base = docs[rng.randrange(len(docs))][1].split()
+                k = rng.randrange(0, 3)
+                for _ in range(k):
+                    base[rng.randrange(len(base))] = rng.choice(vocab)
+                docs.append((i, " ".join(base)))
+            else:
+                docs.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 25))))
+                )
+
+        def shingles(text):
+            w = text.split()
+            return {tuple(w[j : j + 3]) for j in range(len(w) - 2)}
+
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if round(jac, 3) >= 0.3:
+                want.add((min(ia, ib), max(ia, ib)))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.ida, r.idb)
+            for r in jaccard_pairs(df, threshold=0.3).collect()
+        }
+        assert got == want, f"seed={seed}: {got ^ want}"
