@@ -1,16 +1,18 @@
-"""As-of (nearest-predecessor) join — the time-series operator Spark's
-DataFrame API lacks (pandas merge_asof / DuckDB ASOF JOIN semantics).
+"""As-of (nearest-predecessor/successor) join — the time-series operator
+Spark's DataFrame API lacks (pandas merge_asof / DuckDB ASOF JOIN
+semantics).
 
 Spark-first design: NOT a range join (inequality joins degenerate to
 nested-loop or explode into per-key cross products). Instead the two sides
 are tagged and unioned, then one window per key ordered by event time
-carries the most recent right-side payload forward with
-``last(ignorenulls)``; left rows then read their match from the running
-state. Cost = ONE shuffle on the key (the same shuffle any per-key
-operation pays), state = one row — this survives 100 TB of ticks because
-nothing ever materializes a pair set.
+carries the most recent (backward) or next (forward) right-side payload to
+each left row with ``last(ignorenulls)``. Cost = ONE shuffle on the key
+(the same shuffle any per-key operation pays) — ``nearest`` adds a second
+sort over the SAME partitioning, still one shuffle — state = one row; this
+survives 100 TB of ticks because nothing ever materializes a pair set.
 
-Semantics checked against DuckDB's native ASOF JOIN (q29 oracle).
+Semantics checked against DuckDB's native ASOF JOIN (q29 oracle) and
+pandas.merge_asof for all three directions (tests/test_asof.py).
 """
 
 from __future__ import annotations
@@ -29,18 +31,26 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_r",
     tolerance_micros: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` for the same key (backward as-of, inclusive —
-    DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``).
+    """For each left row, attach ONE right row for the same key:
+
+    - ``backward`` (default): the latest right with ``right.ts <= left.ts``
+      (DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``);
+    - ``forward``: the earliest right with ``right.ts >= left.ts``;
+    - ``nearest``: whichever of the two is closer in absolute time,
+      ties going backward (pandas merge_asof's direction= semantics).
 
     Output = every left row + ``right_cols`` (suffixed) + ``{ts_col}{suffix}``
     (the matched right timestamp); unmatched left rows keep nulls.
-    ``tolerance_micros`` nulls out matches older than the window (pandas
-    merge_asof ``tolerance``). If ``right`` has several rows at the exact
-    same (key, ts), the last one in (ts, right_cols) order wins —
-    deterministic, matching the oracle's max-over-ties.
+    ``tolerance_micros`` nulls out matches farther than the window in the
+    match direction (pandas ``tolerance``; requires a timestamp ts column).
+    If ``right`` has several rows at the exact same (key, ts), the one with
+    the greatest (right_cols) tuple wins in every direction —
+    deterministic, matching the q29 oracle's max-over-ties.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     l_marker, r_marker = 1, 0
     lhs = left
     for c in right_cols:
@@ -60,23 +70,66 @@ def asof_join(
     rhs = rhs.withColumn("_side", F.lit(r_marker))
 
     u = lhs.unionByName(rhs.select(*lhs.columns))
-    # right rows sort before left rows at equal ts => inclusive match;
-    # suffixed payload cols break exact-duplicate right ties deterministically
-    w = (
+    payload = [f"{c}{suffix}" for c in right_cols]
+    carried = [*payload, f"{ts_col}{suffix}"]
+
+    # backward: ascending time; right rows sort before left rows at equal
+    # ts => inclusive match; payload cols break exact-duplicate right ties
+    # deterministically (last-in-order == greatest payload).
+    wb = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col, "_side", *[f"{c}{suffix}" for c in right_cols])
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), *[F.col(c).asc() for c in payload])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u
-    for c in [*[f"{c}{suffix}" for c in right_cols], f"{ts_col}{suffix}"]:
-        matched = matched.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # forward: DESCENDING time traversal, so "preceding" rows have ts >=
+    # current and last(ignorenulls) picks the earliest such right row. At
+    # equal ts rights still precede lefts (inclusive); ascending payload in
+    # the traversal makes the greatest payload the nearest, matching
+    # backward's tie rule.
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").asc(), *[F.col(c).asc() for c in payload])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _carry(frame: DataFrame, w, tag: str) -> DataFrame:
+        for c in carried:
+            frame = frame.withColumn(f"{tag}{c}", F.last(c, ignorenulls=True).over(w))
+        return frame
+
+    if direction in ("backward", "forward"):
+        w = wb if direction == "backward" else wf
+        matched = _carry(u, w, "_m_")
+        out = matched.filter(F.col("_side") == l_marker).drop("_side")
+        for c in carried:
+            out = out.withColumn(c, F.col(f"_m_{c}")).drop(f"_m_{c}")
+        if tolerance_micros is not None:
+            delta = epoch_micros(ts_col) - epoch_micros(f"{ts_col}{suffix}")
+            stale = (delta if direction == "backward" else -delta) > tolerance_micros
+            for c in carried:
+                out = out.withColumn(
+                    c, F.when(stale, F.lit(None)).otherwise(F.col(c))
+                )
+        return out
+
+    # nearest: both carries over the SAME hash partitioning (one Exchange,
+    # two sorts), then a per-row choice by absolute delta, ties backward.
+    matched = _carry(_carry(u, wb, "_b_"), wf, "_f_")
     out = matched.filter(F.col("_side") == l_marker).drop("_side")
+    db = epoch_micros(ts_col) - epoch_micros(f"_b_{ts_col}{suffix}")
+    df_ = epoch_micros(f"_f_{ts_col}{suffix}") - epoch_micros(ts_col)
     if tolerance_micros is not None:
-        stale = (
-            epoch_micros(ts_col) - epoch_micros(f"{ts_col}{suffix}")
-        ) > tolerance_micros
-        for c in [*[f"{c}{suffix}" for c in right_cols], f"{ts_col}{suffix}"]:
-            out = out.withColumn(
-                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-            )
+        db = F.when(db > tolerance_micros, F.lit(None)).otherwise(db)
+        df_ = F.when(df_ > tolerance_micros, F.lit(None)).otherwise(df_)
+    take_backward = F.when(
+        db.isNotNull() & (df_.isNull() | (db <= df_)), F.lit(True)
+    ).otherwise(F.lit(False))
+    take_forward = (~take_backward) & df_.isNotNull()
+    for c in carried:
+        out = out.withColumn(
+            c,
+            F.when(take_backward, F.col(f"_b_{c}"))
+            .when(take_forward, F.col(f"_f_{c}"))
+            .otherwise(F.lit(None)),
+        ).drop(f"_b_{c}", f"_f_{c}")
     return out

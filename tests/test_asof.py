@@ -51,3 +51,93 @@ def test_asof_tolerance(spark):
         left, right, ["k"], "ts", ["v"], tolerance_micros=3600 * 10**6
     ).collect()[0]
     assert miss.v_r is None and miss.ts_r is None
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """All three directions checked against pandas.merge_asof on random
+    per-key tick data (timestamps, no exact-tie collisions so the tie rule
+    doesn't diverge from pandas' arbitrary pick)."""
+    import datetime
+    import random
+
+    import pandas as pd
+
+    from fireworks_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 5, 1)
+    # distinct odd-second lefts and even-second rights: no ties anywhere
+    lrows = sorted(
+        (k, base + datetime.timedelta(seconds=2 * rng.randrange(5000) + 1))
+        for k in range(4)
+        for _ in range(40)
+    )
+    lrows = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    rrows = list(
+        {
+            (k, base + datetime.timedelta(seconds=2 * rng.randrange(5000)))
+            for k in range(4)
+            for _ in range(60)
+        }
+    )
+    rrows = [(k, t, float(k * 100000 + i)) for i, (k, t) in enumerate(sorted(rrows))]
+
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "k long, ts timestamp, px double")
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "ts", "px"]).sort_values("ts")
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.px_r
+            for r in asof_join(
+                ldf, rdf, ["k"], "ts", ["px"], direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.px) else float(r.px))
+            for r in want_df.itertuples()
+        }
+        assert got == want, direction
+
+    # tolerance: 1000s window, backward and forward
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.px_r
+            for r in asof_join(
+                ldf, rdf, ["k"], "ts", ["px"],
+                direction=direction, tolerance_micros=1000 * 10**6,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction,
+            tolerance=pd.Timedelta(seconds=1000),
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.px) else float(r.px))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"{direction}+tolerance"
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """nearest computes both direction carries over one hash partitioning:
+    exactly ONE Exchange in the plan, two sorts."""
+    from fireworks_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([(1, 1.0)], "k long, ts double").selectExpr(
+        "k", "timestamp_seconds(ts) as ts"
+    )
+    rdf = spark.createDataFrame([(1, 0.5, 9.0)], "k long, ts double, px double").selectExpr(
+        "k", "timestamp_seconds(ts) as ts", "px"
+    )
+    plan = (
+        asof_join(ldf, rdf, ["k"], "ts", ["px"], direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
