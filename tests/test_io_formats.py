@@ -155,3 +155,32 @@ def test_feather_single_file_read(spark, tmp_path):
     )
     got = read_feather(spark, f).orderBy("a").collect()
     assert [(r.a, r.b) for r in got] == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_feather_roundtrip_complex_types(spark, sf_dir, tmp_path):
+    """Arrow IPC must carry array<float> and timestamp columns losslessly
+    through the file-parallel connector."""
+    from pyspark.sql import functions as F
+
+    from fireworks_spark.io_formats import read_feather, write_feather
+    from fireworks_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+
+    d1 = str(tmp_path / "emb")
+    write_feather(e, d1)
+    back = read_feather(spark, d1)
+    assert dict(back.dtypes)["embedding"] == "array<float>"
+    s0 = e.select(F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x))).collect()[0][0]
+    s1 = back.select(F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x))).collect()[0][0]
+    assert abs(s0 - s1) < 1e-6
+
+    d2 = str(tmp_path / "ev")
+    write_feather(ev, d2)
+    back2 = read_feather(spark, d2)
+    # session-tz TIMESTAMP goes out as tz-aware arrow and must come back
+    # to the same instants
+    a = ev.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
+    b = back2.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
+    assert tuple(a) == tuple(b)
