@@ -345,3 +345,83 @@ def near_dedup_stream(
     return d.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         [sig_col]
     )
+
+
+def maintain_rollup_table(
+    stream: DataFrame,
+    table_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+) -> None:
+    """Continuous-aggregate maintenance: keep a parquet table of windowed
+    counts/sums up to date as events stream in — the streaming face of
+    operators/timeagg.time_rollup (hypertable materialized rollup).
+
+    Each micro-batch emits only the windows the batch CHANGED (output mode
+    'update'); foreachBatch MERGEs them into the table with
+    database.upsert_rows under the same atomic two-rename swap the Table
+    mutations use. State inside the engine is bounded by the watermark;
+    the table is the durable, queryable rollup.
+
+    Scale: each batch's merge touches |changed windows| incoming rows
+    against a table of bucket-cardinality rows — both tiny relative to the
+    event stream that produced them; the events themselves never re-scan.
+
+    The watermark must bound the stream's event-time DISORDER: once a
+    window falls behind it, its state is evicted and stragglers are
+    dropped (that is the deal that bounds state). Live tailing wants a
+    short horizon; replaying unordered history wants either time-ordered
+    input files or a watermark at least as long as the replay span.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from fireworks_spark.database import upsert_rows
+
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), key_col, "cnt", "sum_val"
+        )
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.withColumn(
+            "_mk",
+            F.concat_ws("|", F.col("bucket").cast("string"), F.col(key_col)),
+        )
+        if os.path.isdir(table_path) and any(
+            f.endswith(".parquet") for f in os.listdir(table_path)
+        ):
+            cur = spark.read.parquet(table_path).withColumn(
+                "_mk",
+                F.concat_ws(
+                    "|", F.col("bucket").cast("string"), F.col(key_col)
+                ),
+            )
+            merged = upsert_rows(cur, batch, "_mk").drop("_mk")
+        else:
+            merged = batch.drop("_mk")
+        tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
+        os.rename(tmp, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        agg.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -256,3 +256,45 @@ def test_near_dedup_stream_drops_signature_dups(spark, tmp_path):
     # every surviving signature is unique
     sigs = [r["_sig"] for r in out]
     assert len(sigs) == len(set(sigs))
+
+
+def test_maintain_rollup_table_matches_batch(spark, sf_dir, tmp_path):
+    """Stream events in 3 micro-batches through foreachBatch-upsert
+    maintenance: the final parquet table must equal the batch hourly
+    rollup exactly (windows updated across batches converge)."""
+    import duckdb
+
+    src = table(spark, sf_dir, "events")
+    stage = str(tmp_path / "ev_in")
+    # time-range partitioned files: replay arrives roughly time-ordered, so
+    # a finite watermark only has to cover intra-batch disorder. The
+    # generous horizon also covers any file-order surprises (replaying
+    # history is not live tailing — see maintain_rollup_table docstring).
+    src.repartitionByRange(3, "ts").write.parquet(stage)
+    out = str(tmp_path / "rollup_table")
+
+    stream = streaming.read_event_stream(spark, stage, max_files_per_trigger=1)
+    streaming.maintain_rollup_table(stream, out, watermark="3650 days")
+
+    got = {
+        (r.bucket, r.event_type): (r.cnt, r.sum_val)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.h, r.event_type): (r.cnt, r.sum_val)
+        for r in (
+            src.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_val"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+    # independent engine anchor
+    n_groups = duckdb.sql(
+        "SELECT count(*) FROM (SELECT date_trunc('hour', ts), event_type "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2)"
+    ).fetchone()[0]
+    assert len(got) == n_groups
