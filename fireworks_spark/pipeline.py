@@ -100,6 +100,67 @@ class Pipe:
         )
         return Pipe(parts["train"]), Pipe(parts["test"])
 
+    # -- time-series / pipeline operators --------------------------------
+    def asof_join(
+        self,
+        other: "Pipe | DataFrame",
+        key_cols: list[str],
+        ts_col: str,
+        right_cols: list[str],
+        direction: str = "backward",
+        tolerance_micros: int | None = None,
+    ) -> "Pipe":
+        """Nearest-predecessor/successor join (operators/asof.py)."""
+        from fireworks_spark.operators.asof import asof_join
+
+        rhs = other.df if isinstance(other, Pipe) else other
+        return Pipe(
+            asof_join(
+                self.df, rhs, key_cols, ts_col, right_cols,
+                direction=direction, tolerance_micros=tolerance_micros,
+            )
+        )
+
+    def interval_join(
+        self,
+        other: "Pipe | DataFrame",
+        ts_col: str,
+        start_col: str,
+        end_col: str,
+        keys: list[str] | None = None,
+    ) -> "Pipe":
+        """Point-in-interval join (operators/interval.py, bucketized)."""
+        from fireworks_spark.operators.interval import interval_join
+
+        rhs = other.df if isinstance(other, Pipe) else other
+        return Pipe(
+            interval_join(self.df, rhs, ts_col, start_col, end_col, keys=keys)
+        )
+
+    def time_rollup(
+        self,
+        ts_col: str,
+        value_col: str,
+        grains: tuple[str, ...] = ("hour", "day", "week"),
+        keys: list[str] | None = None,
+    ) -> "Pipe":
+        """Multi-granularity rollup in one pass (operators/timeagg.py)."""
+        from fireworks_spark.operators.timeagg import time_rollup
+
+        return Pipe(
+            time_rollup(self.df, ts_col, value_col, grains=grains, keys=keys)
+        )
+
+    def rebalance(self, stratum_col: str, key_col: str) -> "Pipe":
+        """Uniform-mix deterministic downsampling (toolbox.rebalance_strata)."""
+        return Pipe(toolbox.rebalance_strata(self.df, stratum_col, key_col))
+
+    def heavy_hitters(self, key_col: str, capacity: int = 100) -> "Pipe":
+        """Misra-Gries sketch + exact recount (operators/sketch.py)."""
+        from fireworks_spark.operators.sketch import heavy_hitters_sketch
+
+        return Pipe(heavy_hitters_sketch(self.df, key_col, capacity=capacity))
+
     def cache(self) -> "Pipe":
         """CachingPipe / MessageCache (P5/P6/P22): block-manager persist."""
         return Pipe(self.df.persist())

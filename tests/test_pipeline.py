@@ -42,3 +42,33 @@ def test_interleave_round_robin(spark):
     b = spark.createDataFrame([(2,), (4,)], ["x"])
     out = Pipe(a).interleave(b, order_cols=["x"])
     assert out.count() == 4
+
+
+def test_pipe_facade_new_operators(spark):
+    """The facade exposes the time-series / pipeline operators and chains
+    lazily like any other Pipe stage."""
+    from fireworks_spark.pipeline import Pipe
+
+    ticks = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 20.0, 200.0)], "k long, t double, px double"
+    ).selectExpr("k", "timestamp_seconds(t) as ts", "px")
+    trades = spark.createDataFrame(
+        [(1, 15.0), (1, 25.0)], "k long, t double"
+    ).selectExpr("k", "timestamp_seconds(t) as ts")
+
+    j = Pipe(trades).asof_join(Pipe(ticks), ["k"], "ts", ["px"]).df
+    assert [r.px_r for r in j.orderBy("ts").collect()] == [100.0, 200.0]
+
+    ev = spark.createDataFrame(
+        [(i, float(i), "a" if i % 3 else "b") for i in range(30)],
+        "event_id long, v double, g string",
+    ).selectExpr("event_id", "timestamp_seconds(event_id * 600) as ts", "v as value", "g")
+    r = Pipe(ev).time_rollup("ts", "value", keys=["g"]).df
+    assert {row.grain for row in r.collect()} == {"hour", "day", "week"}
+
+    hh = Pipe(ev).heavy_hitters("g", capacity=2).df.collect()
+    assert [row.g for row in hh] == ["a"]
+
+    rb = Pipe(ev).rebalance("g", "event_id").df
+    counts = {row.g: row.c for row in rb.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert counts["b"] == 10 and counts["a"] <= 20
