@@ -994,6 +994,40 @@ def dup_clusters(
     return labels
 
 
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign train/eval splits so near-duplicates NEVER straddle a split
+    boundary — the dedup-aware evaluation hygiene step (a test doc with a
+    training-set near-twin silently inflates eval scores).
+
+    Split is a function of the doc's dup-cluster anchor (the component's
+    minimum id from dup_clusters), falling back to the doc's own id for
+    singletons: every member of a cluster shares the anchor, hence the
+    split, by construction. Deterministic integer arithmetic (anchor mod
+    k) so any engine reproduces the assignment.
+
+    Scale: one connected-components pass over the PAIR graph (bounded by
+    dup density, not corpus size) + one id-keyed left join back to the
+    corpus — the same cost class as computing the clusters at all.
+    """
+    clusters = dup_clusters(pairs).withColumnRenamed("id", id_col)
+    return (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.pmod(F.coalesce("cluster", F.col(id_col)), F.lit(k))
+            .cast("long")
+            .alias(split_col),
+        )
+    )
+
 def keep_canonical(
     df: DataFrame,
     pairs: DataFrame,

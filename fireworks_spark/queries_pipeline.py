@@ -410,7 +410,22 @@ def q98_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(lines_df).orderBy("doc_id")
 
 
+
+def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split assignment: every Jaccard>=0.8 near-dup pair lands
+    in the SAME of 5 splits (split = cluster anchor mod 5, singletons by
+    their own id) — the eval-contamination guard of a dedup pipeline.
+    Pair graph via the recall-certain LSH route of q42."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    return (
+        dedup.leakage_safe_split(d, pairs, k=5)
+        .orderBy("doc_id")
+    )
+
+
 PIPELINE_QUERIES = {
+    "q115_leakage_safe_split": q115_leakage_safe_split,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
@@ -494,6 +509,14 @@ SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
 """
 
 PIPELINE_ORACLE = {
+    "q115_leakage_safe_split": (
+        f"WITH RECURSIVE {_SHINGLES_CTE}, {_CLOSURE_CTE} "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(canon.cluster, d.doc_id) % 5 AS BIGINT) AS split "
+        "FROM documents d LEFT JOIN canon ON canon.id = d.doc_id "
+        "ORDER BY d.doc_id"
+    ),
+
     "q30_dedup_exact": (
         f"SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents "
         f"GROUP BY md5({_NORM}) ORDER BY keep_id"

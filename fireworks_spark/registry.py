@@ -70,6 +70,7 @@ ORACLES.update(RANKING_ORACLE)
 # q01..q28 et al. go last. Remove this block once every query has a
 # driver-green row.
 _NEVER_DRIVER_CHECKED = [
+    "q115_leakage_safe_split",
     "q114_feather_roundtrip",
     "q111_time_rollup",
     "q112_mg_heavy_hitters",

@@ -349,3 +349,23 @@ def test_jaccard_pairs_matches_bruteforce_random_corpora(spark):
             for r in jaccard_pairs(df, threshold=0.3).collect()
         }
         assert got == want, f"seed={seed}: {got ^ want}"
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """Every dup pair (and transitively connected chain) must land in one
+    split; singleton docs spread across all k splits."""
+    from fireworks_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    # chain 0-1-2, pair (10, 11), plus singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "ida long, idb long"
+    )
+    out = {r.doc_id: r.split for r in leakage_safe_split(docs, pairs, k=5).collect()}
+    assert len(out) == 100
+    assert out[0] == out[1] == out[2] == 0 % 5
+    assert out[10] == out[11] == 10 % 5
+    singles = [out[i] for i in range(20, 100)]
+    assert set(singles) == {0, 1, 2, 3, 4}
