@@ -63,63 +63,15 @@ ORACLES.update(RANKING_ORACLE)
 
 
 # ---------------------------------------------------------------------------
-# Driver-check rotation. The correctness driver walks the first N registry
-# entries in insertion order; rounds 1-3 only ever reached the same leading
-# 55, so the queries below — green in the local oracle suite but never in a
-# driver CORRECTNESS file — are rotated to the front. Twice-driver-green
-# q01..q28 et al. go last. Remove this block once every query has a
-# driver-green row.
-_NEVER_DRIVER_CHECKED = [
-    "q115_leakage_safe_split",
-    "q114_feather_roundtrip",
-    "q111_time_rollup",
-    "q112_mg_heavy_hitters",
-    "q113_rebalance_strata",
-    "q29_asof_join",
-    "q81_interval_join",
-    "q91_rolling_time_window",
-    "q68_stream_tumbling",
-    "q69_stream_sliding",
-    "q107_bpe_merges",
-    "q108_bpe_encode",
-    "q109_ngram_novelty",
-    "q110_chunk_dup_stats",
-    "q99_profile",
-    "q100_heavy_hitters",
-    "q101_winsorize",
-    "q104_dsir_weights",
-    "q50_shuffle_permutation",
-    "q51_repeat",
-    "q52_split_assign",
-    "q53_interleave",
-    "q54_label_onehot",
-    "q55_standardize",
-    "q56_pad",
-    "q57_make_indices",
-    "q58_hstack",
-    "q59_row_index",
-    "q60_delete_semantics",
-    "q61_update_semantics",
-    "q62_upsert_semantics",
-    "q63_linear_score",
-    "q64_batch_transform",
-    "q65_grouped_normalize",
-    "q66_media_meta",
-    "q67_media_features",
-    "q93_frame_sample",
-    "q94_audio_windows",
-    "q92_approx_percentile",
-    "q95_salted_join",
-    "q96_cogroup_asof",
-    "q79_session_windows",
-    "q80_grouping_sets",
-    "q70_lag_lead",
-    "q71_cube",
-    "q72_percentile",
-    "q73_exists_subquery",
-    "q74_explode_array",
-    "q75_stddev",
-    "q76_regexp_extract",
+# Driver-check rotation. The correctness driver walks the first ~50 registry
+# entries in insertion order. Rounds 1-4 have driver-green rows for every
+# oracle-backed query EXCEPT the 12 leading this list; after they get a
+# driver row this round, coverage is complete and this block collapses to a
+# round-robin of sentinels. The rows-only (no-SQL-oracle) queries follow so
+# the driver keeps recording their row counts, then one known-green sentinel
+# per query family as regression canaries inside the check window.
+_DRIVER_FRONT = [
+    # --- never driver-checked (positions 51-62 of the round-4 order) ---
     "q77_null_funcs",
     "q78_union_all_distinct_mix",
     "q82_tfidf",
@@ -132,17 +84,65 @@ _NEVER_DRIVER_CHECKED = [
     "q89_domain_mix",
     "q90_token_entropy",
     "q97_bigram_perplexity",
+    # --- rows-only / newly oracle-backed approx ops ---
+    "q33_dedup_simhash",
+    "q36_ann_ivf_topk",
+    "q102_ann_lsh_topk",
+    "q103_semdedup",
+    "q106_pca_project",
+    "q107_bpe_merges",
+    "q108_bpe_encode",
+    # --- known-green sentinels, one per family (regression canaries) ---
+    "q01_scan_projection",        # relational Q1-Q28
+    "q16_intersect",         # multi-result relational
+    "q70_lag_lead",               # window functions
+    "q71_cube",                   # cube/rollup
+    "q72_percentile",             # exact percentiles
+    "q73_exists_subquery",        # subqueries
+    "q74_explode_array",          # UDTF/explode
+    "q75_stddev",                 # stats aggs
+    "q76_regexp_extract",         # string/regexp
+    "q79_session_windows",        # sessionization
+    "q80_grouping_sets",          # grouping sets
+    "q92_approx_percentile",      # approx aggs
+    "q29_asof_join",              # time-series asof (r5: payload-struct fix)
+    "q81_interval_join",          # interval join
+    "q91_rolling_time_window",    # rolling RANGE frames
+    "q96_cogroup_asof",           # cogrouped Arrow
+    "q111_time_rollup",           # multi-grain rollup
+    "q68_stream_tumbling",        # streaming tumbling
+    "q69_stream_sliding",         # streaming sliding
+    "q30_dedup_exact",            # dedup family
+    "q31_dedup_ngram_jaccard",    # jaccard pairs (r5: unpersist path)
+    "q32_dedup_minhash_lsh",      # minhash LSH
+    "q34_dedup_embedding_cosine",        # embedding near-dup
+    "q42_dup_clusters",           # connected components
+    "q115_leakage_safe_split",    # leakage-safe split
+    "q35_ann_cosine_topk",         # ANN brute force
+    "q37_text_token_stats",             # text stats family
+    "q104_dsir_weights",          # ranking family
+    "q112_mg_heavy_hitters",      # sketch (r5: null-key fix)
+    "q113_rebalance_strata",      # rebalance
+    "q114_feather_roundtrip",     # Arrow IPC connector (r5: streamed writer)
+    "q63_linear_score",           # mlfeed/model
+    "q65_grouped_normalize",      # applyInPandas
+    "q66_media_meta",             # multimodal
+    "q95_salted_join",            # skew handling
+    "q60_delete_semantics",       # database mutations
+    "q54_label_onehot",           # toolbox/labeling
+    "q50_shuffle_permutation",    # shuffle/repeat
 ]
 
 
 def _rotate(front: list[str]) -> None:
-    order = [q for q in front if q in QUERIES] + [
-        q for q in QUERIES if q not in front
-    ]
+    missing = [q for q in front if q not in QUERIES]
+    if missing:  # a typo here silently shrinks the driver check window
+        raise KeyError(f"_DRIVER_FRONT names not in QUERIES: {missing}")
+    order = list(front) + [q for q in QUERIES if q not in front]
     for mapping in (QUERIES, ORACLES):
         rotated = {k: mapping[k] for k in order if k in mapping}
         mapping.clear()
         mapping.update(rotated)
 
 
-_rotate(_NEVER_DRIVER_CHECKED)
+_rotate(_DRIVER_FRONT)
