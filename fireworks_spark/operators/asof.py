@@ -92,32 +92,46 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    def _carry(frame: DataFrame, w, tag: str) -> DataFrame:
+    # Carry the WHOLE right row as one struct, not column-by-column: with
+    # per-column last(ignorenulls), a NULL in one right payload column lets
+    # that column fall through to an OLDER right row, stitching the output
+    # match from several right rows (and ts_r may not be the row a payload
+    # value came from). The struct is non-NULL exactly on right rows, so a
+    # single last(ignorenulls) always picks one intact right row — matching
+    # pandas merge_asof / DuckDB ASOF row semantics even with NULL payloads.
+    u = u.withColumn(
+        "_rrow",
+        F.when(F.col("_side") == r_marker, F.struct(*carried)),
+    )
+
+    def _unpack(frame: DataFrame, src: str) -> DataFrame:
         for c in carried:
-            frame = frame.withColumn(f"{tag}{c}", F.last(c, ignorenulls=True).over(w))
-        return frame
+            frame = frame.withColumn(c, F.col(src).getField(c))
+        return frame.drop(src)
 
     if direction in ("backward", "forward"):
         w = wb if direction == "backward" else wf
-        matched = _carry(u, w, "_m_")
-        out = matched.filter(F.col("_side") == l_marker).drop("_side")
-        for c in carried:
-            out = out.withColumn(c, F.col(f"_m_{c}")).drop(f"_m_{c}")
+        matched = u.withColumn("_m", F.last("_rrow", ignorenulls=True).over(w))
+        out = matched.filter(F.col("_side") == l_marker).drop("_side", "_rrow")
         if tolerance_micros is not None:
-            delta = epoch_micros(ts_col) - epoch_micros(f"{ts_col}{suffix}")
+            delta = epoch_micros(ts_col) - epoch_micros(
+                F.col("_m").getField(f"{ts_col}{suffix}")
+            )
             stale = (delta if direction == "backward" else -delta) > tolerance_micros
-            for c in carried:
-                out = out.withColumn(
-                    c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-                )
-        return out
+            out = out.withColumn(
+                "_m", F.when(stale, F.lit(None)).otherwise(F.col("_m"))
+            )
+        return _unpack(out, "_m")
 
     # nearest: both carries over the SAME hash partitioning (one Exchange,
     # two sorts), then a per-row choice by absolute delta, ties backward.
-    matched = _carry(_carry(u, wb, "_b_"), wf, "_f_")
-    out = matched.filter(F.col("_side") == l_marker).drop("_side")
-    db = epoch_micros(ts_col) - epoch_micros(f"_b_{ts_col}{suffix}")
-    df_ = epoch_micros(f"_f_{ts_col}{suffix}") - epoch_micros(ts_col)
+    matched = u.withColumn(
+        "_b", F.last("_rrow", ignorenulls=True).over(wb)
+    ).withColumn("_f", F.last("_rrow", ignorenulls=True).over(wf))
+    out = matched.filter(F.col("_side") == l_marker).drop("_side", "_rrow")
+    ts_field = f"{ts_col}{suffix}"
+    db = epoch_micros(ts_col) - epoch_micros(F.col("_b").getField(ts_field))
+    df_ = epoch_micros(F.col("_f").getField(ts_field)) - epoch_micros(ts_col)
     if tolerance_micros is not None:
         db = F.when(db > tolerance_micros, F.lit(None)).otherwise(db)
         df_ = F.when(df_ > tolerance_micros, F.lit(None)).otherwise(df_)
@@ -125,11 +139,10 @@ def asof_join(
         db.isNotNull() & (df_.isNull() | (db <= df_)), F.lit(True)
     ).otherwise(F.lit(False))
     take_forward = (~take_backward) & df_.isNotNull()
-    for c in carried:
-        out = out.withColumn(
-            c,
-            F.when(take_backward, F.col(f"_b_{c}"))
-            .when(take_forward, F.col(f"_f_{c}"))
-            .otherwise(F.lit(None)),
-        ).drop(f"_b_{c}", f"_f_{c}")
-    return out
+    out = out.withColumn(
+        "_m",
+        F.when(take_backward, F.col("_b"))
+        .when(take_forward, F.col("_f"))
+        .otherwise(F.lit(None)),
+    ).drop("_b", "_f")
+    return _unpack(out, "_m")

@@ -141,3 +141,32 @@ def test_asof_nearest_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_null_payload_stays_whole_row(spark):
+    """A NULL in one right payload column must NOT fall through to an older
+    right row: the match is always one intact right row (pandas merge_asof
+    row semantics). Regression for the per-column last(ignorenulls) carry."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 12:00:00"))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 10:00:00"), 1.0, "old"),
+            # newest right before left.ts has a NULL in a:
+            ("k", _ts("2024-01-01 11:00:00"), None, "new"),
+        ],
+        "k string, ts timestamp, a double, b string",
+    )
+    for direction in ("backward", "nearest"):
+        row = asof_join(
+            left, right, ["k"], "ts", ["a", "b"], direction=direction
+        ).collect()[0]
+        assert row.b_r == "new" and row.a_r is None, direction
+        assert row.ts_r == _ts("2024-01-01 11:00:00"), direction
+    # forward: the only right at/after left.ts is... none; all NULL
+    fwd = asof_join(
+        left, right, ["k"], "ts", ["a", "b"], direction="forward"
+    ).collect()[0]
+    assert fwd.a_r is None and fwd.b_r is None and fwd.ts_r is None
