@@ -44,10 +44,17 @@ def _mg_fold(counters: dict, key, w: int, capacity: int) -> None:
 def mg_partition_candidates(
     df: DataFrame, key_col: str, capacity: int
 ) -> DataFrame:
-    """Per-partition Misra-Gries summaries: (key, residual weight) rows for
-    the surviving counters, plus one null-key row per partition carrying
-    that partition's total row count (so the caller derives n without a
-    second full scan)."""
+    """Per-partition Misra-Gries summaries as (key, w, kind) rows:
+
+    - ``kind='cand'``: a surviving non-null counter (key, residual weight);
+    - ``kind='total'``: one row per partition, w = that partition's row
+      count (so the caller derives n without a second full scan);
+    - ``kind='nulls'``: one row per partition, w = its EXACT null-key row
+      count. NULL keys never enter the MG counters (a NaN candidate can't
+      survive the recount's equi-join and would break a non-float key
+      column's Arrow schema); summing these per-partition exacts instead
+      keeps the NULL group's count exact with zero extra memory.
+    """
     key_type = dict(df.dtypes)[key_col]
 
     def _summarize(batches):
@@ -55,22 +62,24 @@ def mg_partition_candidates(
 
         counters: dict = {}
         total = 0
+        nulls = 0
         for b in batches:
             if not len(b):
                 continue
             total += len(b)
-            for key, w in b[key_col].value_counts(dropna=False).items():
+            nulls += int(b[key_col].isna().sum())
+            for key, w in b[key_col].value_counts(dropna=True).items():
                 _mg_fold(counters, key, int(w), capacity)
         yield pd.DataFrame(
             {
-                key_col: [*counters.keys(), None],
-                "w": [*counters.values(), total],
-                "is_total": [*([False] * len(counters)), True],
+                key_col: [*counters.keys(), None, None],
+                "w": [*counters.values(), total, nulls],
+                "kind": [*(["cand"] * len(counters)), "total", "nulls"],
             }
         )
 
     return df.select(key_col).mapInPandas(
-        _summarize, f"{key_col} {key_type}, w long, is_total boolean"
+        _summarize, f"{key_col} {key_type}, w long, kind string"
     )
 
 
@@ -84,11 +93,19 @@ def heavy_hitters_sketch(
     spark = df.sparkSession
     summaries = mg_partition_candidates(df, key_col, capacity).persist()
     try:
-        # both collects are bounded by partitions x capacity rows; pulling
-        # them now (off the cached pass-1 result) means pass 1 runs ONCE
-        n = summaries.filter("is_total").agg(F.sum("w")).collect()[0][0] or 0
+        # all three collects are bounded by partitions x capacity rows;
+        # pulling them off the cached pass-1 result means pass 1 runs ONCE
+        totals = {
+            r["kind"]: r["s"]
+            for r in summaries.filter(F.col("kind") != "cand")
+            .groupBy("kind")
+            .agg(F.sum("w").alias("s"))
+            .collect()
+        }
+        n = totals.get("total") or 0
+        n_null = totals.get("nulls") or 0
         cand_rows = (
-            summaries.filter(~F.col("is_total"))
+            summaries.filter(F.col("kind") == "cand")
             .select(key_col)
             .distinct()
             .collect()
@@ -104,6 +121,12 @@ def heavy_hitters_sketch(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     thresh = n / capacity
-    return exact.filter(F.col("cnt") > F.lit(thresh)).orderBy(
-        F.desc("cnt"), key_col
-    )
+    out = exact.filter(F.col("cnt") > F.lit(thresh))
+    if n_null > thresh:
+        # the per-partition null counts are exact, so the NULL group joins
+        # the output without touching the MG candidate path at all
+        null_row = spark.createDataFrame(
+            [(n_null,)], "cnt long"
+        ).select(F.lit(None).cast(dict(df.dtypes)[key_col]).alias(key_col), "cnt")
+        out = out.unionByName(null_row)
+    return out.orderBy(F.desc("cnt"), key_col)

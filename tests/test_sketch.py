@@ -51,10 +51,30 @@ def test_mg_candidates_bounded_output(spark):
         [(i, f"k{i % 1000}") for i in range(5000)], "i long, k string"
     ).repartition(4)
     out = mg_partition_candidates(df, "k", capacity=10).collect()
-    totals = [r for r in out if r.is_total]
-    cands = [r for r in out if not r.is_total]
+    totals = [r for r in out if r.kind == "total"]
+    cands = [r for r in out if r.kind == "cand"]
     assert sum(r.w for r in totals) == 5000
     assert len(cands) <= 4 * 10
+
+
+def test_heavy_hitters_null_key_group(spark):
+    """A NULL key heavy enough to pass the threshold must appear in the
+    output with its EXACT count (the oracle's GROUP BY includes the NULL
+    group; the semi-join recount alone would silently drop it), and NULL
+    keys must never enter the MG counters of a non-float key column."""
+    rows = [(i, "hot") for i in range(300)]
+    rows += [(i, None) for i in range(200)]
+    rows += [(i, f"cold{i % 97}") for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, k string").repartition(8)
+    got = {r.k: r.cnt for r in heavy_hitters_sketch(df, "k", capacity=5).collect()}
+    assert got == {"hot": 300, None: 200}
+    # same shape with a LONG key column: NaN would break the Arrow schema
+    dfl = spark.createDataFrame(
+        [(i, 7) for i in range(300)] + [(i, None) for i in range(200)],
+        "i long, k long",
+    ).repartition(8)
+    gotl = {r.k: r.cnt for r in heavy_hitters_sketch(dfl, "k", capacity=5).collect()}
+    assert gotl == {7: 300, None: 200}
 
 
 def test_time_rollup_matches_separate_groupbys(spark):
