@@ -222,20 +222,37 @@ def write_feather(df: DataFrame, path: str, compression: str = "zstd") -> None:
     def _write(batches):
         import pandas as pd
         import pyarrow as pa
-        import pyarrow.feather as pf
         from pyspark import TaskContext
 
+        # Feather V2 == the Arrow IPC file format, so appending each Arrow
+        # batch through a RecordBatchFileWriter as it arrives keeps task
+        # memory at one batch (maxRecordsPerBatch) instead of buffering the
+        # whole partition in a pd.concat.
         rows = 0
-        chunks = [b for b in batches if len(b)]
-        if chunks:
-            t = pa.Table.from_pandas(
-                pd.concat(chunks, ignore_index=True), preserve_index=False
-            )
-            pid = TaskContext.get().partitionId()
-            f = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex}.feather")
-            pf.write_feather(t, f, compression=comp)
-            rows = t.num_rows
-        yield __import__("pandas").DataFrame({"rows": [rows]})
+        writer = sink = None
+        try:
+            for b in batches:
+                if not len(b):
+                    continue
+                t = pa.Table.from_pandas(b, preserve_index=False)
+                if writer is None:
+                    pid = TaskContext.get().partitionId()
+                    fname = os.path.join(
+                        path, f"part-{pid:05d}-{uuid.uuid4().hex}.feather"
+                    )
+                    sink = pa.OSFile(fname, "wb")
+                    writer = pa.ipc.new_file(
+                        sink,
+                        t.schema,
+                        options=pa.ipc.IpcWriteOptions(compression=comp),
+                    )
+                writer.write_table(t)
+                rows += t.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+                sink.close()
+        yield pd.DataFrame({"rows": [rows]})
 
     # the action IS the write; the returned manifest is one row per task
     df.mapInPandas(_write, "rows long").write.mode("overwrite").format(

@@ -47,6 +47,7 @@ def read_event_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """File-source stream over an events directory (each file that lands in
     it is a micro-batch — the file source requires a directory, not a bare
@@ -58,7 +59,15 @@ def read_event_stream(
     column then goes through the same ``tables.normalize_event_ts`` as the
     batch reader — bigint epoch-nanos, timestamp[us] (NTZ), and true
     TIMESTAMP parquet all normalize to identical session-tz TIMESTAMP
-    values, so stream and batch stay value-identical by construction."""
+    values, so stream and batch stay value-identical by construction.
+
+    An EMPTY watch directory (normal at stream start — files land later)
+    has no footer to peek; pass ``schema`` to declare the expected file
+    layout up front (it also skips the peek), else the declared schema
+    falls back to ``EVENTS_RAW_SCHEMA`` — the normalize still applies
+    when files arrive."""
+    from pyspark.errors import AnalysisException
+
     from fireworks_spark.tables import normalize_event_ts
 
     if (
@@ -70,7 +79,11 @@ def read_event_stream(
     # window alignment must be UTC wall-clock arithmetic in ANY session
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(path).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).schema
+        except AnalysisException:  # dir exists but holds no files yet
+            schema = EVENTS_RAW_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -298,3 +298,20 @@ def test_maintain_rollup_table_matches_batch(spark, sf_dir, tmp_path):
         f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2)"
     ).fetchone()[0]
     assert len(got) == n_groups
+
+
+def test_read_event_stream_empty_dir_falls_back(spark, tmp_path):
+    """An empty watch directory is a normal stream-start condition: the
+    schema peek has no footer to read, so the declared schema must fall
+    back to EVENTS_RAW_SCHEMA (or an explicit one) instead of raising."""
+    from fireworks_spark.streaming import EVENTS_RAW_SCHEMA, read_event_stream
+
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    stream = read_event_stream(spark, str(d))
+    assert stream.isStreaming
+    # normalize turned the raw nanos-long ts into a timestamp
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # explicit schema skips the peek entirely
+    stream2 = read_event_stream(spark, str(d), schema=EVENTS_RAW_SCHEMA)
+    assert stream2.isStreaming
