@@ -75,9 +75,12 @@ def main() -> None:
         lambda it: it, n.schema
     ).count()
 
+    from fireworks_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
+        df = None
         try:
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -86,10 +89,17 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = None
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
-        # Drop this query's persisted intermediates (dedup shingle sets,
-        # toolbox working frames) outside the timed section: leaked cache
-        # blocks otherwise accumulate over the 99-query session and the
-        # growing GC/eviction pressure skews every later measurement.
+        # Release this query's persisted intermediates (dedup shingle sets,
+        # toolbox working frames) outside the timed section via the cache
+        # handles the operators expose; clearCache stays as a backstop for
+        # any frame without a handle. Leaked cache blocks otherwise
+        # accumulate over the session and the growing GC/eviction pressure
+        # skews every later measurement.
+        try:
+            if df is not None:
+                release_caches(df)
+        except Exception:
+            pass
         spark.catalog.clearCache()
 
     # Contention guard: this host shows occasional noisy-neighbor load

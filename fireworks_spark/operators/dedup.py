@@ -21,6 +21,37 @@ from pyspark.sql import functions as F
 
 from fireworks_spark.functions.text import normalize_text, words
 
+# Operators below persist intermediate frames (shingle sets) that several
+# branches of one query DAG share. The persist is load-bearing — without it
+# each branch re-tokenizes the corpus — but a library must also hand the
+# caller a release path, so every returned frame carries the list of frames
+# it cached under this attribute. ``release_caches(result)`` after the
+# result is materialized frees the executors' cache blocks; transformations
+# that BUILD ON a cached result (dup_clusters over minhash pairs, etc.)
+# propagate the handles to their own output.
+_CACHES_ATTR = "_fw_caches"
+
+
+def _attach_caches(out: DataFrame, *sources: DataFrame, extra=()) -> DataFrame:
+    handles: list = []
+    for s in sources:
+        handles += getattr(s, _CACHES_ATTR, [])
+    handles += list(extra)
+    if handles:
+        setattr(out, _CACHES_ATTR, handles)
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every intermediate frame cached while building ``df``
+    (no-op for frames that cached nothing). Call AFTER materializing the
+    result — the cached frames are part of its lineage."""
+    for c in getattr(df, _CACHES_ATTR, []):
+        c.unpersist()
+    rc = getattr(df, "_row_index_cache", None)
+    if rc is not None:  # toolbox.with_row_index's pre-existing handle
+        rc.unpersist()
+
 
 # --------------------------------------------------------------------------
 # shingling
@@ -125,7 +156,8 @@ def shingle_candidates(
     no dedup signal anyway).
     """
     sets = shingle_sets(df, id_col, text_col, n).persist()
-    return _candidate_stats(sets, id_col, df_cap)[0].select("ida", "idb")
+    out = _candidate_stats(sets, id_col, df_cap)[0].select("ida", "idb")
+    return _attach_caches(out, extra=[sets])
 
 
 def _candidate_stats(
@@ -304,11 +336,14 @@ def jaccard_pairs(
     sb = sets.select(F.col(id_col).alias("idb"), F.col("shingles").alias("_sb"))
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     jac = inter / (F.size("_sa") + F.size("_sb") - inter)
-    return (
+    out = (
         cand.join(sa, "ida")
         .join(sb, "idb")
         .select("ida", "idb", F.round(jac, 3).alias("jac"))
         .filter(F.col("jac") >= threshold)
+    )
+    return _attach_caches(
+        out, *( [candidates] if candidates is not None else [] ), extra=[sets]
     )
 
 
@@ -949,9 +984,10 @@ def dup_clusters(
                 lo, hi = (rs, rd) if rs < rd else (rd, rs)
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
-        return pairs.sparkSession.createDataFrame(
+        out = pairs.sparkSession.createDataFrame(
             rows, "id long, cluster long"
         )
+        return _attach_caches(out, pairs)
     labels = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -991,7 +1027,7 @@ def dup_clusters(
             break
         prev_sum = new_sum
     e.unpersist()
-    return labels
+    return _attach_caches(labels, pairs)
 
 
 
@@ -1016,8 +1052,9 @@ def leakage_safe_split(
     dup density, not corpus size) + one id-keyed left join back to the
     corpus — the same cost class as computing the clusters at all.
     """
-    clusters = dup_clusters(pairs).withColumnRenamed("id", id_col)
-    return (
+    cc = dup_clusters(pairs)  # rename below drops attached attributes,
+    clusters = cc.withColumnRenamed("id", id_col)  # so keep cc for handles
+    out = (
         df.select(id_col)
         .join(clusters, id_col, "left")
         .select(
@@ -1027,6 +1064,7 @@ def leakage_safe_split(
             .alias(split_col),
         )
     )
+    return _attach_caches(out, cc)
 
 def keep_canonical(
     df: DataFrame,
@@ -1039,12 +1077,11 @@ def keep_canonical(
     cluster (rows in no pair survive untouched): cluster the pair graph,
     then anti-join the non-canonical ids — the corpus itself never
     shuffles, it only streams past a (small) drop list."""
-    drop = (
-        dup_clusters(pairs, a, b)
-        .filter(F.col("cluster") != F.col("id"))
-        .select(F.col("id").alias(id_col))
+    clusters = dup_clusters(pairs, a, b)
+    drop = clusters.filter(F.col("cluster") != F.col("id")).select(
+        F.col("id").alias(id_col)
     )
-    return df.join(drop, id_col, "left_anti")
+    return _attach_caches(df.join(drop, id_col, "left_anti"), clusters)
 
 
 def line_dedup(

@@ -369,3 +369,36 @@ def test_leakage_safe_split_never_straddles_pairs(spark):
     assert out[10] == out[11] == 10 % 5
     singles = [out[i] for i in range(20, 100)]
     assert set(singles) == {0, 1, 2, 3, 4}
+
+
+def test_dedup_queries_release_their_caches(spark, sf_dir):
+    """Back-to-back dedup queries must leave NO persisted blocks behind once
+    the caller invokes release_caches on each result — the library-hygiene
+    contract (VERDICT r4 #2): a long session must not accumulate cache
+    blocks until eviction pressure skews everything."""
+    from fireworks_spark.operators.dedup import (
+        jaccard_pairs,
+        keep_canonical,
+        leakage_safe_split,
+        minhash_dedup_pairs,
+        release_caches,
+    )
+    from fireworks_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+
+    def persistent_rdds():
+        return dict(spark.sparkContext._jsc.getPersistentRDDs())
+
+    for build in (
+        lambda: jaccard_pairs(docs, threshold=0.8, df_cap=20),
+        lambda: minhash_dedup_pairs(docs, threshold=0.8),
+        lambda: keep_canonical(docs, minhash_dedup_pairs(docs, threshold=0.8)),
+        lambda: leakage_safe_split(
+            docs, minhash_dedup_pairs(docs, threshold=0.8)
+        ),
+    ):
+        out = build()
+        out.write.mode("overwrite").format("noop").save()
+        release_caches(out)
+        assert not persistent_rdds(), build
