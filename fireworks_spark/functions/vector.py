@@ -40,15 +40,35 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def sign_bits(vec_col: Column | str, num_bits: int) -> Column:
+def sign_bits(
+    vec_col: Column | str, num_bits: int, portable: bool = False
+) -> Column:
     """ARRAY<INT> of ``num_bits`` random-hyperplane sign bits.
 
     Bit i is the sign of a pseudo-random ±1 projection whose signs derive
     from xxhash64(i, dim) — deterministic, shippable in the plan, no driver
     state or broadcast needed. P(bit agrees for two vectors at angle θ) =
     1 - θ/π, the standard sign-LSH collision probability.
+
+    ``portable=True`` derives the projection signs from md5(i:d) parity
+    instead — the same value any SQL engine computes (DuckDB:
+    ``('0x' || substring(md5(i || ':' || d), 1, 15))::BIGINT % 2``), which
+    is what lets an LSH-bucketed ANN be value-checked end-to-end by a SQL
+    oracle (q102). Same collision probability; md5 costs ~2x xxhash64 per
+    (bit, dim) term, so the default stays on xxhash64.
     """
     v = _dbl(vec_col)
+    if portable:
+        def _sgn(i, d):
+            h = F.conv(
+                F.substring(F.md5(F.concat_ws(":", i, d)), 1, 15), 16, 10
+            ).cast("long")
+            return F.when((h % 2) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    else:
+        def _sgn(i, d):
+            return F.when(
+                (F.xxhash64(i, d) % 2) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bits - 1)),
         lambda i: F.when(
@@ -57,9 +77,7 @@ def sign_bits(vec_col: Column | str, num_bits: int) -> Column:
                     v,
                     F.transform(
                         F.sequence(F.lit(0), F.size(v) - 1),
-                        lambda d: F.when(
-                            (F.xxhash64(i, d) % 2) == 0, F.lit(1.0)
-                        ).otherwise(F.lit(-1.0)),
+                        lambda d: _sgn(i, d),
                     ),
                     lambda x, s: x * s,
                 ),

@@ -441,10 +441,29 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------------------
 
 
+def portable_token_hash60(w: Column) -> Column:
+    """60-bit token hash computable IDENTICALLY in Spark and ANSI-ish SQL:
+    the first 15 hex chars of md5, parsed as an integer. DuckDB spells the
+    same value ('0x' || substring(md5(w), 1, 15))::BIGINT — this is what
+    lets a SimHash built on it be oracle-checked end-to-end (q33), where
+    xxhash64 (Spark-only) admits just a rows-only check. 60 bits keep the
+    value inside a signed 64-bit long with sign bit clear in both engines;
+    the top 4 signature bits then fold to 0 on every document, which both
+    sides reproduce. Default SimHash stays on xxhash64 — one fused JVM hash
+    vs md5+substring+conv (~2x the per-token expression cost)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens weighted by term frequency.
+
+    ``token_hash`` (Column -> Column) plugs the per-token hash; default
+    xxhash64 (fastest), portable_token_hash60 for cross-engine parity.
 
     Frequency weighting == summing the per-token ±1 contribution over ALL
     occurrences, so the signature is a pure PER-ROW computation — no
@@ -459,9 +478,10 @@ def simhash64(
     import numpy as np
     import pandas as pd
 
+    th = token_hash or (lambda w: F.xxhash64(w))
     hashed = _spread(df).select(
         id_col,
-        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("_th"),
+        F.transform(words(text_col), th).alias("_th"),
     )
 
     def _sign(batches):
@@ -496,6 +516,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via band blocking
     sized by the pigeonhole bound: max_hamming+1 bands guarantee a pair
@@ -503,7 +524,7 @@ def simhash_pairs(
     bands would silently lose recall — a fixed 4-band split is only valid
     for max_hamming <= 3). Candidates meet on an equi-join key, then
     bit_count(xor) verifies exactly."""
-    sig = simhash64(df, id_col, text_col)
+    sig = simhash64(df, id_col, text_col, token_hash=token_hash)
     nb = max_hamming + 1
     if nb > 64:
         raise ValueError("max_hamming must be < 64")

@@ -51,11 +51,12 @@ def cosine_topk(
     )
 
 
-def _sign_bucket(vec_col: str, num_bits: int) -> F.Column:
+def _sign_bucket(vec_col: str, num_bits: int, portable: bool = False) -> F.Column:
     """Single random-hyperplane LSH bucket id: the num_bits sign bits packed
     into one integer (see functions.vector.sign_bits — deterministic
-    xxhash64-derived projections, no driver state)."""
-    return band_key(sign_bits(vec_col, num_bits), 0, num_bits)
+    xxhash64-derived projections, no driver state; ``portable`` swaps in
+    the md5-parity projections a SQL oracle can reproduce)."""
+    return band_key(sign_bits(vec_col, num_bits, portable=portable), 0, num_bits)
 
 
 def lsh_bucket_topk(
@@ -65,6 +66,7 @@ def lsh_bucket_topk(
     num_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """ANN top-k searching only the query's sign-projection bucket.
 
@@ -73,10 +75,14 @@ def lsh_bucket_topk(
     partitioned by bucket. Recall < 1 by construction (probe only 1 bucket);
     raise recall by lowering num_bits or probing neighboring buckets.
     """
-    bb = base.withColumn("bucket", _sign_bucket(vec_col, num_bits)).select(
+    bb = base.withColumn(
+        "bucket", _sign_bucket(vec_col, num_bits, portable)
+    ).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket"
     )
-    qb = queries.withColumn("bucket", _sign_bucket(vec_col, num_bits)).select(
+    qb = queries.withColumn(
+        "bucket", _sign_bucket(vec_col, num_bits, portable)
+    ).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
     )
     sim = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 4)
@@ -147,6 +153,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN with a LEARNED coarse quantizer (spherical k-means).
 
@@ -167,14 +174,22 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    fit_df = base.sample(fit_fraction, seed=seed) if fit_fraction else base
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in fit_df.select(vec_col).limit(100_000).collect()
-        ]
-    )
-    C = _spherical_kmeans(sample, num_clusters, seed)
+    if centroids is not None:
+        # precomputed coarse quantizer (FAISS's quantizer-injection shape).
+        # Rows are L2-normalized here because the assignment below ranks by
+        # DOT of normalized vectors — cosine is scale-invariant, so any
+        # positive scaling of the injected rows yields identical cells.
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    else:
+        fit_df = base.sample(fit_fraction, seed=seed) if fit_fraction else base
+        sample = np.stack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in fit_df.select(vec_col).limit(100_000).collect()
+            ]
+        )
+        C = _spherical_kmeans(sample, num_clusters, seed)
 
     def _assign(batches):
         for b in batches:

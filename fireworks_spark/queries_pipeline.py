@@ -95,9 +95,14 @@ def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming <= 3 — the standard radius for
     64-bit signatures (Manku et al., WWW'07 web-crawl dedup); banding is
-    sized by pigeonhole (max_hamming+1 bands) so recall is exact."""
+    sized by pigeonhole (max_hamming+1 bands) so recall is exact, which is
+    what lets the all-pairs SQL below serve as a value oracle. Uses the
+    md5-based portable token hash so DuckDB derives bit-identical
+    signatures from the raw text (xxhash64 has no SQL equivalent)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, max_hamming=3).orderBy("ida", "idb")
+    return dedup.simhash_pairs(
+        d, max_hamming=3, token_hash=dedup.portable_token_hash60
+    ).orderBy("ida", "idb")
 
 
 def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,17 +154,39 @@ def q35_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a learned (spherical k-means) coarse quantizer, nprobe=2 of
-    10 lists — approximate by design, so rows-only for the driver.
-    tests/test_similarity.py asserts the exhaustive probe (nprobe=10)
-    reproduces brute force exactly on this table, and nprobe=1 recall >= 0.9
-    on planted-cluster data. On these isotropic test vectors partial-probe
-    recall is ~0.5 — there is no cluster structure to exploit, the known
-    worst case for any IVF index."""
+    """IVF probe structure (cell assignment -> nprobe centroid ranking ->
+    cell-restricted exact top-k) with an INJECTED deterministic coarse
+    quantizer: per-label mean vectors, computed distributively (posexplode
+    + groupBy, one shuffle of n_labels x dim partial sums) and collected as
+    num_clusters x dim scalars — bounded like any quantizer. Deterministic
+    centroids make the whole output SQL-derivable, so the driver
+    value-checks the probe machinery end-to-end (recall regressions fail
+    the driver, not just the local suite). The LEARNED spherical-k-means
+    quantizer remains the ivf_topk default, covered by
+    tests/test_similarity.py (exhaustive probe == brute force; nprobe=1
+    recall >= 0.9 on planted clusters)."""
     e = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d", "x"
+            ),
+        )
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cx"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = r["cx"]
+    centroids = [
+        [by_label[lb][d] for d in sorted(by_label[lb])]
+        for lb in sorted(by_label)
+    ]
     q = e.filter(F.col("vec_id") < 10)
     return (
-        similarity.ivf_topk(e, q, k=5, nprobe=2)
+        similarity.ivf_topk(e, q, k=5, nprobe=2, centroids=centroids)
         .withColumn("rk", F.col("rk").cast("long"))
         .orderBy("qid", "rk")
     )
@@ -168,14 +195,16 @@ def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: probe only the query's hyperplane-sign bucket
     (equi-join on bucket id — the O(N/2^bits) scale path between brute
-    force and IVF). Approximate by construction, so rows-only for the
-    driver; tests/test_similarity.py asserts every returned neighbor is a
-    true neighbor (it appears in the brute-force ranking with the same
-    similarity)."""
+    force and IVF). Uses the md5-parity portable projections so the SQL
+    oracle derives bit-identical buckets from the raw vectors and
+    value-checks the returned neighbors AND sims (a recall regression
+    fails the driver); the xxhash64 default path is covered by
+    tests/test_similarity.py (every returned neighbor appears in the
+    brute-force ranking with the same similarity)."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return (
-        similarity.lsh_bucket_topk(e, q, k=5, num_bits=6)
+        similarity.lsh_bucket_topk(e, q, k=5, num_bits=6, portable=True)
         .withColumn("rk", F.col("rk").cast("long"))
         .orderBy("qid", "rk")
     )
@@ -494,6 +523,71 @@ _CANONICAL_SQL = (
     "(SELECT id FROM canon WHERE id <> cluster) ORDER BY doc_id"
 )
 
+# q102: the portable md5-parity sign-LSH bucket, recomputed verbatim in SQL
+# (mirrors functions.vector.sign_bits(portable=True) + band_key folds).
+def _lsh_bucket_sql(v: str) -> str:
+    return "list_reduce(\n  list_prepend(0, list_transform(range(0, 6),\n    i -> CASE WHEN list_reduce(\n            list_prepend(0.0, list_transform(range(1, array_length({v}) + 1),\n              dd -> CAST({v}[dd] AS DOUBLE) *\n                    (CASE WHEN ('0x' || substring(md5(i || ':' || (dd - 1)), 1, 15))::BIGINT % 2 = 0\n                          THEN 1.0 ELSE -1.0 END))),\n            (acc, x) -> acc + x) > 0\n         THEN 1 ELSE 0 END)),\n  (acc, b) -> acc * 2 + b)".replace("{v}", v)
+
+
+_LSH_ANN_SQL = f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), p AS (
+  SELECT q.vec_id AS qid, b.vec_id AS nid,
+         round({_cos('q.embedding', 'b.embedding')}, 4) AS sim
+  FROM bk q JOIN bk b ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), r AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM p
+)
+SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+# q36: IVF probe with the per-label-mean quantizer — cells, probe ranking
+# and the final top-k all re-derived from the raw table (q36 docstring).
+_IVF_ANN_SQL = f"""
+WITH ex AS (
+  SELECT label, vec_id,
+         unnest(range(1, array_length(embedding) + 1)) AS d,
+         unnest(list_transform(range(1, array_length(embedding) + 1),
+                i -> CAST(embedding[i] AS DOUBLE))) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label AS pt, d, AVG(x) AS cx FROM ex GROUP BY pt, d
+), cvec AS (
+  SELECT pt, list(cx ORDER BY d) AS cv FROM cent GROUP BY pt
+), assign AS (
+  SELECT vec_id, pt FROM (
+    SELECT b.vec_id, c.pt,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_cos('b.embedding', 'c.cv')} DESC, c.pt) AS rr
+    FROM embeddings b CROSS JOIN cvec c
+  ) WHERE rr = 1
+), probe AS (
+  SELECT qid, pt FROM (
+    SELECT q.vec_id AS qid, c.pt,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos('q.embedding', 'c.cv')} DESC, c.pt) AS pr
+    FROM embeddings q CROSS JOIN cvec c WHERE q.vec_id < 10
+  ) WHERE pr <= 2
+), p AS (
+  SELECT pr.qid, b.vec_id AS nid,
+         round({_cos('q.embedding', 'b.embedding')}, 4) AS sim
+  FROM probe pr
+  JOIN assign a ON a.pt = pr.pt
+  JOIN embeddings b ON b.vec_id = a.vec_id AND b.vec_id <> pr.qid
+  JOIN embeddings q ON q.vec_id = pr.qid
+), r AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM p
+)
+SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
+"""
+
 _ANN_SQL = f"""
 WITH p AS (
   SELECT q.vec_id AS qid, b.vec_id AS nid,
@@ -526,7 +620,36 @@ PIPELINE_ORACLE = {
     # collision probability is >= 1 - 3e-8 per pair, so candidates == exact
     # pairs and the oracle is the exact-Jaccard SQL at the same threshold.
     "q32_dedup_minhash_lsh": _JACCARD_SQL_08,
-    # q33 simhash: no SQL equivalent (xxhash64) — rows-only check.
+    # q33 simhash: signatures re-derived in SQL from the same md5-based
+    # 60-bit token hash (portable_token_hash60); the Spark side's banded
+    # blocking has exact recall at Hamming<=3 (pigeonhole), so the
+    # all-pairs SQL is a true value oracle, not an approximation.
+    "q33_dedup_simhash": f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+        th AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, bb.b AS b,
+                   SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th, (SELECT unnest(range(60)) AS b) bb
+            GROUP BY doc_id, bb.b
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                   AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY ida, idb
+    """,
     "q109_ngram_novelty": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
         sh AS (
@@ -651,7 +774,8 @@ PIPELINE_ORACLE = {
         ORDER BY d.doc_id
     """,
     "q35_ann_cosine_topk": _ANN_SQL,
-    # q36 IVF: approximate by design — rows-only check.
+    "q36_ann_ivf_topk": _IVF_ANN_SQL,
+    "q102_ann_lsh_topk": _LSH_ANN_SQL,
     "q37_text_token_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_calc,
