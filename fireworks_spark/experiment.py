@@ -63,9 +63,13 @@ class Experiment:
         self._append("metrics", [{"trial": trial, "step": step, **metrics}])
 
     def _read(self, table: str) -> DataFrame:
+        # Parse payloads executor-side: spark.read.json over the payload
+        # strings does distributed schema inference (union of keys across
+        # trials, deterministic alphabetical field order) — the driver never
+        # materializes the rows, so a million-trial metrics table reads the
+        # same way a ten-trial one does.
         raw = self.spark.read.parquet(self.file_path(table))
-        rows = [json.loads(r.payload) for r in raw.collect()]
-        return self.spark.createDataFrame(rows)
+        return self.spark.read.json(raw.rdd.map(lambda r: r.payload))
 
     def params_df(self) -> DataFrame:
         return self._read("params")
