@@ -690,12 +690,18 @@ def blocked_cosine_pairs(
             F.collect_list("_v").alias("vecs"),
         )
     )
-    # Enumerate the upper-triangle block pairs driver-side (nb is known and
-    # small) so both sides attach via EQUI-joins — no nested-loop join
-    # anywhere; AQE broadcasts the packed side while it fits and falls back
-    # to hash joins keyed on the block id beyond that.
-    block_pairs = df.sparkSession.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(i, nb)], "bx long, by long"
+    # Enumerate the upper-triangle block pairs distributively — each bx row
+    # of a range explodes sequence(bx, nb-1) into its by partners (a narrow
+    # Generate, no join, no O(nb^2) driver list) — so both packed sides
+    # attach via EQUI-joins: no nested-loop join anywhere; AQE broadcasts
+    # the packed side while it fits and falls back to hash joins keyed on
+    # the block id beyond that.
+    block_pairs = (
+        df.sparkSession.range(nb)
+        .select(
+            F.col("id").alias("bx"),
+            F.explode(F.sequence(F.col("id"), F.lit(nb - 1))).alias("by"),
+        )
     )
     joined = (
         block_pairs.join(
