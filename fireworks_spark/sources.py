@@ -39,3 +39,66 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
             F.array().cast("array<string>").alias("dbxrefs"),
         )
     )
+
+
+def read_fastq(spark: SparkSession, path: str) -> DataFrame:
+    """One row per FASTQ record (BioSeqPipe filetype='fastq', reference
+    fireworks/toolbox/pipes.py:33 — any Bio.SeqIO filetype).
+
+    FASTQ records are FOUR fixed lines (@header / sequence / + / quality);
+    '@' is a legal QUALITY character (Phred 31), so splitting the file on
+    '@' like the FASTA lineSep trick is wrong on real data. Instead each
+    file is read whole (file-parallel — one task per file, matching how
+    FASTQ corpora ship as many per-sample files) and the 4-line groups are
+    carved out with pure JVM array expressions: split to lines, then one
+    struct per record via sequence+transform, exploded.
+
+    Columns mirror read_fasta (ids/names/descriptions/sequences/dbxrefs)
+    plus ``qualities`` — the raw Phred string (SeqIO stores it decoded in
+    letter_annotations['phred_quality']; the ASCII form is kept here, and
+    decoding is one transform(ascii(x)-33) away).
+    """
+    raw = spark.read.text(path, wholetext=True)
+    lines = F.filter(
+        F.split(F.col("value"), "\r?\n"), lambda l: F.trim(l) != ""
+    )
+    nrec = (F.size(lines) / 4).cast("long")
+    recs = F.transform(
+        F.sequence(F.lit(0), nrec - 1),
+        lambda i: F.struct(
+            F.element_at(lines, (i * 4 + 1).cast("int")).alias("h"),
+            F.element_at(lines, (i * 4 + 2).cast("int")).alias("seq"),
+            F.element_at(lines, (i * 4 + 4).cast("int")).alias("qual"),
+        ),
+    )
+    header = F.regexp_replace(F.col("r.h"), r"^@", "")
+    return (
+        raw.filter(F.size(lines) >= 4)
+        .select(F.explode(F.when(nrec > 0, recs)).alias("r"))
+        .select(
+            F.trim(F.substring_index(header, " ", 1)).alias("ids"),
+            F.trim(F.substring_index(header, " ", 1)).alias("names"),
+            F.trim(header).alias("descriptions"),
+            F.trim(F.col("r.seq")).alias("sequences"),
+            F.array().cast("array<string>").alias("dbxrefs"),
+            F.trim(F.col("r.qual")).alias("qualities"),
+        )
+    )
+
+
+def read_bioseq(
+    spark: SparkSession, path: str, filetype: str = "fasta"
+) -> DataFrame:
+    """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
+    filetype=...) (pipes.py:33). Supported: fasta, fastq; other SeqIO
+    formats (genbank, embl, ...) need their own record-delimiter parses
+    and raise until someone needs them."""
+    ft = filetype.lower()
+    if ft == "fasta":
+        return read_fasta(spark, path)
+    if ft == "fastq":
+        return read_fastq(spark, path)
+    raise NotImplementedError(
+        f"filetype {filetype!r}: only fasta and fastq have distributed "
+        "parses (reference BioSeqPipe accepts any Bio.SeqIO format)"
+    )

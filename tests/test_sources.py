@@ -58,3 +58,29 @@ def test_fasta_tiny_inline(spark, tmp_path):
     assert rows["a"].sequences == "ACGTTTGG"
     assert rows["a"].descriptions == "a desc one"
     assert rows["b"].sequences == "NNN"
+
+
+def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
+    """FASTQ 4-line records, including '@' as the FIRST quality character —
+    the case that breaks naive '@'-delimiter splitting (Phred 31 == '@')."""
+    from fireworks_spark.sources import read_bioseq, read_fastq
+
+    p = tmp_path / "t.fastq"
+    p.write_text(
+        "@r1 sample one\nACGT\n+\n@AB!\n"
+        "@r2\nTTGGCC\n+r2\nIIIIII\n"
+        "@r3 third\nAC\n+\n!~\n"
+    )
+    rows = {r.ids: r for r in read_fastq(spark, str(p)).collect()}
+    assert set(rows) == {"r1", "r2", "r3"}
+    assert rows["r1"].sequences == "ACGT"
+    assert rows["r1"].qualities == "@AB!"
+    assert rows["r1"].descriptions == "r1 sample one"
+    assert rows["r2"].qualities == "IIIIII"
+    assert rows["r3"].sequences == "AC" and rows["r3"].qualities == "!~"
+    # dispatcher parity + unsupported formats raise
+    assert read_bioseq(spark, str(p), "fastq").count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        read_bioseq(spark, str(p), "genbank")
