@@ -126,3 +126,21 @@ def test_covariance_plan_partial_agg_no_cartesian(spark, sf_dir):
     assert "MapInPandas" in plan  # one dim^2 BLAS partial per Arrow batch
     assert "partial_sum" in plan  # map-side combine of the partials
     assert "Exchange hashpartitioning(i" in plan  # dim^2-bounded shuffle
+
+
+def test_plans_md_covers_every_registry_query():
+    """PLANS.md (the no-cartesian plan audit) must stay in sync with the
+    registry: one audited row per query, regenerated via
+    tools/plan_audit.py whenever a query is added."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(path) as f:
+        body = f.read()
+    audited = set(re.findall(r"^\| (q\d\S*) \|", body, flags=re.M))
+    assert audited == set(QUERIES), (
+        f"PLANS.md out of date: missing={sorted(set(QUERIES) - audited)} "
+        f"stale={sorted(audited - set(QUERIES))} — rerun tools/plan_audit.py"
+    )
+    assert "CART!" not in body and "ERR" not in body
