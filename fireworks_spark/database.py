@@ -87,8 +87,10 @@ class Table:
     then swaps it in with two renames. Readers concurrent with the swap see
     old or new, never a mix — per-operation commit/rollback, the same
     guarantee the reference gets from its session transaction
-    (database.py:33-43). Multi-operation transactions need a table format
-    with a log (Delta/Iceberg) and are out of scope for plain parquet.
+    (database.py:33-43). Multi-operation transactions compose lazily in a
+    ``Transaction`` (``with table.transaction() as tx: ...``) and commit
+    through the same single swap; a production lakehouse would swap the
+    directory dance for Delta/Iceberg commit protocol, same plans.
     """
 
     def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet"):
@@ -148,6 +150,14 @@ class Table:
         self._swap(self.df().repartition(n))
         return n
 
+    def transaction(self) -> "Transaction":
+        """Begin a multi-operation transaction (D11 — reference sessions
+        span several inserts/deletes under one commit/rollback,
+        database.py:33-43). Use as a context manager: clean exit commits,
+        an exception rolls back (nothing was written either way until
+        commit's single atomic swap)."""
+        return Transaction(self)
+
     def _swap(self, new_df: DataFrame) -> None:
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
@@ -159,6 +169,92 @@ class Table:
             os.rename(old, self.path)  # rollback
             raise
         shutil.rmtree(old)
+
+
+class Transaction:
+    """Multi-operation transaction over a :class:`Table` (reference
+    database.py:33-43: one SQLAlchemy session accumulates inserts/deletes/
+    updates and a single ``commit`` makes them all visible, ``rollback``
+    discards them).
+
+    Spark-first shape: every operation composes the SAME lazy join-rewrite
+    the standalone mutations use, onto one working plan. Nothing touches
+    storage until :meth:`commit`, which materializes the final plan once and
+    publishes it with the table's atomic two-rename swap — so concurrent
+    readers observe the whole transaction or none of it, and a failure
+    anywhere (including mid-write) leaves the table untouched.
+    :meth:`rollback` simply drops the plan.
+
+    Scale note: commit is one full-table rewrite regardless of how many
+    operations composed — the right trade for multi-op atomicity on plain
+    parquet (Catalyst collapses the chained anti-joins/unions into one job).
+    Single appends outside a transaction keep the cheap ``insert`` path.
+    Isolation is last-writer-wins between concurrent transactions, the same
+    contract as the reference's sqlite sessions.
+    """
+
+    def __init__(self, table: Table):
+        self._table = table
+        self._df = table.df()
+        self._closed = False
+        self._dirty = False
+
+    # ---- composed operations (same semantics as Table's single ops) ------
+
+    def insert(self, rows: DataFrame) -> "Transaction":
+        self._check_open()
+        self._df = self._df.unionByName(rows)
+        self._dirty = True
+        return self
+
+    def delete(self, key_col: str, keys) -> "Transaction":
+        self._check_open()
+        self._df = delete_rows(self._df, key_col, keys)
+        self._dirty = True
+        return self
+
+    def update(self, batch: DataFrame, key_col: str) -> "Transaction":
+        self._check_open()
+        self._df = update_rows(self._df, batch, key_col)
+        self._dirty = True
+        return self
+
+    def upsert(self, batch: DataFrame, key_col: str) -> "Transaction":
+        self._check_open()
+        self._df = upsert_rows(self._df, batch, key_col)
+        self._dirty = True
+        return self
+
+    def df(self) -> DataFrame:
+        """Read-your-writes view of the in-flight state (uncommitted)."""
+        self._check_open()
+        return self._df
+
+    # ---- commit / rollback ----------------------------------------------
+
+    def commit(self) -> None:
+        self._check_open()
+        self._closed = True
+        if self._dirty:
+            self._table._swap(self._df)
+
+    def rollback(self) -> None:
+        self._closed = True
+        self._df = None
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("transaction already committed or rolled back")
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            self.rollback()
+        elif not self._closed:
+            self.commit()
+        return False
 
 
 # --------------------------------------------------------------------------

@@ -113,6 +113,38 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert t.df().agg(F.sum("v")).collect()[0][0] == 240 * 239
 
 
+def test_transaction_multi_op_commit(spark, tbl):
+    """Several operations under ONE commit (reference database.py:33-43):
+    nothing hits storage until the context exits, then all land atomically."""
+    fresh = db.Table(spark, tbl.path)
+    with tbl.transaction() as tx:
+        tx.insert(spark.createDataFrame([(100, "x", 1.0)], SCHEMA))
+        tx.delete("id", [0, 1])
+        tx.update(spark.createDataFrame([(5, "upd", 50.0)], SCHEMA), "id")
+        tx.upsert(spark.createDataFrame([(200, "ups", 2.0)], SCHEMA), "id")
+        # read-your-writes inside the transaction...
+        assert tx.df().count() == 10
+        # ...but storage is untouched until commit
+        assert fresh.count() == 10
+    rows = {r.id: (r.name, r.score) for r in fresh.df().collect()}
+    assert set(rows) == {2, 3, 4, 5, 6, 7, 8, 9, 100, 200}
+    assert rows[5] == ("upd", 50.0) and rows[200] == ("ups", 2.0)
+
+
+def test_transaction_rollback_on_exception(spark, tbl):
+    with pytest.raises(ValueError, match="boom"):
+        with tbl.transaction() as tx:
+            tx.delete("id", list(range(10)))
+            raise ValueError("boom")
+    assert tbl.count() == 10  # untouched
+    with tbl.transaction() as tx:
+        tx.insert(spark.createDataFrame([(50, "y", 5.0)], SCHEMA))
+        tx.rollback()
+    assert tbl.count() == 10
+    with pytest.raises(RuntimeError, match="already"):
+        tx.insert(spark.createDataFrame([(51, "z", 5.0)], SCHEMA))
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     """Real JDBC write + read against embedded Derby (the Derby jars ship
     with Spark for the metastore, so no external server is needed):
