@@ -86,19 +86,74 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_genbank(spark: SparkSession, path: str) -> DataFrame:
+    """One row per GenBank record (BioSeqPipe filetype='genbank').
+
+    GenBank flat files terminate every record with a ``//`` line, so
+    ``lineSep='\\n//'`` carves the file into records at scan time — the same
+    splittable, distributed trick as the FASTA reader. Field extraction is
+    pure JVM regexp over the record text:
+
+    - names: the LOCUS identifier (SeqRecord.name)
+    - ids: VERSION's accession.version, falling back to ACCESSION then
+      LOCUS (SeqIO's record.id precedence)
+    - descriptions: DEFINITION, continuation lines folded to single spaces
+    - sequences: the ORIGIN block with coordinates/whitespace stripped,
+      uppercased (SeqIO returns the sequence letters only)
+    - dbxrefs: DBLINK entries, one "Key: value" string per line (SeqIO
+      populates dbxrefs from DBLINK the same way)
+    """
+    raw = spark.read.text(path, lineSep="\n//")
+    rec = F.col("value")
+    locus = F.regexp_extract(rec, r"(?m)^LOCUS\s+(\S+)", 1)
+    accession = F.regexp_extract(rec, r"(?m)^ACCESSION\s+(\S+)", 1)
+    version = F.regexp_extract(rec, r"(?m)^VERSION\s+(\S+)", 1)
+    definition = F.regexp_replace(
+        F.regexp_extract(rec, r"(?s)DEFINITION\s+(.*?)(?=\n[A-Z]+)", 1),
+        r"\s+",
+        " ",
+    )
+    origin_tail = F.regexp_extract(rec, r"(?s)\nORIGIN[^\n]*\n(.*)", 1)
+    dblink = F.regexp_extract(rec, r"(?s)DBLINK\s+(.*?)(?=\n[A-Z]+)", 1)
+    return (
+        raw.filter(rec.rlike(r"(?m)^LOCUS\s"))
+        .select(
+            F.coalesce(
+                F.nullif(version, F.lit("")),
+                F.nullif(accession, F.lit("")),
+                locus,
+            ).alias("ids"),
+            locus.alias("names"),
+            F.trim(definition).alias("descriptions"),
+            F.upper(
+                F.regexp_replace(origin_tail, r"[^A-Za-z]", "")
+            ).alias("sequences"),
+            F.filter(
+                F.transform(
+                    F.split(dblink, "\n"), lambda l: F.trim(l)
+                ),
+                lambda l: l != "",
+            ).alias("dbxrefs"),
+        )
+    )
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
-    filetype=...) (pipes.py:33). Supported: fasta, fastq; other SeqIO
-    formats (genbank, embl, ...) need their own record-delimiter parses
+    filetype=...) (pipes.py:33). Supported: fasta, fastq, genbank; other
+    SeqIO formats (embl, abi, ...) need their own record-delimiter parses
     and raise until someone needs them."""
     ft = filetype.lower()
     if ft == "fasta":
         return read_fasta(spark, path)
     if ft == "fastq":
         return read_fastq(spark, path)
+    if ft in ("genbank", "gb"):
+        return read_genbank(spark, path)
     raise NotImplementedError(
-        f"filetype {filetype!r}: only fasta and fastq have distributed "
-        "parses (reference BioSeqPipe accepts any Bio.SeqIO format)"
+        f"filetype {filetype!r}: only fasta, fastq and genbank have "
+        "distributed parses (reference BioSeqPipe accepts any Bio.SeqIO "
+        "format)"
     )

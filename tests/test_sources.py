@@ -83,4 +83,58 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        read_bioseq(spark, str(p), "genbank")
+        read_bioseq(spark, str(p), "embl")
+
+
+GENBANK_FIXTURE = """LOCUS       SCU49845     5028 bp    DNA             PLN       21-JUN-1999
+DEFINITION  Saccharomyces cerevisiae TCP1-beta gene, partial cds, and Axl2p
+            (AXL2) and Rev7p (REV7) genes, complete cds.
+ACCESSION   U49845
+VERSION     U49845.1  GI:1293613
+DBLINK      BioProject: PRJNA9999
+            BioSample: SAMN0012345
+KEYWORDS    .
+SOURCE      Saccharomyces cerevisiae (baker's yeast)
+FEATURES             Location/Qualifiers
+     source          1..5028
+                     /organism="Saccharomyces cerevisiae"
+ORIGIN
+        1 gatcctccat atacaacggt atctccacct caggtttaga tctcaacaac ggaaccattg
+       61 ccgacatgag acagttaggt atcgtcgaga gttacaagct aaaacgagca gtagtcagct
+//
+LOCUS       AB000001      24 bp    mRNA            ROD       01-JAN-2000
+DEFINITION  Mus musculus mini record.
+ACCESSION   AB000001
+VERSION     AB000001.2
+KEYWORDS    .
+ORIGIN
+        1 acgtacgtac gtacgtacgt acgt
+//
+"""
+
+
+def test_genbank_parse(spark, tmp_path):
+    """GenBank flat-file records via the '\\n//' record delimiter: LOCUS
+    name, VERSION-precedence id, folded multi-line DEFINITION, DBLINK
+    dbxrefs, and the ORIGIN block stripped to sequence letters — the
+    fields SeqIO exposes (reference BioSeqPipe, pipes.py:37-44)."""
+    from fireworks_spark.sources import read_bioseq, read_genbank
+
+    p = tmp_path / "t.gb"
+    p.write_text(GENBANK_FIXTURE)
+    rows = {r.names: r for r in read_genbank(spark, str(p)).collect()}
+    assert set(rows) == {"SCU49845", "AB000001"}
+    r1 = rows["SCU49845"]
+    assert r1.ids == "U49845.1"
+    assert r1.descriptions == (
+        "Saccharomyces cerevisiae TCP1-beta gene, partial cds, and Axl2p "
+        "(AXL2) and Rev7p (REV7) genes, complete cds."
+    )
+    assert r1.sequences.startswith("GATCCTCCATATACAACGGT")
+    assert len(r1.sequences) == 120
+    assert r1.dbxrefs == ["BioProject: PRJNA9999", "BioSample: SAMN0012345"]
+    r2 = rows["AB000001"]
+    assert r2.ids == "AB000001.2"
+    assert r2.sequences == "ACGTACGTACGTACGTACGTACGT"
+    assert r2.dbxrefs == []
+    assert read_bioseq(spark, str(p), "genbank").count() == 2
