@@ -97,8 +97,77 @@ def q114_feather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q116_stata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stata .dta connector end-to-end (Message.read/to 'stata',
+    reference message.py:13-17): customer written as per-partition .dta
+    parts (pandas' dependency-free Stata codec inside Arrow tasks), read
+    back one file per task, aggregated against the original parquet — any
+    codec loss (Stata downcasts small ints, strL strings) surfaces as a
+    value mismatch."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.edge_formats import read_stata, write_stata
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="fw_stata_")
+    try:
+        write_stata(c.repartition(4), d)
+        back = read_stata(spark, d)
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("bal"),
+                F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q117_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML table connector end-to-end (Message.to 'html' + a
+    distributed JVM-regexp reader in place of lxml-backed read_html):
+    values seeded with all five escaped entities must survive the
+    write→escape→parse→unescape loop bit-exact; the oracle recomputes the
+    same synthetic column from the original parquet."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.edge_formats import read_html_tables, write_html
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.concat(F.lit('<&>"\''), F.col("c_name")).alias("marked"),
+    )
+    d = tempfile.mkdtemp(prefix="fw_html_")
+    try:
+        write_html(c.repartition(4), d)
+        back = read_html_tables(spark, d, schema="c_custkey bigint")
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c_custkey").alias("key_sum"),
+                F.sum(F.length("marked")).alias("marked_len"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
     "q114_feather_roundtrip": q114_feather_roundtrip,
+    "q116_stata_roundtrip": q116_stata_roundtrip,
+    "q117_html_roundtrip": q117_html_roundtrip,
     "q60_delete_semantics": q60_delete_semantics,
     "q61_update_semantics": q61_update_semantics,
     "q62_upsert_semantics": q62_upsert_semantics,
@@ -109,6 +178,18 @@ DATABASE_ORACLE = {
         "SELECT c_mktsegment, count(*) AS n, "
         "ROUND(SUM(c_acctbal), 2) AS bal, "
         "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
+    "q116_stata_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal, "
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
+    "q117_html_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum, "
+        "CAST(SUM(5 + LENGTH(c_name)) AS BIGINT) AS marked_len "
         "FROM customer GROUP BY 1 ORDER BY 1"
     ),
 
