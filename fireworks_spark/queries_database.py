@@ -164,7 +164,51 @@ def q117_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q118_transaction_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-operation transaction (D11, reference database.py:33-43: one
+    session spans delete+update+insert under a single commit): a temp copy
+    of customer is mutated three ways inside ONE transaction; the composed
+    join-rewrites materialize as ONE atomic swap at commit, and the oracle
+    recomputes the final state from the original parquet — proving both the
+    composition semantics and that the commit published everything."""
+    import shutil
+    import tempfile
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    d = tempfile.mkdtemp(prefix="fw_txn_")
+    path = f"{d}/t"
+    try:
+        c.write.parquet(path)
+        t = db.Table(spark, path)
+        with t.transaction() as tx:
+            tx.delete(
+                "c_custkey",
+                c.filter(F.col("c_custkey") % 10 == 3).select("c_custkey"),
+            )
+            tx.update(
+                c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+                    "c_acctbal", F.lit(0.0)
+                ),
+                "c_custkey",
+            )
+            tx.insert(
+                c.filter(F.col("c_custkey") % 100 == 50).select(
+                    (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                    F.lit(111.0).alias("c_acctbal"),
+                )
+            )
+        return (
+            t.df()
+            .select("c_custkey", "c_acctbal")
+            .orderBy("c_custkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
+    "q118_transaction_semantics": q118_transaction_semantics,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
     "q117_html_roundtrip": q117_html_roundtrip,
@@ -174,6 +218,15 @@ DATABASE_QUERIES = {
 }
 
 DATABASE_ORACLE = {
+    "q118_transaction_semantics": (
+        "SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 0.0 "
+        "ELSE c_acctbal END AS c_acctbal "
+        "FROM customer WHERE c_custkey % 10 <> 3 "
+        "UNION ALL "
+        "SELECT c_custkey + 10000000 AS c_custkey, 111.0 AS c_acctbal "
+        "FROM customer WHERE c_custkey % 100 = 50 "
+        "ORDER BY c_custkey"
+    ),
     "q114_feather_roundtrip": (
         "SELECT c_mktsegment, count(*) AS n, "
         "ROUND(SUM(c_acctbal), 2) AS bal, "

@@ -210,6 +210,52 @@ def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py — the memory-bound
+    ANN scale path: m-byte codes instead of raw vectors, JVM lookup-table
+    scan) with INJECTED deterministic codebooks: per-label mean subvectors
+    over m=4 x 16-dim subspaces, computed distributively exactly like
+    q36's coarse quantizer. Deterministic codebooks make encode (argmin
+    over codes) and ADC (sum of subspace distances) SQL-derivable, so the
+    driver value-checks the whole PQ pipeline — codes, LUTs, ranking. The
+    LEARNED-codebook path and the exact-refine stage are covered by
+    tests/test_pq.py (closed-form ADC on codebook-aligned data,
+    effective-recall on planted clusters, IVFPQ==PQ under exhaustive
+    probe, JVM-only scan plan)."""
+    from fireworks_spark.operators import pq as pqm
+
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d", "x"
+            ),
+        )
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cx"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = r["cx"]
+    labels = sorted(by_label)
+    m, dsub = 4, 16
+    codebooks = [
+        [
+            [by_label[lb][i * dsub + t] for t in range(dsub)]
+            for lb in labels
+        ]
+        for i in range(m)
+    ]
+    q = e.filter(F.col("vec_id") < 10)
+    return (
+        pqm.pq_topk(e, q, k=5, codebooks=codebooks)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
 def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix of the embedding column as (i, j, cov)
     rows — the whitening statistic. Each Arrow batch collapses to one
@@ -472,6 +518,7 @@ PIPELINE_QUERIES = {
     "q35_ann_cosine_topk": q35_ann_cosine_topk,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
+    "q119_pq_adc_topk": q119_pq_adc_topk,
     "q103_semdedup": q103_semdedup,
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_pca_project": q106_pca_project,
@@ -586,6 +633,41 @@ WITH ex AS (
   FROM p
 )
 SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+# q119: PQ with the per-label-mean codebooks (m=4 subspaces x 16 dims) —
+# encoding (argmin code per subspace) and the ADC distance (sum of subspace
+# distances looked up from the query's table) re-derived from the raw table.
+_PQ_ADC_SQL = """
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cb AS (
+  SELECT label AS code, d, d // 16 AS sub, AVG(x) AS cx
+  FROM dims GROUP BY label, d
+), d2 AS (
+  SELECT v.vec_id, c.sub, c.code, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
+  FROM dims v JOIN cb c USING (d)
+  GROUP BY v.vec_id, c.sub, c.code
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS r
+    FROM d2) t WHERE r = 1
+), adc AS (
+  SELECT qd.vec_id AS qid, e.vec_id AS nid, ROUND(SUM(qd.dist), 4) AS dist
+  FROM enc e JOIN d2 qd ON qd.sub = e.sub AND qd.code = e.code
+  WHERE qd.vec_id < 10 AND e.vec_id <> qd.vec_id
+  GROUP BY qd.vec_id, e.vec_id
+), r AS (
+  SELECT qid, nid, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
+  FROM adc
+)
+SELECT qid, nid, dist, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
 """
 
 _ANN_SQL = f"""
@@ -776,6 +858,7 @@ PIPELINE_ORACLE = {
     "q35_ann_cosine_topk": _ANN_SQL,
     "q36_ann_ivf_topk": _IVF_ANN_SQL,
     "q102_ann_lsh_topk": _LSH_ANN_SQL,
+    "q119_pq_adc_topk": _PQ_ADC_SQL,
     "q37_text_token_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -92,9 +92,11 @@ _DRIVER_FRONT = [
     "q106_pca_project",
     "q107_bpe_merges",
     "q108_bpe_encode",
-    # --- new connectors this round (never driver-checked yet) ---
+    # --- new this round (never driver-checked yet) ---
     "q116_stata_roundtrip",
     "q117_html_roundtrip",
+    "q118_transaction_semantics",
+    "q119_pq_adc_topk",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational
