@@ -35,6 +35,7 @@ __all__ = [
     "bm25_topk",
     "chunk_tokens",
     "repetition_stats",
+    "rrf_fuse",
 ]
 
 
@@ -136,6 +137,50 @@ def bm25_topk(
         .agg(F.round(F.sum("w"), 4).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    several top-k lists: score(d) = sum over lists of 1 / (rrf_k + rank_d)
+    — the standard way to combine lexical (BM25) and vector retrieval
+    without score calibration, since only ranks enter the sum.
+
+    Each input is an (id, score) frame; its rank is row_number by (score
+    desc, id). The global windows here are safe BY CONTRACT: inputs are
+    top-k candidate lists (each already bounded by its own k), not corpora
+    — fusing bounded lists is a driver-light, single-stage op no matter
+    the corpus size behind them. Returns (id, rrf, rk), top k by fused
+    score with id tie-break.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = []
+    for df in rankings:
+        score_col = [c for c in df.columns if c != id_col][0]
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("r"))
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = u.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("r"))), round_to
+        ).alias("rrf")
+    )
+    w2 = Window.orderBy(F.desc("rrf"), F.col(id_col))
+    return (
+        fused.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rrf", "rk")
+    )
 
 
 def dsir_weights(

@@ -207,8 +207,90 @@ def q118_transaction_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q121_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FASTA source end-to-end (BioSeqPipe, reference pipes.py:18-68):
+    synthesize a deterministic FASTA corpus from documents (header =
+    doc_id, sequence = upper md5 of the text), write it distributed as
+    text parts, re-read with the lineSep='>' record scan, and return EVERY
+    parsed record — the oracle re-derives the same 500 (id, sequence)
+    rows from the raw table, so any parse drift (header split, sequence
+    reassembly) is a value mismatch."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_fasta
+
+    d = table(spark, sf_dir, "documents")
+    fa = d.select(
+        F.concat(
+            F.lit(">"),
+            F.col("doc_id").cast("string"),
+            F.lit(" synthetic doc\n"),
+            F.upper(F.md5(F.col("text").cast("binary"))),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_fasta_")
+    path = f"{tmp}/fa"
+    try:
+        fa.write.text(path)
+        back = read_fasta(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FASTQ source end-to-end: 4-line records synthesized from
+    documents (sequence = upper md5, quality = the lowercase md5 — which
+    puts hex digits AND letters in the quality line), written as text
+    parts, re-read with the whole-file 4-line-group parse. Every record's
+    id, sequence and quality string is value-checked."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_fastq
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    fq = d.select(
+        F.concat(
+            F.lit("@"),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.upper(h),
+            F.lit("\n+\n"),
+            h,
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_fastq_")
+    path = f"{tmp}/fq"
+    try:
+        fq.write.text(path)
+        back = read_fastq(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+                F.col("qualities").alias("qual"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
     "q118_transaction_semantics": q118_transaction_semantics,
+    "q121_fasta_roundtrip": q121_fasta_roundtrip,
+    "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
     "q117_html_roundtrip": q117_html_roundtrip,
@@ -218,6 +300,14 @@ DATABASE_QUERIES = {
 }
 
 DATABASE_ORACLE = {
+    "q121_fasta_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
+        "ORDER BY doc_id"
+    ),
+    "q122_fastq_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq, md5(text) AS qual "
+        "FROM documents ORDER BY doc_id"
+    ),
     "q118_transaction_semantics": (
         "SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 0.0 "
         "ELSE c_acctbal END AS c_acctbal "

@@ -21,6 +21,23 @@ _W = (
 )
 
 
+def _ddb_dot(x: str, y: str) -> str:
+    """DuckDB left-fold dot product mirroring functions.vector (same
+    summation order as Spark's aggregate-with-0-init)."""
+    return (
+        f"list_reduce(list_transform(range(1, array_length({x}) + 1), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+_COS_Q_B = (
+    f"({_ddb_dot('q.embedding', 'b.embedding')} / "
+    f"(sqrt({_ddb_dot('q.embedding', 'q.embedding')}) * "
+    f"sqrt({_ddb_dot('b.embedding', 'b.embedding')})))"
+)
+
+
 def q82_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weights for every (document, term) pair."""
     d = table(spark, sf_dir, "documents")
@@ -31,6 +48,28 @@ def q83_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a three-term bag-of-words query."""
     d = table(spark, sf_dir, "documents")
     return ranking.bm25_topk(d, _BM25_TERMS, k=20)
+
+
+def q120_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 top-20 for a three-term lexical query
+    fused with the vector top-20 for doc 0's embedding via reciprocal-rank
+    fusion (ranking.rrf_fuse — rank-only, so lexical and vector scores
+    need no calibration). The oracle recomputes both rankings and the
+    fused 1/(60+rank) sum from the raw tables."""
+    from fireworks_spark.operators import similarity
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    bm = ranking.bm25_topk(d, _BM25_TERMS, k=20)
+    qv = e.filter(F.col("vec_id") == 0)
+    cos = similarity.cosine_topk(e, qv, k=20).select(
+        F.col("nid").alias("doc_id"), "sim"
+    )
+    return (
+        ranking.rrf_fuse([bm, cos], k=20)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("rk")
+    )
 
 
 def q84_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +224,7 @@ RANKING_QUERIES = {
     "q104_dsir_weights": q104_dsir_weights,
     "q110_chunk_dup_stats": q110_chunk_dup_stats,
     "q83_bm25": q83_bm25,
+    "q120_hybrid_rrf": q120_hybrid_rrf,
     "q84_chunk": q84_chunk,
     "q85_repetition": q85_repetition,
     "q86_pack_sequences": q86_pack_sequences,
@@ -294,6 +334,66 @@ RANKING_ORACLE = {
         GROUP BY doc_id
         ORDER BY score DESC, doc_id
         LIMIT 20
+    """,
+    "q120_hybrid_rrf": f"""
+        WITH w AS ({_W}),
+        tok AS (
+            SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM w
+        ),
+        postings AS (
+            SELECT doc_id, term, dl, COUNT(*)::BIGINT AS tf
+            FROM tok WHERE term IN ('spark', 'join', 'window')
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM postings GROUP BY 1),
+        stats AS (
+            SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(ws))::DOUBLE AS avgdl
+            FROM w
+        ),
+        bm AS (
+            SELECT doc_id,
+                   ROUND(SUM(
+                       LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ), 4) AS score
+            FROM postings JOIN dfreq USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        ),
+        bmr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM bm
+        ),
+        cosres AS (
+            SELECT b.vec_id AS doc_id,
+                   round({_COS_Q_B}, 4) AS sim
+            FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+            WHERE q.vec_id = 0
+            ORDER BY sim DESC, doc_id
+            LIMIT 20
+        ),
+        cosr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+            FROM cosres
+        ),
+        u AS (
+            SELECT doc_id, r FROM bmr
+            UNION ALL
+            SELECT doc_id, r FROM cosr
+        ),
+        f AS (
+            SELECT doc_id, ROUND(SUM(1.0 / (60 + r)), 6) AS rrf
+            FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, rrf, rk FROM (
+            SELECT doc_id, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+            FROM f
+        ) WHERE rk <= 20 ORDER BY rk
     """,
     "q84_chunk": f"""
         WITH w AS ({_W})

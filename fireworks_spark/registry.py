@@ -97,6 +97,9 @@ _DRIVER_FRONT = [
     "q117_html_roundtrip",
     "q118_transaction_semantics",
     "q119_pq_adc_topk",
+    "q120_hybrid_rrf",
+    "q121_fasta_roundtrip",
+    "q122_fastq_roundtrip",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational

@@ -54,6 +54,11 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # plan strings truncate each scan-metadata entry (PushedFilters /
+        # DataFilters / ReadSchema) at 100 chars by default; long-lived
+        # sessions grow expression ids (#10174) until asserts and humans
+        # reading .explain() lose the tail. Diagnostics, not semantics.
+        .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

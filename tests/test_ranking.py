@@ -169,3 +169,25 @@ def test_dsir_weights_closed_form(spark):
     assert out[1] == round(lr["a"] + lr["b"] + lr["c"], 4)
     # target-resembling doc scores higher
     assert out[0] > out[1]
+
+
+def test_rrf_fuse_closed_form(spark):
+    """Two 3-item rankings with one shared doc: RRF scores are exactly
+    sum(1/(60+rank)); shared doc outranks every single-list doc."""
+    a = spark.createDataFrame(
+        [(10, 0.9), (20, 0.8), (30, 0.7)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(20, 0.99), (40, 0.5), (50, 0.4)], "doc_id long, sim double"
+    )
+    got = {
+        r.doc_id: (r.rrf, r.rk)
+        for r in ranking.rrf_fuse([a, b], k=10).collect()
+    }
+    # doc 20: rank 2 in a, rank 1 in b
+    assert got[20][0] == round(1 / 62 + 1 / 61, 6)
+    assert got[20][1] == 1  # fused winner despite winning neither list
+    assert got[10][0] == round(1 / 61, 6)
+    assert set(got) == {10, 20, 30, 40, 50}
+    # 10 (rank 1 in a, 1/61) outranks 40 (rank 2 in b, 1/62)
+    assert got[10][1] < got[40][1]
