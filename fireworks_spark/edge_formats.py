@@ -172,11 +172,18 @@ def read_pickle(spark: SparkSession, path: str) -> DataFrame:
 # and codegen'd instead of per-row Python.
 
 
+def _esc_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
 def write_html(df: DataFrame, path: str) -> None:
     """Distributed HTML write: each partition streams its Arrow batches as
     consecutive <table> elements into one part-*.html (one batch = one
-    table, so nothing buffers beyond a batch). Values are entity-escaped by
-    pandas; read_html_tables reverses the escaping."""
+    table, so nothing buffers beyond a batch). The markup is emitted
+    directly (not pandas to_html, which also rewrites control characters
+    like newlines into backslash escapes — lossy for a data roundtrip):
+    cells entity-escape exactly &, <, > and nulls render as NaN, which
+    read_html_tables reverses."""
     os.makedirs(path, exist_ok=True)
 
     def _write(batches):
@@ -199,8 +206,19 @@ def write_html(df: DataFrame, path: str) -> None:
                         ),
                         "w",
                     )
-                fh.write(b.to_html(index=False, border=0))
-                fh.write("\n")
+                out = ["<table>\n<thead>\n<tr>"]
+                out += [f"<th>{_esc_html(str(c))}</th>" for c in b.columns]
+                out.append("</tr>\n</thead>\n<tbody>\n")
+                for tup in b.itertuples(index=False, name=None):
+                    out.append("<tr>")
+                    out += [
+                        "<td>%s</td>"
+                        % ("NaN" if pd.isna(v) else _esc_html(str(v)))
+                        for v in tup
+                    ]
+                    out.append("</tr>\n")
+                out.append("</tbody>\n</table>\n")
+                fh.write("".join(out))
                 rows += len(b)
         finally:
             if fh is not None:
@@ -277,7 +295,7 @@ def read_html_tables(
     )
     out = rows.select(
         *[
-            _unescape(F.trim(F.element_at("c", i + 1))).alias(n)
+            _unescape(F.element_at("c", i + 1)).alias(n)
             for i, n in enumerate(names)
         ]
     )

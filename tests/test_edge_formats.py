@@ -89,6 +89,46 @@ def test_edge_renders_and_caps(spark, small):
         ef.to_string(small, max_rows=10)
 
 
+NASTY = [
+    "&amp;lt;",          # pre-escaped text must NOT double-unescape
+    "a\nb",              # newline inside a cell
+    "tab\there",
+    "</td> fake close",  # markup-looking content
+    'quo"te\'s & <b>',
+    "héllo 日本",  # unicode
+    "",                  # empty cell
+]
+
+
+def test_html_roundtrip_adversarial_strings(spark, tmp_path):
+    """Cell values that look like markup, contain entities already, span
+    lines, or are empty all survive the escape→parse→unescape loop
+    (single-pass entity replacement cannot cascade)."""
+    p = str(tmp_path / "nasty")
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(NASTY)], "id long, txt string"
+    )
+    ef.write_html(df, p)
+    back = ef.read_html_tables(spark, p, schema="id bigint")
+    got = {r.id: r.txt for r in back.collect()}
+    assert got == {i: s for i, s in enumerate(NASTY)}
+
+
+def test_stata_roundtrip_unicode_and_nulls(spark, tmp_path):
+    p = str(tmp_path / "udta")
+    df = spark.createDataFrame(
+        [(0, "héllo", 1.5), (1, "日本語", None)],
+        "id long, s string, v double",
+    )
+    ef.write_stata(df, p)
+    back = {r.id: (r.s, r.v) for r in ef.read_stata(spark, p).collect()}
+    assert back[0] == ("héllo", 1.5)
+    assert back[1][0] == "日本語"
+    import math
+
+    assert back[1][1] is None or math.isnan(back[1][1])  # Stata NaN == null
+
+
 def test_message_dispatch_full_surface(spark, small, tmp_path):
     # spark-native via dispatcher
     pq = str(tmp_path / "pq")
