@@ -165,6 +165,51 @@ class Pipe:
         """CachingPipe / MessageCache (P5/P6/P22): block-manager persist."""
         return Pipe(self.df.persist())
 
+    # -- corpus operators -------------------------------------------------
+    def dedup(
+        self,
+        threshold: float | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Pipe":
+        """Corpus dedup: exact (hash) when ``threshold`` is None, else
+        MinHash-LSH near-dup at that Jaccard threshold keeping each
+        cluster's minimum-id member (operators/dedup.py)."""
+        from fireworks_spark.operators import dedup as dd
+
+        if threshold is None:
+            keep = dd.exact_dedup(
+                self.df, id_col=id_col, text_col=text_col
+            ).withColumnRenamed("keep_id", id_col)
+            return Pipe(self.df.join(keep.select(id_col), id_col, "left_semi"))
+        pairs = dd.minhash_dedup_pairs(
+            self.df, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+        return Pipe(dd.keep_canonical(self.df, pairs, id_col=id_col))
+
+    def quality(self, text_col: str = "text") -> "Pipe":
+        """Quality-score columns (textstats.with_quality_score)."""
+        from fireworks_spark.operators import textstats
+
+        return Pipe(textstats.with_quality_score(self.df, text_col=text_col))
+
+    # -- formats (Message.read / Message.to parity) -----------------------
+    @classmethod
+    def read(cls, spark, fmt: str, path: str = None, **kw) -> "Pipe":
+        """Message.read: any reference format name (edge_formats
+        dispatch — spark-native, file-parallel connector, or a recorded
+        refusal)."""
+        from fireworks_spark.edge_formats import message_read
+
+        return cls(message_read(spark, fmt, path, **kw))
+
+    def to(self, fmt: str, path: str = None, **kw):
+        """Message.to: distributed formats write to ``path`` and return
+        None; edge renders (dict/records/string/latex) return the value."""
+        from fireworks_spark.edge_formats import message_to
+
+        return message_to(self.df, fmt, path, **kw)
+
     # -- feed / actions --------------------------------------------------
     def batches(self, batch_size: int, drop_tail: bool = True) -> Iterator:
         """BatchingPipe (P12): driver-side pandas batch iterator."""

@@ -72,3 +72,28 @@ def test_pipe_facade_new_operators(spark):
     rb = Pipe(ev).rebalance("g", "event_id").df
     counts = {row.g: row.c for row in rb.groupBy("g").agg(F.count("*").alias("c")).collect()}
     assert counts["b"] == 10 and counts["a"] <= 20
+
+
+def test_pipe_dedup_quality_and_formats(spark, tmp_path):
+    """The round-5 facade additions: corpus dedup (exact + near), quality
+    columns, and Message.read/to through the chain."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (2, "an entirely different document about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = Pipe(docs).dedup().df
+    assert sorted(r.doc_id for r in exact.collect()) == [0, 2]
+    near = Pipe(docs).dedup(threshold=0.8).df
+    assert sorted(r.doc_id for r in near.collect()) == [0, 2]
+    q = Pipe(docs).quality().df
+    assert "keep" in q.columns and q.count() == 3
+
+    p = str(tmp_path / "pq")
+    Pipe(docs).to("parquet", p)
+    back = Pipe.read(spark, "parquet", p)
+    assert back.count() == 3
+    assert "doc_id" in back.to("string", max_rows=10)
