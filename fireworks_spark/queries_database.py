@@ -232,7 +232,7 @@ def q121_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="fw_fasta_")
     path = f"{tmp}/fa"
     try:
-        fa.write.text(path)
+        fa.repartition(8).write.text(path)
         back = read_fasta(spark, path)
         return (
             back.select(
@@ -272,7 +272,9 @@ def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="fw_fastq_")
     path = f"{tmp}/fq"
     try:
-        fq.write.text(path)
+        # several part files -> the wholetext FASTQ read gets one task per
+        # file (read_fastq's parallelism unit is the file)
+        fq.repartition(8).write.text(path)
         back = read_fastq(spark, path)
         return (
             back.select(

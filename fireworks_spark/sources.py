@@ -59,9 +59,20 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     decoding is one transform(ascii(x)-33) away).
     """
     raw = spark.read.text(path, wholetext=True)
-    lines = F.filter(
-        F.split(F.col("value"), "\r?\n"), lambda l: F.trim(l) != ""
+    # Materialize the line array as its OWN projection before any further
+    # expression touches it: expressions inside one Project share nothing
+    # (no CSE, and none inside HOF lambdas), so referencing the split()
+    # inline from every element_at re-splits the whole file per access —
+    # O(records x file size), measured as a multi-minute hang at sf0.1.
+    # As a multiply-referenced non-cheap alias, CollapseProject keeps this
+    # projection separate and every downstream reference reuses the one
+    # computed array. (Same fix BASELINE.md records for shingle arrays.)
+    lined = raw.select(
+        F.filter(
+            F.split(F.col("value"), "\r?\n"), lambda l: F.trim(l) != ""
+        ).alias("lines")
     )
+    lines = F.col("lines")
     nrec = (F.size(lines) / 4).cast("long")
     recs = F.transform(
         F.sequence(F.lit(0), nrec - 1),
@@ -73,7 +84,7 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     )
     header = F.regexp_replace(F.col("r.h"), r"^@", "")
     return (
-        raw.filter(F.size(lines) >= 4)
+        lined.filter(F.size(lines) >= 4)
         .select(F.explode(F.when(nrec > 0, recs)).alias("r"))
         .select(
             F.trim(F.substring_index(header, " ", 1)).alias("ids"),
