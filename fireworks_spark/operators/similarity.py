@@ -51,12 +51,18 @@ def cosine_topk(
     )
 
 
-def _sign_bucket(vec_col: str, num_bits: int, portable: bool = False) -> F.Column:
+def _sign_bucket(
+    vec_col: str, num_bits: int, portable: bool = False, dim: int | None = None
+) -> F.Column:
     """Single random-hyperplane LSH bucket id: the num_bits sign bits packed
     into one integer (see functions.vector.sign_bits — deterministic
     xxhash64-derived projections, no driver state; ``portable`` swaps in
-    the md5-parity projections a SQL oracle can reproduce)."""
-    return band_key(sign_bits(vec_col, num_bits, portable=portable), 0, num_bits)
+    the md5-parity projections a SQL oracle can reproduce; ``dim`` enables
+    the constant-folded projection matrix — same bits, no per-row
+    hashing)."""
+    return band_key(
+        sign_bits(vec_col, num_bits, portable=portable, dim=dim), 0, num_bits
+    )
 
 
 def lsh_bucket_topk(
@@ -67,6 +73,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k searching only the query's sign-projection bucket.
 
@@ -74,14 +81,16 @@ def lsh_bucket_topk(
     2^num_bits buckets holds ~N/2^bits vectors and the shuffle is hash
     partitioned by bucket. Recall < 1 by construction (probe only 1 bucket);
     raise recall by lowering num_bits or probing neighboring buckets.
+    Pass ``dim`` (the embedding dimensionality, known to every real index)
+    so the projection matrix constant-folds instead of re-hashing per row.
     """
     bb = base.withColumn(
-        "bucket", _sign_bucket(vec_col, num_bits, portable)
+        "bucket", _sign_bucket(vec_col, num_bits, portable, dim)
     ).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket"
     )
     qb = queries.withColumn(
-        "bucket", _sign_bucket(vec_col, num_bits, portable)
+        "bucket", _sign_bucket(vec_col, num_bits, portable, dim)
     ).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
     )

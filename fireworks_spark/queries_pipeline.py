@@ -204,7 +204,9 @@ def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return (
-        similarity.lsh_bucket_topk(e, q, k=5, num_bits=6, portable=True)
+        similarity.lsh_bucket_topk(
+            e, q, k=5, num_bits=6, portable=True, dim=64
+        )
         .withColumn("rk", F.col("rk").cast("long"))
         .orderBy("qid", "rk")
     )

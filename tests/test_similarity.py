@@ -174,3 +174,21 @@ def test_pca_fit_single_aggregation_pass(spark, monkeypatch):
     import numpy as np
 
     assert np.allclose(mean, [9.5, 19.0, 1.0])
+
+
+def test_sign_bits_dim_fast_path_parity(emb):
+    """The constant-literal projection matrix (dim= fast path) must produce
+    bit-identical buckets to the per-row md5-hashing form — same md5-parity
+    definition, built driver-side instead of evaluated per row."""
+    from pyspark.sql import functions as F
+
+    slow = emb.select(
+        "vec_id", similarity._sign_bucket("embedding", 6, True).alias("b")
+    )
+    fast = emb.select(
+        "vec_id",
+        similarity._sign_bucket("embedding", 6, True, dim=64).alias("b"),
+    )
+    assert (
+        slow.join(fast, "vec_id").filter(slow["b"] != fast["b"]).count() == 0
+    )
