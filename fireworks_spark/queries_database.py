@@ -289,8 +289,83 @@ def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q123_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (Message.read/to surface, io_formats.read_table/
+    write_table): customer written as ORC, read back, aggregated against
+    the original parquet — exercises the second columnar format end-to-end
+    through the driver's value gate."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.io_formats import read_table, write_table
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="fw_orc_")
+    path = f"{d}/t"
+    try:
+        write_table(c, path, "orc")
+        back = read_table(spark, path, "orc")
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("bal"),
+                F.sum("c_custkey").alias("key_sum"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q124_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink with a DECLARED schema on re-read (the at-scale
+    contract — inference scans the data twice): values that need quoting
+    (commas, quotes) ride along via a synthetic column, so the
+    quote/escape handling is part of what the oracle checks."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.io_formats import read_table, write_table
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.concat(F.lit('a,"b",'), F.col("c_name")).alias("tricky"),
+    )
+    d = tempfile.mkdtemp(prefix="fw_csv_")
+    path = f"{d}/t"
+    try:
+        write_table(c, path, "csv")
+        back = read_table(
+            spark,
+            path,
+            "csv",
+            schema="c_custkey bigint, c_mktsegment string, "
+            "c_acctbal double, tricky string",
+        )
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("bal"),
+                F.sum(F.length("tricky")).alias("tricky_len"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
     "q118_transaction_semantics": q118_transaction_semantics,
+    "q123_orc_roundtrip": q123_orc_roundtrip,
+    "q124_csv_roundtrip": q124_csv_roundtrip,
     "q121_fasta_roundtrip": q121_fasta_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
@@ -302,6 +377,18 @@ DATABASE_QUERIES = {
 }
 
 DATABASE_ORACLE = {
+    "q123_orc_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal, "
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
+    "q124_csv_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal, "
+        "CAST(SUM(6 + LENGTH(c_name)) AS BIGINT) AS tricky_len "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
     "q121_fasta_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
         "ORDER BY doc_id"

@@ -100,6 +100,8 @@ _DRIVER_FRONT = [
     "q120_hybrid_rrf",
     "q121_fasta_roundtrip",
     "q122_fastq_roundtrip",
+    "q123_orc_roundtrip",
+    "q124_csv_roundtrip",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational
