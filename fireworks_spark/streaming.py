@@ -255,6 +255,44 @@ def stateful_running_totals(
     )
 
 
+def stateful_topk(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    k: int = 3,
+) -> DataFrame:
+    """Per-key top-k values maintained across micro-batches — a bounded
+    ORDER-STATISTIC state: exactly one <= k-element sorted array per key
+    lives in the state store, and because the fold (merge new values, keep
+    the k largest) is associative and idempotent on the kept set, replay
+    after a restart converges to the same answer. Emits the key's current
+    top-k each micro-batch (update mode).
+
+    Implemented on applyInPandasWithState. Spark 4's
+    transformWithStateInPandas (typed state variables + timers + TTL) is
+    the drop-in upgrade — the processor is the same fold — but its state
+    server needs a working google.protobuf in the Python workers, which
+    this container lacks; the fold semantics are API-independent."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        cur = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            cur.extend(float(v) for v in pdf[value_col])
+        cur = sorted(cur, reverse=True)[:k]
+        state.update((cur,))
+        yield pd.DataFrame({key_col: [key[0]], "topk": [cur]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} long, topk array<double>",
+        stateStructType="vals array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class StreamingNormalizer:
     """One-pass streaming mean/variance with standardization — the
     reference's Normalizer (preprocessing.py:49-129): ``update`` folds each

@@ -315,3 +315,51 @@ def test_read_event_stream_empty_dir_falls_back(spark, tmp_path):
     # explicit schema skips the peek entirely
     stream2 = read_event_stream(spark, str(d), schema=EVENTS_RAW_SCHEMA)
     assert stream2.isStreaming
+
+
+def test_stateful_topk_transform_with_state(spark, sf_dir, tmp_path):
+    """Bounded order-statistic state: per-user top-3
+    maintained in a bounded value state across 3 micro-batches; the final
+    update per user must equal the batch top-3."""
+    src = table(spark, sf_dir, "events").select("user_id", "value")
+    stage = str(tmp_path / "evtk")
+    src.repartition(3).write.parquet(stage)
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    out = streaming.stateful_topk(stream, k=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_topk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("t_topk")
+    assert updates.count() > 0
+    # keep each user's LAST update (largest k-th value / longest list wins
+    # monotonically, so take the lexicographically-largest topk array)
+    final = {}
+    for r in updates.collect():
+        prev = final.get(r.user_id)
+        cur = list(r.topk)
+        if prev is None or (len(cur), cur) >= (len(prev), prev):
+            final[r.user_id] = cur
+    batch = {
+        r.user_id: sorted((float(v) for v in r.vals), reverse=True)[:3]
+        for r in src.groupBy("user_id")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u] == batch[u], f"user {u}: {final[u]} != {batch[u]}"
