@@ -362,8 +362,104 @@ def q124_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q125_genbank_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GenBank source end-to-end: flat-file records synthesized from
+    documents (LOCUS/DEFINITION/ACCESSION/VERSION + a coordinate-prefixed
+    ORIGIN block), written as text parts, re-read with the '\\n//' record
+    scan. Sequences use a letters-only md5 encoding (hex digits translated
+    g-p) because GenBank sequences are letters and the parser strips
+    coordinates/digits from ORIGIN lines — the oracle re-derives the same
+    encoding, so id precedence (VERSION), name (LOCUS) and sequence
+    reassembly are all value-checked."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_genbank
+
+    d = table(spark, sf_dir, "documents")
+    seq = F.translate(
+        F.md5(F.col("text").cast("binary")), "0123456789", "ghijklmnop"
+    )
+    rec = F.concat(
+        F.lit("LOCUS       DOC"),
+        F.col("doc_id").cast("string"),
+        F.lit("  32 bp    DNA\nDEFINITION  synthetic record "),
+        F.col("doc_id").cast("string"),
+        F.lit(".\nACCESSION   A"),
+        F.col("doc_id").cast("string"),
+        F.lit("\nVERSION     A"),
+        F.col("doc_id").cast("string"),
+        F.lit(".1\nORIGIN\n        1 "),
+        F.substring(seq, 1, 16),
+        F.lit(" "),
+        F.substring(seq, 17, 16),
+        F.lit("\n//"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_gb_")
+    path = f"{tmp}/gb"
+    try:
+        d.select(rec.alias("value")).repartition(8).write.text(path)
+        back = read_genbank(spark, path)
+        return (
+            back.select(
+                F.regexp_replace("ids", r"^A|\.1$", "")
+                .cast("long")
+                .alias("doc_id"),
+                F.col("names").alias("locus"),
+                F.col("descriptions").alias("descr"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q126_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink with declared schema on re-read: unicode and
+    quote-bearing strings survive the JSON escaping loop; aggregated
+    against the original parquet."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.io_formats import read_table, write_table
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.concat(F.lit('q"uo\\te '), F.col("c_name")).alias("tricky"),
+    )
+    d = tempfile.mkdtemp(prefix="fw_json_")
+    path = f"{d}/t"
+    try:
+        write_table(c, path, "json")
+        back = read_table(
+            spark,
+            path,
+            "json",
+            schema="c_custkey bigint, c_mktsegment string, "
+            "c_acctbal double, tricky string",
+        )
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("bal"),
+                F.sum(F.length("tricky")).alias("tricky_len"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
     "q118_transaction_semantics": q118_transaction_semantics,
+    "q125_genbank_roundtrip": q125_genbank_roundtrip,
+    "q126_json_roundtrip": q126_json_roundtrip,
     "q123_orc_roundtrip": q123_orc_roundtrip,
     "q124_csv_roundtrip": q124_csv_roundtrip,
     "q121_fasta_roundtrip": q121_fasta_roundtrip,
@@ -377,6 +473,18 @@ DATABASE_QUERIES = {
 }
 
 DATABASE_ORACLE = {
+    "q125_genbank_roundtrip": (
+        "SELECT doc_id, 'DOC' || doc_id AS locus, "
+        "'synthetic record ' || doc_id || '.' AS descr, "
+        "upper(translate(md5(text), '0123456789', 'ghijklmnop')) AS seq "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q126_json_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal, "
+        "CAST(SUM(8 + LENGTH(c_name)) AS BIGINT) AS tricky_len "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
     "q123_orc_roundtrip": (
         "SELECT c_mktsegment, count(*) AS n, "
         "ROUND(SUM(c_acctbal), 2) AS bal, "

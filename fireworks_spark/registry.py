@@ -102,6 +102,8 @@ _DRIVER_FRONT = [
     "q122_fastq_roundtrip",
     "q123_orc_roundtrip",
     "q124_csv_roundtrip",
+    "q125_genbank_roundtrip",
+    "q126_json_roundtrip",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational
