@@ -258,6 +258,36 @@ def q119_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 join (operators/fuzzy.py, SymSpell deletion-
+    neighborhood blocking — recall exactly 1, no cartesian product):
+    every part name with its 3rd character deleted resolved back against
+    the canonical name table. The oracle re-derives the deletion keys, the
+    candidate equi-join and the levenshtein verify in SQL, so blocking
+    completeness AND distance values are both driver-checked."""
+    from fireworks_spark.operators.fuzzy import fuzzy_join
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower("p_name").alias("nm")
+    )
+    # every 10th part plays the dirty side: part names draw 5 words from a
+    # small vocabulary, so repeats make the FULL self-resolution join
+    # return millions of legitimate pairs at sf0.1 — a 10% dirty side
+    # keeps the declared query bench-sized without changing the operator
+    damaged = p.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.concat(
+            F.col("nm").substr(F.lit(1), F.lit(2)),
+            F.col("nm").substr(F.lit(4), F.length("nm")),
+        ).alias("dm"),
+    )
+    return (
+        fuzzy_join(damaged, p, "p_partkey", "p_partkey", "dm", "nm")
+        .select("lid", "rid", F.col("dist").cast("long").alias("dist"))
+        .orderBy("lid", "rid")
+    )
+
+
 def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix of the embedding column as (i, j, cov)
     rows — the whitening statistic. Each Arrow batch collapses to one
@@ -521,6 +551,7 @@ PIPELINE_QUERIES = {
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
     "q119_pq_adc_topk": q119_pq_adc_topk,
+    "q127_fuzzy_join": q127_fuzzy_join,
     "q103_semdedup": q103_semdedup,
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_pca_project": q106_pca_project,
@@ -861,6 +892,35 @@ PIPELINE_ORACLE = {
     "q36_ann_ivf_topk": _IVF_ANN_SQL,
     "q102_ann_lsh_topk": _LSH_ANN_SQL,
     "q119_pq_adc_topk": _PQ_ADC_SQL,
+    "q127_fuzzy_join": """
+        WITH P AS (
+            SELECT p_partkey AS rid, lower(p_name) AS rs FROM part
+        ), D AS (
+            SELECT p_partkey AS lid,
+                   substr(lower(p_name), 1, 2) || substr(lower(p_name), 4)
+                   AS ls
+            FROM part WHERE p_partkey % 10 = 0
+        ), LK AS (
+            SELECT lid, unnest(list_append(
+                list_transform(range(1, length(ls) + 1),
+                               i -> substr(ls, 1, i - 1) || substr(ls, i + 1)),
+                ls)) AS key
+            FROM D
+        ), RK AS (
+            SELECT rid, unnest(list_append(
+                list_transform(range(1, length(rs) + 1),
+                               i -> substr(rs, 1, i - 1) || substr(rs, i + 1)),
+                rs)) AS key
+            FROM P
+        ), cand AS (
+            SELECT DISTINCT lid, rid FROM LK JOIN RK USING (key)
+        )
+        SELECT c.lid, c.rid,
+               CAST(levenshtein(d.ls, p.rs) AS BIGINT) AS dist
+        FROM cand c JOIN D d USING (lid) JOIN P p USING (rid)
+        WHERE levenshtein(d.ls, p.rs) <= 1
+        ORDER BY lid, rid
+    """,
     "q37_text_token_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_calc,
