@@ -187,6 +187,25 @@ class Pipe:
         )
         return Pipe(dd.keep_canonical(self.df, pairs, id_col=id_col))
 
+    def fuzzy_join(
+        self,
+        other: "Pipe | DataFrame",
+        id_col: str,
+        other_id_col: str,
+        text_col: str,
+        other_text_col: str,
+    ) -> "Pipe":
+        """Exact edit-distance-1 join (operators/fuzzy.py deletion-
+        neighborhood blocking) — dirty-to-canonical entity resolution."""
+        from fireworks_spark.operators.fuzzy import fuzzy_join
+
+        rhs = other.df if isinstance(other, Pipe) else other
+        return Pipe(
+            fuzzy_join(
+                self.df, rhs, id_col, other_id_col, text_col, other_text_col
+            )
+        )
+
     def quality(self, text_col: str = "text") -> "Pipe":
         """Quality-score columns (textstats.with_quality_score)."""
         from fireworks_spark.operators import textstats

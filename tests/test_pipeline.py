@@ -97,3 +97,10 @@ def test_pipe_dedup_quality_and_formats(spark, tmp_path):
     back = Pipe.read(spark, "parquet", p)
     assert back.count() == 3
     assert "doc_id" in back.to("string", max_rows=10)
+
+
+def test_pipe_fuzzy_join(spark):
+    a = spark.createDataFrame([(0, "spark"), (1, "windo")], "id long, w string")
+    b = spark.createDataFrame([(10, "spork"), (11, "window")], "id long, w string")
+    got = {(r.lid, r.rid, r.dist) for r in Pipe(a).fuzzy_join(b, "id", "id", "w", "w").collect()}
+    assert got == {(0, 10, 1), (1, 11, 1)}
