@@ -258,6 +258,54 @@ def q119_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q128_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed end-to-end (operators/pq.py ivfpq_topk): the coarse
+    quantizer bounds WHICH cells a query scans, PQ codes bound BYTES per
+    scanned row — the standard billion-scale ANN layout. Both quantizers
+    are injected deterministically (per-label mean vectors for the cells,
+    per-label mean subvectors for the m=4 codebooks), so cell assignment,
+    probe ranking, PQ encoding and the ADC distances are ALL SQL-derivable
+    and the driver value-checks the composition, not just the parts
+    (q36 checks the IVF probe alone, q119 the PQ scan alone)."""
+    from fireworks_spark.operators import pq as pqm
+
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d", "x"
+            ),
+        )
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cx"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = r["cx"]
+    labels = sorted(by_label)
+    centroids = [
+        [by_label[lb][d] for d in sorted(by_label[lb])] for lb in labels
+    ]
+    m, dsub = 4, 16
+    codebooks = [
+        [
+            [by_label[lb][i * dsub + t] for t in range(dsub)]
+            for lb in labels
+        ]
+        for i in range(m)
+    ]
+    q = e.filter(F.col("vec_id") < 10)
+    return (
+        pqm.ivfpq_topk(
+            e, q, k=5, nprobe=2, centroids=centroids, codebooks=codebooks
+        )
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
 def q127_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance-1 join (operators/fuzzy.py, SymSpell deletion-
     neighborhood blocking — recall exactly 1, no cartesian product):
@@ -552,6 +600,7 @@ PIPELINE_QUERIES = {
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
     "q119_pq_adc_topk": q119_pq_adc_topk,
     "q127_fuzzy_join": q127_fuzzy_join,
+    "q128_ivfpq_topk": q128_ivfpq_topk,
     "q103_semdedup": q103_semdedup,
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_pca_project": q106_pca_project,
@@ -695,6 +744,63 @@ WITH dims AS (
   FROM enc e JOIN d2 qd ON qd.sub = e.sub AND qd.code = e.code
   WHERE qd.vec_id < 10 AND e.vec_id <> qd.vec_id
   GROUP BY qd.vec_id, e.vec_id
+), r AS (
+  SELECT qid, nid, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
+  FROM adc
+)
+SELECT qid, nid, dist, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+# q128: IVF-PQ composed — cells/probe from the per-label-mean coarse
+# quantizer (q36's fragments), encoding/ADC from the per-label-mean PQ
+# codebooks (q119's fragments), joined so the ADC scan touches only the
+# probed cells' rows.
+_IVFPQ_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cb AS (
+  SELECT label AS code, d, d // 16 AS sub, AVG(x) AS cx
+  FROM dims GROUP BY label, d
+), d2 AS (
+  SELECT v.vec_id, c.sub, c.code, SUM((v.x - c.cx) * (v.x - c.cx)) AS dist
+  FROM dims v JOIN cb c USING (d)
+  GROUP BY v.vec_id, c.sub, c.code
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS r
+    FROM d2) t WHERE r = 1
+), cvec AS (
+  SELECT label AS pt, list(cx ORDER BY d) AS cv
+  FROM (SELECT label, d, AVG(x) AS cx FROM dims GROUP BY label, d)
+  GROUP BY label
+), assign AS (
+  SELECT vec_id, pt FROM (
+    SELECT b.vec_id, c.pt,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_cos('b.embedding', 'c.cv')} DESC, c.pt) AS rr
+    FROM embeddings b CROSS JOIN cvec c
+  ) WHERE rr = 1
+), probe AS (
+  SELECT qid, pt FROM (
+    SELECT q.vec_id AS qid, c.pt,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos('q.embedding', 'c.cv')} DESC, c.pt) AS pr
+    FROM embeddings q CROSS JOIN cvec c WHERE q.vec_id < 10
+  ) WHERE pr <= 2
+), adc AS (
+  SELECT pr.qid, e.vec_id AS nid, ROUND(SUM(qd.dist), 4) AS dist
+  FROM probe pr
+  JOIN assign a ON a.pt = pr.pt
+  JOIN enc e ON e.vec_id = a.vec_id
+  JOIN d2 qd ON qd.sub = e.sub AND qd.code = e.code AND qd.vec_id = pr.qid
+  WHERE e.vec_id <> pr.qid
+  GROUP BY pr.qid, e.vec_id
 ), r AS (
   SELECT qid, nid, dist,
          row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
@@ -892,6 +998,7 @@ PIPELINE_ORACLE = {
     "q36_ann_ivf_topk": _IVF_ANN_SQL,
     "q102_ann_lsh_topk": _LSH_ANN_SQL,
     "q119_pq_adc_topk": _PQ_ADC_SQL,
+    "q128_ivfpq_topk": _IVFPQ_SQL,
     "q127_fuzzy_join": """
         WITH P AS (
             SELECT p_partkey AS rid, lower(p_name) AS rs FROM part
