@@ -942,6 +942,120 @@ def decontaminate(
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination (prefilter + exact verify)
+# --------------------------------------------------------------------------
+
+
+def bloom_bitset(
+    df: DataFrame,
+    col: str,
+    num_bits: int = 1 << 17,
+    k: int = 5,
+) -> list[int]:
+    """Build a Bloom-filter bitset over a column, distributively.
+
+    Each value sets ``k`` bit positions ``xxhash64(value, seed) mod
+    num_bits`` (seed = 0..k-1). Partial per-task BIT_OR aggregation means
+    the shuffle moves at most ``num_bits/64`` rows per map task regardless
+    of input size; the driver collects the final ``num_bits/64`` longs
+    (16 KiB at the default m=2^17) — bounded state, mergeable, one pass.
+
+    Returns a dense Python list of ``num_bits // 64`` signed longs suitable
+    for :func:`bloom_might_contain`.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k)])).alias("_seed")
+    pos = F.pmod(F.xxhash64(F.col(col), F.col("_seed")), F.lit(num_bits))
+    words_df = (
+        df.select(F.col(col)).where(F.col(col).isNotNull())
+        .select(F.col(col), seeds)
+        .select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("_word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words_df.collect():  # bounded: <= num_bits/64 rows
+        dense[r["_word"]] = r["_bits"]
+    return dense
+
+
+def bloom_might_contain(
+    col: Column | str,
+    bitset: list[int],
+    k: int = 5,
+) -> Column:
+    """Pure-JVM membership probe against a :func:`bloom_bitset` result.
+
+    The bitset ships inside the plan as a literal long array (16 KiB at the
+    default size) — no join, no shuffle, no Python: the probe is ``k`` bit
+    tests evaluated in whole-stage codegen at scan speed. False positives
+    occur at the configured rate; false negatives never do, which is what
+    makes the prefilter + exact-verify composition exact.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    num_bits = len(bitset) * 64
+    arr = F.array(*[F.lit(w) for w in bitset])
+    cond = F.lit(True)
+    for s in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter before the exact
+    verify — the 100 TB shape of :func:`decontaminate`.
+
+    ``decontaminate`` broadcasts the full distinct benchmark shingle set;
+    fine for eval sets, but the broadcast grows with the benchmark (8 bytes
+    x distinct shingles) and every corpus shingle pays a hash-set probe.
+    Here the benchmark compresses to a fixed-size Bloom bitset (16 KiB at
+    the default m=2^17, built distributively by :func:`bloom_bitset`), the
+    corpus probes it as a whole-stage-codegen filter AT THE SCAN (no join,
+    no shuffle — typically >99% of shingles drop in the map stage), and
+    only the tiny surviving fraction reaches the exact broadcast semi-join
+    verify. Because a Bloom filter has no false negatives, the composition
+    returns exactly what ``decontaminate`` returns: false positives from
+    the prefilter are killed by the verify, misses were true negatives.
+
+    Result: the corpus rows sharing no word n-gram with the benchmark
+    (reference parity: eval-overlap removal; cf. decontaminate above).
+    """
+    bench_sh = shingle_table(benchmark, id_col, text_col, n).select("shingle")
+    bits = bloom_bitset(bench_sh, "shingle", num_bits=num_bits, k=k)
+    candidates = shingle_table(corpus, id_col, text_col, n).where(
+        bloom_might_contain("shingle", bits, k=k)
+    )
+    tainted = (
+        candidates.join(
+            F.broadcast(bench_sh.distinct()), "shingle", "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(tainted, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # cluster + canonicalize (the final step of a real dedup pipeline)
 # --------------------------------------------------------------------------
 

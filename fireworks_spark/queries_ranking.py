@@ -142,6 +142,25 @@ def q88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination: docs with doc_id % 89 == 0 play the
+    eval set, compressed to a fixed 16 KiB Bloom bitset (built
+    distributively, shipped as a plan literal); the corpus probes it as a
+    whole-stage-codegen filter at the scan, and only survivors reach the
+    exact broadcast semi-join verify. No false negatives -> the result is
+    exactly the exact-overlap answer, so the oracle is plain SQL."""
+    from fireworks_spark.operators import dedup
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    return (
+        dedup.bloom_decontaminate(corpus, bench)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q89_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mix resampling: src0 kept fully, src1 half,
     src2 quarter, everything else 10%; counts per source afterwards."""
@@ -230,6 +249,7 @@ RANKING_QUERIES = {
     "q86_pack_sequences": q86_pack_sequences,
     "q87_quality_gate": q87_quality_gate,
     "q88_decontaminate": q88_decontaminate,
+    "q129_bloom_decontaminate": q129_bloom_decontaminate,
     "q89_domain_mix": q89_domain_mix,
     "q90_token_entropy": q90_token_entropy,
     "q97_bigram_perplexity": q97_bigram_perplexity,
@@ -464,6 +484,32 @@ RANKING_ORACLE = {
         )
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM tainted)
+        ORDER BY doc_id
+    """,
+    # Bloom prefilter + exact verify == exact overlap (no false negatives),
+    # so the oracle is the same exact-decontamination SQL at modulus 89.
+    "q129_bloom_decontaminate": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, array_length(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     AS shingle
+          FROM toks WHERE array_length(w) >= 3
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0),
+        tainted AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 89 <> 0 AND shingle IN (SELECT shingle FROM bench)
+        )
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 89 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM tainted)
         ORDER BY doc_id
     """,

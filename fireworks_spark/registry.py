@@ -106,6 +106,7 @@ _DRIVER_FRONT = [
     "q126_json_roundtrip",
     "q127_fuzzy_join",
     "q128_ivfpq_topk",
+    "q129_bloom_decontaminate",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational

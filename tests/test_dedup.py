@@ -168,6 +168,65 @@ def test_decontaminate_removes_overlapping_docs(spark):
     assert kept == [2, 3]
 
 
+def test_bloom_bitset_no_false_negatives(spark):
+    vals = spark.createDataFrame([(i,) for i in range(500)], ["v"])
+    bits = dedup.bloom_bitset(vals, "v", num_bits=1 << 12, k=5)
+    assert len(bits) == (1 << 12) // 64
+    # every inserted value must probe positive (Bloom guarantee)
+    hits = vals.where(dedup.bloom_might_contain("v", bits, k=5)).count()
+    assert hits == 500
+
+
+def test_bloom_filters_most_non_members(spark):
+    vals = spark.createDataFrame([(i,) for i in range(500)], ["v"])
+    bits = dedup.bloom_bitset(vals, "v", num_bits=1 << 17, k=5)
+    others = spark.createDataFrame(
+        [(i,) for i in range(10_000, 20_000)], ["v"]
+    )
+    fp = others.where(dedup.bloom_might_contain("v", bits, k=5)).count()
+    # m=2^17, n=500, k=5 -> theoretical fpr ~ 2e-9; allow generous slack
+    assert fp <= 5
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # shares 'a b c' with bench -> dropped
+            (2, "x y z w v"),       # clean -> kept
+            (3, "q r s t u"),       # clean -> kept
+            (4, "zz yy a b c"),     # shares 'a b c' -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c zz yy")], ["doc_id", "text"]
+    )
+    exact = sorted(
+        r.doc_id for r in dedup.decontaminate(corpus, bench).collect()
+    )
+    bloom = sorted(
+        r.doc_id
+        for r in dedup.bloom_decontaminate(corpus, bench).collect()
+    )
+    assert bloom == exact == [2, 3]
+
+
+def test_bloom_probe_is_scan_stage_filter(spark):
+    """The Bloom probe must be a plain Filter over the shingle projection —
+    no Join or Exchange between the corpus scan and the prefilter."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], ["doc_id", "text"]
+    )
+    bits = dedup.bloom_bitset(
+        dedup.shingle_table(corpus, "doc_id", "text", 3), "shingle"
+    )
+    probed = dedup.shingle_table(corpus, "doc_id", "text", 3).where(
+        dedup.bloom_might_contain("shingle", bits)
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_mix_sample_deterministic_rates(spark):
     from fireworks_spark.operators.toolbox import mix_sample
 
