@@ -363,6 +363,110 @@ def mix_sample(
     )
 
 
+def portable_uniform(
+    key_col: str, seed: int = 7, denom: int = 1 << 20
+) -> Column:
+    """Deterministic uniform(0,1) draw from an md5 of ``key:seed``.
+
+    Portable across engines: Spark's ``conv(substring(md5(..),1,15),16,10)``
+    and DuckDB's ``('0x' || substring(md5(..),1,15))::BIGINT`` produce the
+    same 60-bit integer, and ``(h mod 2^20 + 0.5) / 2^20`` is EXACT in
+    binary floating point (numerator representable, division by a power of
+    two) — so the draw, and any ordering on it, is bit-identical in both.
+    Never 0 or 1, so safe under ``ln``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (F.pmod(h, F.lit(denom)) + F.lit(0.5)) / F.lit(float(denom))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws ``u`` from its key and the winner set is
+    the ``k`` smallest ``-ln(u) / w`` — inclusion probability proportional
+    to weight, reproducible on any cluster at any partitioning (the draw is
+    keyed, not rand()-based).
+
+    With ``group_col``, takes k per group via a rank over the exponential
+    key — Spark plans a WindowGroupLimit, so each map task pre-prunes to
+    its local top-k before the single shuffle on the group key; without,
+    a global orderBy+limit (TakeOrderedAndProject — no full sort, each
+    partition forwards only k candidates). Both shapes move O(k) rows per
+    task at any scale. Adds the sort key as ``es_key``.
+    """
+    from pyspark.sql import Window
+
+    out = df.filter(F.col(weight_col) > 0).withColumn(
+        "es_key",
+        -F.log(portable_uniform(key_col, seed)) / F.col(weight_col),
+    )
+    if group_col is None:
+        return out.orderBy("es_key", key_col).limit(k)
+    w = Window.partitionBy(group_col).orderBy("es_key", key_col)
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Quota sampling to a token budget: shuffle rows into a deterministic
+    keyed-random order, then keep the prefix whose cumulative ``token_col``
+    stays within ``budget`` (per group when ``group_col`` is given) — the
+    "take 1B tokens per domain" primitive of a training-mix builder.
+
+    The order key is :func:`portable_uniform` (exact float, bit-identical
+    across engines). Grouped: one ROWS-window shuffle on the group key.
+    Global: the two-pass range-partitioned cumsum of
+    :func:`with_running_total` — NOT a single-partition window, so the
+    prefix scan distributes at any scale. Adds ``cum_tokens``.
+    """
+    u = portable_uniform(key_col, seed).alias("_u")
+    staged = df.withColumn("_u", u)
+    if group_col is None:
+        out = with_running_total(
+            staged, ["_u", key_col], token_col, total_col="cum_tokens"
+        )
+    else:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy("_u", key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = staged.withColumn("cum_tokens", F.sum(token_col).over(w))
+    res = out.filter(F.col("cum_tokens") <= budget).drop("_u")
+    cache = getattr(out, "_row_index_cache", None)
+    if cache is not None:  # propagate the global path's release handle
+        res._row_index_cache = cache
+    return res
+
+
 def standardize(
     df: DataFrame,
     cols: list[str],

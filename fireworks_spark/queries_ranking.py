@@ -161,6 +161,45 @@ def q129_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis): 20 docs per source, inclusion probability proportional to
+    n_chars. The exponential sort key derives from a portable md5 uniform,
+    so DuckDB reproduces the exact same winner set from the raw table."""
+    from fireworks_spark.operators import toolbox
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        toolbox.weighted_sample(
+            d, weight_col="n_chars", k=20, key_col="doc_id",
+            group_col="source", seed=7,
+        )
+        .select(
+            "doc_id", "source", F.round("es_key", 4).alias("es_key")
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+def q131_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quota sampling: keep a deterministic keyed-random
+    prefix of each source's docs whose cumulative n_chars stays within a
+    20k budget (the "take N tokens per domain" training-mix primitive).
+    The order key is the portable md5 uniform — exact in float, so the
+    prefix (and the exact cum_tokens longs) match DuckDB bit-for-bit."""
+    from fireworks_spark.operators import toolbox
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        toolbox.token_budget_sample(
+            d, token_col="n_chars", budget=20_000, key_col="doc_id",
+            group_col="source", seed=11,
+        )
+        .select("doc_id", "source", "n_chars", "cum_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
 def q89_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mix resampling: src0 kept fully, src1 half,
     src2 quarter, everything else 10%; counts per source afterwards."""
@@ -250,6 +289,8 @@ RANKING_QUERIES = {
     "q87_quality_gate": q87_quality_gate,
     "q88_decontaminate": q88_decontaminate,
     "q129_bloom_decontaminate": q129_bloom_decontaminate,
+    "q130_weighted_sample": q130_weighted_sample,
+    "q131_token_budget_sample": q131_token_budget_sample,
     "q89_domain_mix": q89_domain_mix,
     "q90_token_entropy": q90_token_entropy,
     "q97_bigram_perplexity": q97_bigram_perplexity,
@@ -512,6 +553,42 @@ RANKING_ORACLE = {
         WHERE doc_id % 89 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM tainted)
         ORDER BY doc_id
+    """,
+    # Portable md5 uniform: same 60-bit integer as Spark's
+    # conv(substring(md5(key:seed),1,15),16,10); (h % 2^20 + 0.5)/2^20 is
+    # exact in binary float, so ordering on it is bit-identical.
+    "q130_weighted_sample": """
+        WITH s AS (
+          SELECT doc_id, source,
+                 -ln((('0x' || substring(md5(doc_id || ':' || 7), 1, 15))
+                        ::BIGINT % 1048576 + 0.5) / 1048576.0)
+                   / n_chars AS es
+          FROM documents WHERE n_chars > 0
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY es, doc_id) AS rk
+          FROM s
+        )
+        SELECT doc_id, source, ROUND(es, 4) + 0.0 AS es_key
+        FROM r WHERE rk <= 20 ORDER BY source, doc_id
+    """,
+    "q131_token_budget_sample": """
+        WITH s AS (
+          SELECT doc_id, source, n_chars,
+                 (('0x' || substring(md5(doc_id || ':' || 11), 1, 15))
+                    ::BIGINT % 1048576 + 0.5) / 1048576.0 AS u
+          FROM documents
+        ),
+        c AS (
+          SELECT *, SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )::BIGINT AS cum_tokens
+          FROM s
+        )
+        SELECT doc_id, source, n_chars, cum_tokens
+        FROM c WHERE cum_tokens <= 20000 ORDER BY source, doc_id
     """,
     "q89_domain_mix": """
         SELECT source, COUNT(*)::BIGINT AS kept FROM documents

@@ -107,6 +107,8 @@ _DRIVER_FRONT = [
     "q127_fuzzy_join",
     "q128_ivfpq_topk",
     "q129_bloom_decontaminate",
+    "q130_weighted_sample",
+    "q131_token_budget_sample",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational

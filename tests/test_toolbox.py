@@ -215,3 +215,101 @@ def test_winsorize_clips_to_group_percentiles(spark):
     assert a[1.0] == 5.95 and a[100.0] == 95.05 and a[50.0] == 50.0
     b = out.where("g = 'b'").collect()[0]
     assert b["w"] == 1000.0  # single-element group: bounds equal the value
+
+
+def test_weighted_sample_k_per_group_and_deterministic(spark):
+    rows = [(g * 100 + i, f"g{g}", (i % 7) + 1) for g in range(3) for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    a = toolbox.weighted_sample(
+        d, "n_chars", k=5, key_col="doc_id", group_col="source", seed=7
+    )
+    got = sorted((r.source, r.doc_id) for r in a.collect())
+    counts = {}
+    for s, _ in got:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    again = sorted(
+        (r.source, r.doc_id)
+        for r in toolbox.weighted_sample(
+            d, "n_chars", k=5, key_col="doc_id", group_col="source", seed=7
+        ).collect()
+    )
+    assert again == got
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    # 200 independent 2-horse races (k=1): heavy weight 9 vs light 1.
+    # P(heavy wins) = 0.9; Binomial(200, .9) is within [160, 200] w.p. ~1-1e-8.
+    rows = []
+    for g in range(200):
+        rows.append((g * 2, g, 9))      # heavy
+        rows.append((g * 2 + 1, g, 1))  # light
+    d = spark.createDataFrame(rows, "doc_id long, g long, w long")
+    wins = (
+        toolbox.weighted_sample(d, "w", k=1, key_col="doc_id", group_col="g")
+        .where("w = 9")
+        .count()
+    )
+    assert 160 <= wins <= 200
+
+
+def test_weighted_sample_global_topk(spark):
+    d = spark.createDataFrame(
+        [(i, 1 + i % 3) for i in range(50)], "doc_id long, w long"
+    )
+    out = toolbox.weighted_sample(d, "w", k=7, key_col="doc_id").collect()
+    assert len(out) == 7
+    # es_key ascending (the k smallest exponential keys win)
+    keys = [r.es_key for r in out]
+    assert keys == sorted(keys)
+
+
+def _budget_reference(rows, budget, seed):
+    """Pandas/pure-Python reference: per-group keyed-random order prefix."""
+    import hashlib
+
+    def u(doc_id):
+        h = int(hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:15], 16)
+        return (h % (1 << 20) + 0.5) / (1 << 20)
+
+    by_g = {}
+    for doc_id, g, tok in rows:
+        by_g.setdefault(g, []).append((u(doc_id), doc_id, tok))
+    keep = {}
+    for g, items in by_g.items():
+        cum = 0
+        for uu, doc_id, tok in sorted(items):
+            cum += tok
+            if cum > budget:
+                break
+            keep[doc_id] = cum
+    return keep
+
+
+def test_token_budget_sample_grouped_matches_reference(spark):
+    rows = [(g * 100 + i, f"g{g}", 10 + (i * 7) % 40) for g in range(3) for i in range(25)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = toolbox.token_budget_sample(
+        d, "n_chars", budget=300, key_col="doc_id", group_col="source", seed=11
+    )
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+    ref = _budget_reference(
+        [(r[0], r[1], r[2]) for r in rows], budget=300, seed=11
+    )
+    assert got == ref
+
+
+def test_token_budget_sample_global_uses_distributed_cumsum(spark):
+    rows = [(i, "x", 10) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = toolbox.token_budget_sample(
+        d, "n_chars", budget=250, key_col="doc_id", seed=11
+    )
+    got = out.collect()
+    # budget 250 / 10 tokens each -> exactly 25 docs, cum_tokens = 10..250
+    assert len(got) == 25
+    assert sorted(r.cum_tokens for r in got) == [10 * i for i in range(1, 26)]
+    # two-pass design exposes its cache handle; release it
+    cache = getattr(out, "_row_index_cache", None)
+    assert cache is not None
+    cache.unpersist()
