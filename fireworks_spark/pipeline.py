@@ -212,6 +212,58 @@ class Pipe:
 
         return Pipe(textstats.with_quality_score(self.df, text_col=text_col))
 
+    def decontaminate(
+        self,
+        benchmark: "Pipe | DataFrame",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        bloom: bool = True,
+    ) -> "Pipe":
+        """Drop docs sharing a word n-gram with the benchmark. ``bloom``
+        (default) probes a fixed 16 KiB bitset at the scan before the
+        exact verify (dedup.bloom_decontaminate) — same result, no
+        benchmark-sized broadcast."""
+        from fireworks_spark.operators import dedup as dd
+
+        bench = benchmark.df if isinstance(benchmark, Pipe) else benchmark
+        fn = dd.bloom_decontaminate if bloom else dd.decontaminate
+        return Pipe(fn(self.df, bench, id_col=id_col, text_col=text_col, n=n))
+
+    def weighted_sample(
+        self,
+        weight_col: str,
+        k: int,
+        key_col: str = "doc_id",
+        group_col: str | None = None,
+        seed: int = 7,
+    ) -> "Pipe":
+        """Deterministic weighted sampling without replacement
+        (toolbox.weighted_sample, Efraimidis-Spirakis)."""
+        return Pipe(
+            toolbox.weighted_sample(
+                self.df, weight_col, k, key_col=key_col,
+                group_col=group_col, seed=seed,
+            )
+        )
+
+    def token_budget(
+        self,
+        token_col: str,
+        budget: int,
+        key_col: str = "doc_id",
+        group_col: str | None = None,
+        seed: int = 11,
+    ) -> "Pipe":
+        """Keyed-random prefix within a (per-group) token budget
+        (toolbox.token_budget_sample)."""
+        return Pipe(
+            toolbox.token_budget_sample(
+                self.df, token_col, budget, key_col=key_col,
+                group_col=group_col, seed=seed,
+            )
+        )
+
     # -- formats (Message.read / Message.to parity) -----------------------
     @classmethod
     def read(cls, spark, fmt: str, path: str = None, **kw) -> "Pipe":

@@ -104,3 +104,31 @@ def test_pipe_fuzzy_join(spark):
     b = spark.createDataFrame([(10, "spork"), (11, "window")], "id long, w string")
     got = {(r.lid, r.rid, r.dist) for r in Pipe(a).fuzzy_join(b, "id", "id", "w", "w").collect()}
     assert got == {(0, 10, 1), (1, 11, 1)}
+
+
+def test_pipe_decontaminate_and_sampling(spark):
+    docs = spark.createDataFrame(
+        [(g * 10 + i, f"g{g}", f"doc {g} {i} body text here", 10 + i)
+         for g in range(2) for i in range(8)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    bench = spark.createDataFrame(
+        [(99, "doc 0 3 body xx")], "doc_id long, text string"
+    )
+    # doc (0,3) shares shingle "doc 0 3" -> dropped; bloom == exact path
+    clean = Pipe(docs).decontaminate(bench).df
+    exact = Pipe(docs).decontaminate(bench, bloom=False).df
+    assert sorted(r.doc_id for r in clean.collect()) == sorted(
+        r.doc_id for r in exact.collect()
+    )
+    assert 3 not in {r.doc_id for r in clean.collect()}
+
+    ws = Pipe(docs).weighted_sample("n_chars", k=3, group_col="source").df
+    per = {r.source: 0 for r in ws.collect()}
+    for r in ws.collect():
+        per[r.source] += 1
+    assert per == {"g0": 3, "g1": 3}
+
+    tb = Pipe(docs).token_budget("n_chars", budget=40, group_col="source").df
+    assert all(r.cum_tokens <= 40 for r in tb.collect())
+    assert tb.count() >= 2
