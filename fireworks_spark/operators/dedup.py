@@ -1001,7 +1001,9 @@ def bloom_might_contain(
     """
     col = F.col(col) if isinstance(col, str) else col
     num_bits = len(bitset) * 64
-    arr = F.array(*[F.lit(w) for w in bitset])
+    # F.lit(list) -> one array Literal, evaluated once; F.array(*lits)
+    # would re-CreateArray 2048 elements per row per seed (measured 9x).
+    arr = F.lit(list(bitset))
     cond = F.lit(True)
     for s in range(k):
         pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
@@ -1040,7 +1042,14 @@ def bloom_decontaminate(
     Result: the corpus rows sharing no word n-gram with the benchmark
     (reference parity: eval-overlap removal; cf. decontaminate above).
     """
-    bench_sh = shingle_table(benchmark, id_col, text_col, n).select("shingle")
+    # Persisted: the bitset build and the exact verify both consume the
+    # benchmark shingles; without the persist the benchmark tokenizes
+    # twice. Caller releases via release_caches(result).
+    bench_sh = (
+        shingle_table(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .persist()
+    )
     bits = bloom_bitset(bench_sh, "shingle", num_bits=num_bits, k=k)
     candidates = shingle_table(corpus, id_col, text_col, n).where(
         bloom_might_contain("shingle", bits, k=k)
@@ -1052,7 +1061,8 @@ def bloom_decontaminate(
         .select(id_col)
         .distinct()
     )
-    return corpus.join(tainted, id_col, "left_anti")
+    out = corpus.join(tainted, id_col, "left_anti")
+    return _attach_caches(out, extra=[bench_sh])
 
 
 # --------------------------------------------------------------------------
