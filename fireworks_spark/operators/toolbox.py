@@ -576,6 +576,54 @@ def apply_embeddings(
     )
 
 
+def histogram(
+    df: DataFrame, col: str, nbins: int = 10, by: str | None = None
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, bin_lo, bin_hi,
+    cnt), optionally per ``by`` group (then bounds are per-group).
+
+    Two aggregation passes, both shuffle-bounded by the group count:
+    min/max first (O(groups) rows move), broadcast back, then a
+    partial-aggregated count per bin (O(groups x nbins)). The fact table
+    never sorts and never moves — the bin id is a map-side expression, so
+    this profiles a 100 TB column at scan speed. All arithmetic is plain
+    IEEE double (sub/div/floor — correctly rounded everywhere), making the
+    bin assignment engine-portable and oracle-checkable. A max-value row
+    lands in the last bin; a constant column collapses to bin 0.
+    """
+    x = F.col(col).cast("double")
+    if by is None:
+        stats = df.agg(
+            F.min(x).alias("_mn"), F.max(x).alias("_mx")
+        )
+        staged = df.crossJoin(F.broadcast(stats))
+    else:
+        stats = df.groupBy(by).agg(
+            F.min(x).alias("_mn"), F.max(x).alias("_mx")
+        )
+        staged = df.join(F.broadcast(stats), by)
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(nbins))
+    bin_ = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("_mn")) / width), F.lit(nbins - 1)
+        )
+    ).cast("long")
+    keys = ([by] if by else []) + ["bin", "_mn", "_mx"]
+    out = (
+        staged.withColumn("bin", bin_)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *([by] if by else []),
+            "bin",
+            (F.col("_mn") + F.col("bin") * width).alias("bin_lo"),
+            (F.col("_mn") + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "cnt",
+        )
+    )
+    return out
+
+
 def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Column profiler (data-quality audit): one output row per column with
     row count, null count, exact distinct count, and min/max rendered as

@@ -122,6 +122,25 @@ def q59_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toolbox.with_row_index(c, ["c_custkey"], "idx").orderBy("c_custkey")
 
 
+def q132_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag equi-width 8-bin histogram of l_quantity. The bin id
+    is pure map-side IEEE double arithmetic (sub/div/floor — correctly
+    rounded in every engine), so the counts are exactly reproducible in
+    SQL; both shuffles move O(groups) rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        toolbox.histogram(li, "l_quantity", nbins=8, by="l_returnflag")
+        .select(
+            "l_returnflag",
+            "bin",
+            F.round("bin_lo", 4).alias("bin_lo"),
+            F.round("bin_hi", 4).alias("bin_hi"),
+            "cnt",
+        )
+        .orderBy("l_returnflag", "bin")
+    )
+
+
 def q99_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profiler over orders (row/null/distinct counts,
     min/max as strings) — the audit every ingest runs before heavier work.
@@ -185,6 +204,7 @@ TOOLBOX_QUERIES = {
     "q58_hstack": q58_hstack,
     "q59_row_index": q59_row_index,
     "q99_profile": q99_profile,
+    "q132_histogram": q132_histogram,
     "q100_heavy_hitters": q100_heavy_hitters,
     "q101_winsorize": q101_winsorize,
 }
@@ -193,6 +213,27 @@ _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 TOOLBOX_ORACLE = {
+    "q132_histogram": """
+        WITH s AS (
+          SELECT l_returnflag, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+          FROM lineitem GROUP BY l_returnflag
+        ),
+        b AS (
+          SELECT li.l_returnflag,
+                 CASE WHEN s.mx = s.mn THEN 0
+                      ELSE LEAST(CAST(FLOOR((li.l_quantity - s.mn)
+                                 / ((s.mx - s.mn) / 8.0)) AS BIGINT), 7)
+                 END AS bin,
+                 s.mn, s.mx
+          FROM lineitem li JOIN s USING (l_returnflag)
+        )
+        SELECT l_returnflag, bin,
+               ROUND(mn + bin * ((mx - mn) / 8.0), 4) AS bin_lo,
+               ROUND(mn + (bin + 1) * ((mx - mn) / 8.0), 4) AS bin_hi,
+               COUNT(*)::BIGINT AS cnt
+        FROM b GROUP BY l_returnflag, bin, mn, mx
+        ORDER BY l_returnflag, bin
+    """,
     "q112_mg_heavy_hitters": (
         "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id "
         "HAVING count(*) > (SELECT count(*) FROM events) / 120.0 "

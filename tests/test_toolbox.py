@@ -313,3 +313,28 @@ def test_token_budget_sample_global_uses_distributed_cumsum(spark):
     cache = getattr(out, "_row_index_cache", None)
     assert cache is not None
     cache.unpersist()
+
+
+def test_histogram_bins_and_edges(spark):
+    d = spark.createDataFrame([(float(v),) for v in range(0, 101)], "x double")
+    out = {r.bin: r for r in toolbox.histogram(d, "x", nbins=10).collect()}
+    # width 10: bins 0..8 get 10 values, bin 9 gets 11 (100 folds into last)
+    assert {b: r.cnt for b, r in out.items()} == {
+        **{b: 10 for b in range(9)}, 9: 11
+    }
+    assert out[0].bin_lo == 0.0 and abs(out[9].bin_hi - 100.0) < 1e-9
+
+
+def test_histogram_constant_column_single_bin(spark):
+    d = spark.createDataFrame([(5.0,)] * 7, "x double")
+    rows = toolbox.histogram(d, "x", nbins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].cnt == 7
+
+
+def test_histogram_grouped_bounds_are_per_group(spark):
+    d = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("b", 100.0), ("b", 200.0)], "g string, x double"
+    )
+    rows = {(r.g, r.bin): r for r in toolbox.histogram(d, "x", nbins=2, by="g").collect()}
+    assert rows[("a", 0)].bin_lo == 0.0 and rows[("a", 1)].bin_hi == 10.0
+    assert rows[("b", 0)].bin_lo == 100.0 and rows[("b", 1)].bin_hi == 200.0
