@@ -398,6 +398,58 @@ def near_dedup_stream(
     )
 
 
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    exact_max_shingles: int = 200_000,
+) -> DataFrame:
+    """Streaming benchmark decontamination: drop every streamed doc sharing
+    a word n-gram with the static ``benchmark`` — fully STATELESS, so it
+    runs under any trigger with zero state store.
+
+    The benchmark's distinct hashed shingles are captured at plan-build
+    time. When they fit ``exact_max_shingles`` (eval sets always do) they
+    ship as one array literal and the per-row check is
+    ``arrays_overlap(doc_shingles, bench)`` — EXACT, same answer as batch
+    ``dedup.decontaminate``. A larger benchmark falls back to the 16 KiB
+    Bloom bitset (``dedup.bloom_bitset``): per-row ``exists(shingles,
+    bloom probe)``, no false negatives, false-positive drops at the
+    configured ~2e-9/shingle rate — the documented approximate mode.
+
+    Both modes are row-local expressions: no explode, no join, no shuffle
+    — each micro-batch filters at scan speed regardless of stream volume.
+    """
+    from fireworks_spark.functions.text import words
+    from fireworks_spark.operators import dedup as dd
+
+    bench_sh = (
+        dd.shingle_table(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    sh = F.array_distinct(
+        F.transform(
+            dd.ngrams_of(words(text_col), n), lambda s: F.xxhash64(s)
+        )
+    )
+    staged = docs.withColumn("_sh", sh)
+    n_bench = bench_sh.count()
+    if n_bench == 0:
+        tainted = F.lit(False)
+    elif n_bench <= exact_max_shingles:
+        bench = [r["shingle"] for r in bench_sh.collect()]
+        tainted = F.arrays_overlap("_sh", F.lit(bench))
+    else:
+        bits = dd.bloom_bitset(bench_sh, "shingle")
+        tainted = F.exists(
+            "_sh", lambda s: dd.bloom_might_contain(s, bits)
+        )
+    return staged.filter(~F.coalesce(tainted, F.lit(False))).drop("_sh")
+
+
 def maintain_rollup_table(
     stream: DataFrame,
     table_path: str,

@@ -363,3 +363,53 @@ def test_stateful_topk_transform_with_state(spark, sf_dir, tmp_path):
     assert set(final) == set(batch)
     for u in batch:
         assert final[u] == batch[u], f"user {u}: {final[u]} != {batch[u]}"
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Stateless stream decontamination == batch dedup.decontaminate (exact
+    literal mode), checked through the real micro-batch engine."""
+    import datetime as dt
+    from fireworks_spark.operators import dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "a b c d e", t0),          # shares 'a b c' -> dropped
+        (2, "x y z w v", t0),          # clean
+        (3, "q r s t u", t0),          # clean
+        (4, "zz yy a b c", t0),        # shares 'a b c' -> dropped
+        (5, "hi", t0),                 # short: no shingles, never tainted
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    bench = spark.createDataFrame([(100, "a b c zz yy")], "doc_id long, text string")
+    d = str(tmp_path / "decon_stream")
+    src.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    kept = streaming.decontaminate_stream(stream, bench)
+    streaming.run_to_memory(kept, "decon_stream_t", output_mode="append")
+    got = sorted(r.doc_id for r in spark.table("decon_stream_t").collect())
+    batch = sorted(
+        r.doc_id for r in dedup.decontaminate(src, bench).collect()
+    )
+    # batch decontaminate drops shingle-less docs from consideration but
+    # keeps them (anti-join keeps all non-tainted); both keep doc 5
+    assert got == batch == [2, 3, 5]
+
+
+def test_decontaminate_stream_bloom_mode_no_false_negatives(spark, tmp_path):
+    """Force the Bloom fallback (exact_max_shingles=0): every truly
+    contaminated doc is still dropped (no false negatives)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, f"tok{i} filler words a b c", t0) for i in range(5)] + [
+        (10, "clean doc nothing shared here at all", t0)
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    bench = spark.createDataFrame([(99, "filler words a b c")], "doc_id long, text string")
+    d = str(tmp_path / "decon_bloom_stream")
+    src.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    kept = streaming.decontaminate_stream(stream, bench, exact_max_shingles=0)
+    streaming.run_to_memory(kept, "decon_bloom_t", output_mode="append")
+    got = sorted(r.doc_id for r in spark.table("decon_bloom_t").collect())
+    assert got == [10]
