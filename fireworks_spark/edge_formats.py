@@ -8,15 +8,17 @@ Three tiers, chosen per format by what scales:
 2. **Custom file-parallel connectors** (this module): formats Spark lacks a
    source for but whose codec ships in every executor's Python with no
    extra dependency — Stata .dta (pandas' built-in StataReader/Writer),
-   pandas pickle parts, and well-formed HTML tables. Same layout as the
-   feather connector (io_formats.py): one file per task on read, one file
-   per partition on write, the driver touches only a schema probe.
+   Excel .xlsx (stdlib zipfile + OOXML templates on write, iterparse on
+   read — no openpyxl), pandas pickle parts, and well-formed HTML tables.
+   Same layout as the feather connector (io_formats.py): one file per task
+   on read, one file per partition on write, the driver touches only a
+   schema probe.
 3. **Driver-edge renders** (dict/records/string/latex): human-facing,
    inherently small outputs — explicit row-capped collects that refuse to
    silently truncate.
 
 Formats whose backing library is absent from the container or that pandas
-itself dropped (excel, hdf, msgpack, gbq, clipboard, sparse) raise
+itself dropped (hdf, msgpack, gbq, clipboard, sparse) raise
 NotImplementedError with the recorded reason — a decision, not an
 oversight; `UNSUPPORTED` is the registry.
 
@@ -342,11 +344,237 @@ def to_latex(df: DataFrame, max_rows: int = 10_000) -> str:
 
 
 # --------------------------------------------------------------------------
+# Excel .xlsx — dependency-free file-parallel connector (stdlib zip + XML)
+# --------------------------------------------------------------------------
+
+_XLSX_STATIC = {
+    "[Content_Types].xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    ),
+    "_rels/.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    ),
+    "xl/workbook.xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    ),
+    "xl/_rels/workbook.xml.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    ),
+}
+
+
+def _xlsx_cell(v) -> str:
+    """One <c> element. Strings go as inline strings (no sharedStrings
+    table — each task writes self-contained XML with no cross-file state);
+    ints/floats as numbers (repr(float) is shortest-roundtrip, so the
+    value survives exactly); bools as t="b". None/NaN -> an empty <c/>
+    placeholder, keeping every row's cells positionally aligned without
+    per-cell r= coordinates."""
+    import math
+
+    if v is None:
+        return "<c/>"
+    if isinstance(v, bool):
+        return f'<c t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, int):
+        return f"<c><v>{v}</v></c>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<c/>"
+        return f"<c><v>{v!r}</v></c>"
+    s = (
+        str(v)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+    return f'<c t="inlineStr"><is><t xml:space="preserve">{s}</t></is></c>'
+
+
+def write_excel(df: DataFrame, path: str) -> None:
+    """Distributed .xlsx write, no external libraries: each partition
+    becomes one part-*.xlsx under ``path`` (a zip of OOXML parts built
+    with stdlib zipfile + string templates). The worksheet streams into
+    the zip entry row by row — task memory stays at one Arrow batch, not
+    the whole partition. Row 1 is the header. Supported cell types:
+    string, int, float, bool, null (reference message.py to_excel parity;
+    richer types should go through parquet/feather).
+
+    Cells omit the r= coordinate (readers, including this connector and
+    pandas, infer positions) — sequential cells in a sequential row are
+    valid OOXML and keep the per-cell payload minimal."""
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        import uuid
+        import zipfile
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex}.xlsx")
+        rows = 0
+        zf = None
+        try:
+            for b in batches:
+                if not len(b):
+                    continue
+                if zf is None:
+                    zf = zipfile.ZipFile(
+                        fname, "w", compression=zipfile.ZIP_DEFLATED
+                    )
+                    for name, xml in _XLSX_STATIC.items():
+                        zf.writestr(name, xml)
+                    sheet = zf.open(
+                        zipfile.ZipInfo("xl/worksheets/sheet1.xml"), "w"
+                    )
+                    sheet.write(
+                        b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                        b'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                        b"<sheetData>"
+                    )
+                    hdr = "".join(_xlsx_cell(c) for c in b.columns)
+                    sheet.write(f"<row>{hdr}</row>".encode())
+                for rec in b.itertuples(index=False):
+                    cells = "".join(
+                        _xlsx_cell(None if pd.isna(v) else v) for v in rec
+                    )
+                    sheet.write(f"<row>{cells}</row>".encode())
+                    rows += 1
+            if zf is not None:
+                sheet.write(b"</sheetData></worksheet>")
+                sheet.close()
+        finally:
+            if zf is not None:
+                zf.close()
+        yield pd.DataFrame({"rows": [rows]})
+
+    df.mapInPandas(_write, "rows long").write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+
+def _xlsx_rows(fname: str):
+    """Yield rows (lists of str/float/bool/None) from sheet1.xml,
+    iterparse-streamed so task memory is one row, not the sheet."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(fname) as zf:
+        with zf.open("xl/worksheets/sheet1.xml") as fh:
+            row = None
+            for ev, el in ET.iterparse(fh, events=("start", "end")):
+                if ev == "start" and el.tag == f"{ns}row":
+                    row = []
+                elif ev == "end" and el.tag == f"{ns}c":
+                    t = el.get("t")
+                    if t == "inlineStr":
+                        tnode = el.find(f"{ns}is/{ns}t")
+                        row.append("" if tnode is None else (tnode.text or ""))
+                    else:
+                        vnode = el.find(f"{ns}v")
+                        if vnode is None or vnode.text is None:
+                            row.append(None)
+                        elif t == "b":
+                            row.append(vnode.text == "1")
+                        else:
+                            row.append(float(vnode.text))
+                    el.clear()
+                elif ev == "end" and el.tag == f"{ns}row":
+                    yield row
+                    el.clear()
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed .xlsx read: one file per task, iterparse-streamed (no
+    openpyxl). Row 1 of each sheet is the header; the declared schema
+    comes from a driver-side probe of the first file's first data row
+    (files must share one schema). Numeric cells parse as double and cast
+    to the probed type, so integer columns come back as longs."""
+    import pandas as pd
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.xlsx")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .xlsx files under {path}")
+    it = _xlsx_rows(files[0])
+    header = [str(c) for c in next(it)]
+
+    # Probe up to 200 data rows: a column is bigint only if EVERY sampled
+    # value is an integral float (a lone 1.0 first row must not narrow a
+    # genuine double column); any string makes it string; all-null falls
+    # back to string.
+    kinds = [None] * len(header)
+    for _ in range(200):
+        row = next(it, None)
+        if row is None:
+            break
+        for i, v in enumerate(row[: len(header)]):
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                k = "boolean"
+            elif isinstance(v, float):
+                k = "bigint" if v == int(v) else "double"
+            else:
+                k = "string"
+            prev = kinds[i]
+            if prev is None or prev == k:
+                kinds[i] = k
+            elif {prev, k} == {"bigint", "double"}:
+                kinds[i] = "double"
+            else:
+                kinds[i] = "string"
+    kinds = [k or "string" for k in kinds]
+    schema = ", ".join(
+        f"`{c}` {k}" for c, k in zip(header, kinds)
+    )
+
+    def _read(batches):
+        for b in batches:
+            for f in b["f"]:
+                rows = _xlsx_rows(f)
+                cols = [str(c) for c in next(rows)]
+                data = list(rows)
+                pdf = pd.DataFrame(data, columns=cols)
+                for c, k in zip(header, kinds):
+                    if k == "bigint":
+                        pdf[c] = pdf[c].astype("Int64")
+                    elif k == "string":
+                        pdf[c] = pdf[c].map(
+                            lambda v: v if v is None else str(v)
+                        )
+                yield pdf[header]
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(_read, schema)
+
+
+# --------------------------------------------------------------------------
 # unified Message.read / Message.to dispatch
 # --------------------------------------------------------------------------
 
 UNSUPPORTED: dict[str, str] = {
-    "excel": "openpyxl/xlrd not in the container; no distributed reader",
     "hdf": "pytables not in the container; no distributed reader",
     "msgpack": "removed from pandas itself (>=1.0); use parquet/feather",
     "gbq": "external BigQuery service; out of scope for a local engine",
@@ -373,6 +601,8 @@ def message_read(
         return io_formats.read_feather(spark, path)
     if fmt == "stata":
         return read_stata(spark, path)
+    if fmt == "excel":
+        return read_excel(spark, path)
     if fmt == "pickle":
         return read_pickle(spark, path)
     if fmt == "html":
@@ -399,6 +629,8 @@ def message_to(df: DataFrame, fmt: str, path: str = None, **kw):
         return io_formats.write_feather(df, path, **kw)
     if fmt == "stata":
         return write_stata(df, path, **kw)
+    if fmt == "excel":
+        return write_excel(df, path)
     if fmt == "pickle":
         return write_pickle(df, path)
     if fmt == "html":

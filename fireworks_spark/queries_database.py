@@ -130,6 +130,40 @@ def q116_stata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q133_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dependency-free Excel .xlsx connector end-to-end (Message.read/
+    to 'excel', reference message.py:13-17 — built on stdlib zipfile +
+    OOXML templates, no openpyxl): customer written as per-partition
+    .xlsx parts (inline strings, streamed rows), read back one file per
+    task via iterparse, aggregated against the original parquet. Any
+    cell-encoding loss (escaping, float text round-trip, null cells,
+    integer typing) surfaces as a value mismatch."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.edge_formats import read_excel, write_excel
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="fw_xlsx_")
+    try:
+        write_excel(c.repartition(4), d)
+        back = read_excel(spark, d)
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("bal"),
+                F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q117_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML table connector end-to-end (Message.to 'html' + a
     distributed JVM-regexp reader in place of lxml-backed read_html):
@@ -466,6 +500,7 @@ DATABASE_QUERIES = {
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
+    "q133_excel_roundtrip": q133_excel_roundtrip,
     "q117_html_roundtrip": q117_html_roundtrip,
     "q60_delete_semantics": q60_delete_semantics,
     "q61_update_semantics": q61_update_semantics,
@@ -521,6 +556,12 @@ DATABASE_ORACLE = {
         "FROM customer GROUP BY 1 ORDER BY 1"
     ),
     "q116_stata_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal, "
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
+    "q133_excel_roundtrip": (
         "SELECT c_mktsegment, count(*) AS n, "
         "ROUND(SUM(c_acctbal), 2) AS bal, "
         "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "

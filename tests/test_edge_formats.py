@@ -141,11 +141,60 @@ def test_message_dispatch_full_surface(spark, small, tmp_path):
     assert back.count() == 100 and back.columns == ["id", "val", "name"]
     # dense is identity
     assert ef.message_to(small, "dense") is small
+    # excel routes to the dependency-free connector through the dispatcher
+    xl = str(tmp_path / "xl")
+    ef.message_to(small, "excel", xl)
+    assert ef.message_read(spark, "excel", xl).count() == 100
     # every reference to/read name is either routed or refused with a reason
-    for fmt in ("excel", "hdf", "msgpack", "gbq", "clipboard", "sparse"):
+    for fmt in ("hdf", "msgpack", "gbq", "clipboard", "sparse"):
         with pytest.raises(NotImplementedError, match=fmt):
             ef.message_to(small, fmt, str(tmp_path / fmt))
     with pytest.raises(NotImplementedError):
-        ef.message_read(spark, "excel", "x.xlsx")
+        ef.message_read(spark, "hdf", "x.h5")
     with pytest.raises(ValueError, match="unknown"):
         ef.message_to(small, "carrier_pigeon")
+
+
+def test_excel_roundtrip_file_parallel(spark, small, tmp_path):
+    p = str(tmp_path / "xlsx")
+    ef.write_excel(small.repartition(3), p)
+    import os
+
+    assert len([f for f in os.listdir(p) if f.endswith(".xlsx")]) == 3
+    back = ef.read_excel(spark, p)
+    assert back.rdd.getNumPartitions() == 3
+    got = {(r.id, r.val, r.name) for r in back.collect()}
+    assert got == {(i, i * 1.5, f"name_{i}") for i in range(100)}
+    assert back.schema.simpleString() == (
+        "struct<id:bigint,val:double,name:string>"
+    )
+
+
+def test_excel_escaping_nulls_and_bools(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "a <&> b", 3.14, True),
+            (2, None, float("nan"), False),
+            (3, "line\nbreak & \ttab", -0.5, None),
+        ],
+        "id long, s string, x double, b boolean",
+    )
+    p = str(tmp_path / "xlsx2")
+    ef.write_excel(df, p)
+    back = {r.id: (r.s, r.x, r.b) for r in ef.read_excel(spark, p).collect()}
+    assert back[1] == ("a <&> b", 3.14, True)
+    assert back[2] == (None, None, False)
+    assert back[3] == ("line\nbreak & \ttab", -0.5, None)
+
+
+def test_excel_probe_widens_integral_first_double(spark, tmp_path):
+    """A double column whose FIRST value is integral must still probe as
+    double (the 200-row probe widens bigint -> double on any fraction)."""
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 2.5), (3, 7.0)], "id long, x double"
+    )
+    p = str(tmp_path / "xlsx3")
+    ef.write_excel(df.coalesce(1), p)
+    back = ef.read_excel(spark, p)
+    assert dict(back.dtypes)["x"] == "double"
+    assert {r.x for r in back.collect()} == {2.0, 2.5, 7.0}
