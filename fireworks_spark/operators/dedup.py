@@ -347,6 +347,93 @@ def jaccard_pairs(
     )
 
 
+def jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Cross-corpus similarity JOIN: pairs (lid from ``left``, rid from
+    ``right``) with word-n-gram Jaccard >= threshold (exact values) — the
+    two-table face of :func:`jaccard_pairs`, e.g. "which eval documents
+    fuzzily overlap the training corpus" when exact n-gram decontamination
+    is too strict.
+
+    Same three-stage shape as the self-join: (1) candidates from a
+    df-capped shingle equi-join LEFT x RIGHT (``df_cap`` counts a
+    shingle's frequency across BOTH corpora, bounding any join group at
+    df_cap^2 rows — boilerplate skew-proof); (2) two exact pruning bounds
+    (size ratio; shared-cold-count + hot allowance) kill nearly every
+    candidate before data moves; (3) per-pair array_intersect verify over
+    ALL shingles, so reported values are exact. Both shingle-set frames
+    persist (each feeds candidates, stats, and verify) and expose release
+    handles via ``release_caches``.
+    """
+    sl = shingle_sets(left, id_col, text_col, n).persist()
+    sr = shingle_sets(right, id_col, text_col, n).persist()
+    shl = sl.select(F.col(id_col).alias("lid"), F.explode("shingles").alias("shingle"))
+    shr = sr.select(F.col(id_col).alias("rid"), F.explode("shingles").alias("shingle"))
+    if df_cap is not None:
+        hot = (
+            shl.select("shingle")
+            .unionAll(shr.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        coldl = shl.join(hot, "shingle", "left_anti")
+        coldr = shr.join(hot, "shingle", "left_anti")
+        hotl = shl.join(hot, "shingle").groupBy("lid").agg(
+            F.count(F.lit(1)).alias("_hl")
+        )
+        hotr = shr.join(hot, "shingle").groupBy("rid").agg(
+            F.count(F.lit(1)).alias("_hr")
+        )
+    else:
+        coldl, coldr = shl, shr
+        hotl = shl.select("lid").limit(0).withColumn("_hl", F.lit(0))
+        hotr = shr.select("rid").limit(0).withColumn("_hr", F.lit(0))
+    cand = coldl.join(coldr, "shingle").groupBy("lid", "rid").agg(
+        F.count(F.lit(1)).alias("_common")
+    )
+    statl = (
+        sl.select(F.col(id_col).alias("lid"), F.size("shingles").alias("_szl"))
+        .join(hotl, "lid", "left")
+        .select("lid", "_szl", F.coalesce("_hl", F.lit(0)).alias("_hl"))
+    )
+    statr = (
+        sr.select(F.col(id_col).alias("rid"), F.size("shingles").alias("_szr"))
+        .join(hotr, "rid", "left")
+        .select("rid", "_szr", F.coalesce("_hr", F.lit(0)).alias("_hr"))
+    )
+    thr = F.lit(threshold - 0.0005)  # same rounding slack as jaccard_pairs
+    cand = (
+        cand.join(statl, "lid")
+        .join(statr, "rid")
+        .filter(F.least("_szl", "_szr") >= thr * F.greatest("_szl", "_szr"))
+        .filter(
+            (F.col("_common") + F.least("_hl", "_hr"))
+            >= thr * F.greatest("_szl", "_szr")
+        )
+        .select("lid", "rid")
+    )
+    sa = sl.select(F.col(id_col).alias("lid"), F.col("shingles").alias("_sa"))
+    sb = sr.select(F.col(id_col).alias("rid"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
+    out = (
+        cand.join(sa, "lid")
+        .join(sb, "rid")
+        .select("lid", "rid", F.round(jac, 3).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+    return _attach_caches(out, extra=[sl, sr])
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB path)
 # --------------------------------------------------------------------------

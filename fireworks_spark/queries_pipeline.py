@@ -85,6 +85,20 @@ def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, threshold=0.5, df_cap=64).orderBy("ida", "idb")
 
 
+def q134_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact-Jaccard similarity join: even doc_ids play the
+    left corpus, odd the right, threshold 0.5. Same df-capped candidate
+    generation and exact-bound pruning as the self-join q31; verify uses
+    all shingles so values are exact."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.jaccard_join(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+        df_cap=64,
+    ).orderBy("lid", "rid")
+
+
 def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact-Jaccard verify at threshold 0.8 (the
     regime where 16x2 banding has ~certain recall; see module docstring)."""
@@ -583,6 +597,7 @@ PIPELINE_QUERIES = {
     "q115_leakage_safe_split": q115_leakage_safe_split,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
+    "q134_jaccard_join": q134_jaccard_join,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
     "q34_dedup_embedding_cosine": q34_dedup_embedding_cosine,
@@ -618,6 +633,32 @@ _JACCARD_SQL = (
     f"WITH {_SHINGLES_CTE} "
     "SELECT ida, idb, jac FROM jac WHERE jac >= 0.5 ORDER BY ida, idb"
 )
+
+_JACCARD_JOIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, array_length(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM toks WHERE array_length(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS lid, b.doc_id AS rid, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT lid, rid, round(c / (sa.sz + sb.sz - c), 3) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = lid
+  JOIN sizes sb ON sb.doc_id = rid
+)
+SELECT lid, rid, jac FROM jac WHERE jac >= 0.5 ORDER BY lid, rid
+"""
 
 _JACCARD_SQL_08 = (
     f"WITH {_SHINGLES_CTE} "
@@ -837,6 +878,7 @@ PIPELINE_ORACLE = {
         f"GROUP BY md5({_NORM}) ORDER BY keep_id"
     ),
     "q31_dedup_ngram_jaccard": _JACCARD_SQL,
+    "q134_jaccard_join": _JACCARD_JOIN_SQL,
     # LSH candidates verified by exact jaccard: at threshold 0.8 the banded
     # collision probability is >= 1 - 3e-8 per pair, so candidates == exact
     # pairs and the oracle is the exact-Jaccard SQL at the same threshold.

@@ -111,6 +111,7 @@ _DRIVER_FRONT = [
     "q131_token_budget_sample",
     "q132_histogram",
     "q133_excel_roundtrip",
+    "q134_jaccard_join",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational

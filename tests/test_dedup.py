@@ -465,3 +465,37 @@ def test_dedup_queries_release_their_caches(spark, sf_dir):
         out.write.mode("overwrite").format("noop").save()
         release_caches(out)
         assert persistent_rdds() <= baseline, build
+
+
+def test_jaccard_join_cross_corpus_exact_values(spark):
+    left = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (5, "unrelated words entirely here nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.lid, r.rid): r.jac for r in dedup.jaccard_join(
+        left, right, threshold=0.1
+    ).collect()}
+    assert got[(0, 3)] == 1.0                    # identical
+    assert got[(0, 1)] == round(6 / 8, 3)        # 6 shared of 8 union
+    assert (2, 5) not in got and (0, 5) not in got
+
+
+def test_jaccard_join_caches_released(spark):
+    left = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    right = spark.createDataFrame([(1, "a b c d f")], ["doc_id", "text"])
+    baseline = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    out = dedup.jaccard_join(left, right, threshold=0.1)
+    out.collect()
+    dedup.release_caches(out)
+    assert set(dict(spark.sparkContext._jsc.getPersistentRDDs())) <= baseline
