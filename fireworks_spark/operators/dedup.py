@@ -355,6 +355,7 @@ def jaccard_join(
     text_col: str = "text",
     n: int = 3,
     df_cap: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus similarity JOIN: pairs (lid from ``left``, rid from
     ``right``) with word-n-gram Jaccard >= threshold (exact values) — the
@@ -365,17 +366,23 @@ def jaccard_join(
     Same three-stage shape as the self-join: (1) candidates from a
     df-capped shingle equi-join LEFT x RIGHT (``df_cap`` counts a
     shingle's frequency across BOTH corpora, bounding any join group at
-    df_cap^2 rows — boilerplate skew-proof); (2) two exact pruning bounds
-    (size ratio; shared-cold-count + hot allowance) kill nearly every
-    candidate before data moves; (3) per-pair array_intersect verify over
-    ALL shingles, so reported values are exact. Both shingle-set frames
-    persist (each feeds candidates, stats, and verify) and expose release
-    handles via ``release_caches``.
+    df_cap^2 rows — boilerplate skew-proof), or an external candidate set
+    (e.g. banded MinHash from :func:`minhash_join`) via ``candidates``;
+    (2) two exact pruning bounds (size ratio; shared-cold-count + hot
+    allowance) kill nearly every candidate before data moves; (3)
+    per-pair array_intersect verify over ALL shingles, so reported values
+    are exact. Both shingle-set frames persist (each feeds candidates,
+    stats, and verify) and expose release handles via ``release_caches``.
     """
     sl = shingle_sets(left, id_col, text_col, n).persist()
     sr = shingle_sets(right, id_col, text_col, n).persist()
     shl = sl.select(F.col(id_col).alias("lid"), F.explode("shingles").alias("shingle"))
     shr = sr.select(F.col(id_col).alias("rid"), F.explode("shingles").alias("shingle"))
+    if candidates is not None:
+        cand = candidates.select("lid", "rid").distinct().withColumn(
+            "_common", F.lit(None).cast("long")
+        )
+        df_cap = None  # external candidates: no co-occurrence counts
     if df_cap is not None:
         hot = (
             shl.select("shingle")
@@ -397,9 +404,10 @@ def jaccard_join(
         coldl, coldr = shl, shr
         hotl = shl.select("lid").limit(0).withColumn("_hl", F.lit(0))
         hotr = shr.select("rid").limit(0).withColumn("_hr", F.lit(0))
-    cand = coldl.join(coldr, "shingle").groupBy("lid", "rid").agg(
-        F.count(F.lit(1)).alias("_common")
-    )
+    if candidates is None:
+        cand = coldl.join(coldr, "shingle").groupBy("lid", "rid").agg(
+            F.count(F.lit(1)).alias("_common")
+        )
     statl = (
         sl.select(F.col(id_col).alias("lid"), F.size("shingles").alias("_szl"))
         .join(hotl, "lid", "left")
@@ -415,9 +423,13 @@ def jaccard_join(
         cand.join(statl, "lid")
         .join(statr, "rid")
         .filter(F.least("_szl", "_szr") >= thr * F.greatest("_szl", "_szr"))
+        # null _common (external candidate sets) passes through
         .filter(
-            (F.col("_common") + F.least("_hl", "_hr"))
-            >= thr * F.greatest("_szl", "_szr")
+            F.coalesce(
+                (F.col("_common") + F.least("_hl", "_hr"))
+                >= thr * F.greatest("_szl", "_szr"),
+                F.lit(True),
+            )
         )
         .select("lid", "rid")
     )
@@ -521,6 +533,45 @@ def minhash_dedup_pairs(
     the verify join is cheap)."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, rows_per_band, n)
     return jaccard_pairs(df, threshold, id_col, text_col, n, candidates=cand)
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH similarity join: banded-signature
+    candidates between ``left`` and ``right`` verified by exact Jaccard >=
+    threshold — the 100 TB face of :func:`jaccard_join` (incremental dedup
+    of a new batch against an existing corpus, eval-vs-train fuzzy
+    overlap at web scale).
+
+    Signatures are the row-wise shuffle-free projection on each side; the
+    candidate join is an equi-join on (band_idx, band_key), so the shuffle
+    groups only same-bucket docs from the two corpora — never all-pairs,
+    and a band bucket's size bounds its join group. At the default 16
+    bands x 2 rows, recall at J >= 0.8 is ~certain (1-(1-J^2)^16 > 0.9999),
+    which is what lets the exact-SQL cross-Jaccard serve as a value oracle.
+    """
+    sigl = minhash_signatures_rowwise(left, id_col, text_col, num_hashes, n)
+    sigr = minhash_signatures_rowwise(right, id_col, text_col, num_hashes, n)
+    bl = lsh_bands(sigl, id_col, num_hashes, rows_per_band).select(
+        F.col(id_col).alias("lid"), "band_idx", "band_key"
+    )
+    br = lsh_bands(sigr, id_col, num_hashes, rows_per_band).select(
+        F.col(id_col).alias("rid"), "band_idx", "band_key"
+    )
+    cand = (
+        bl.join(br, ["band_idx", "band_key"]).select("lid", "rid").distinct()
+    )
+    return jaccard_join(
+        left, right, threshold, id_col, text_col, n, candidates=cand
+    )
 
 
 # --------------------------------------------------------------------------

@@ -99,6 +99,19 @@ def q134_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lid", "rid")
 
 
+def q135_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH join at threshold 0.8 (even doc_ids vs
+    odd): banded-signature candidates between the two corpora, exact
+    Jaccard verify. 16x2 banding makes recall at J>=0.8 ~certain, so the
+    exact-SQL cross-Jaccard is the value oracle (same argument as q32)."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.minhash_join(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.8,
+    ).orderBy("lid", "rid")
+
+
 def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact-Jaccard verify at threshold 0.8 (the
     regime where 16x2 banding has ~certain recall; see module docstring)."""
@@ -598,6 +611,7 @@ PIPELINE_QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_dedup_ngram_jaccard": q31_dedup_ngram_jaccard,
     "q134_jaccard_join": q134_jaccard_join,
+    "q135_minhash_join": q135_minhash_join,
     "q32_dedup_minhash_lsh": q32_dedup_minhash_lsh,
     "q33_dedup_simhash": q33_dedup_simhash,
     "q34_dedup_embedding_cosine": q34_dedup_embedding_cosine,
@@ -659,6 +673,8 @@ jac AS (
 )
 SELECT lid, rid, jac FROM jac WHERE jac >= 0.5 ORDER BY lid, rid
 """
+
+_JACCARD_JOIN_SQL_08 = _JACCARD_JOIN_SQL.replace("jac >= 0.5", "jac >= 0.8")
 
 _JACCARD_SQL_08 = (
     f"WITH {_SHINGLES_CTE} "
@@ -879,6 +895,7 @@ PIPELINE_ORACLE = {
     ),
     "q31_dedup_ngram_jaccard": _JACCARD_SQL,
     "q134_jaccard_join": _JACCARD_JOIN_SQL,
+    "q135_minhash_join": _JACCARD_JOIN_SQL_08,
     # LSH candidates verified by exact jaccard: at threshold 0.8 the banded
     # collision probability is >= 1 - 3e-8 per pair, so candidates == exact
     # pairs and the oracle is the exact-Jaccard SQL at the same threshold.

@@ -499,3 +499,27 @@ def test_jaccard_join_caches_released(spark):
     out.collect()
     dedup.release_caches(out)
     assert set(dict(spark.sparkContext._jsc.getPersistentRDDs())) <= baseline
+
+
+def test_minhash_join_finds_planted_cross_dups(spark):
+    left = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # == 0
+            (3, "the quick brown fox jumps over the lazy cat"),   # jac .75
+            (5, "unrelated words entirely here nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.lid, r.rid): r.jac for r in dedup.minhash_join(
+        left, right, threshold=0.7
+    ).collect()}
+    assert got[(0, 1)] == 1.0          # identical: every band collides
+    assert got.get((0, 3)) == 0.75     # near-dup at 0.75 (16x2 bands: ~certain)
+    assert all(rid in (1, 3) for (_, rid) in got)
