@@ -212,6 +212,32 @@ class Pipe:
 
         return Pipe(textstats.with_quality_score(self.df, text_col=text_col))
 
+    def similar_join(
+        self,
+        other: "Pipe | DataFrame",
+        threshold: float = 0.8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        exact: bool = False,
+    ) -> "Pipe":
+        """Cross-corpus near-dup join at a Jaccard threshold: banded
+        MinHash candidates + exact verify (dedup.minhash_join) by
+        default; ``exact=True`` switches to the df-capped shingle
+        candidate join (dedup.jaccard_join) for verification-grade runs."""
+        from fireworks_spark.operators import dedup as dd
+
+        rhs = other.df if isinstance(other, Pipe) else other
+        fn = dd.jaccard_join if exact else dd.minhash_join
+        return Pipe(
+            fn(self.df, rhs, threshold, id_col=id_col, text_col=text_col)
+        )
+
+    def histogram(
+        self, col: str, nbins: int = 10, by: str | None = None
+    ) -> "Pipe":
+        """Equi-width histogram (toolbox.histogram)."""
+        return Pipe(toolbox.histogram(self.df, col, nbins=nbins, by=by))
+
     def decontaminate(
         self,
         benchmark: "Pipe | DataFrame",

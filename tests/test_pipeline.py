@@ -132,3 +132,22 @@ def test_pipe_decontaminate_and_sampling(spark):
     tb = Pipe(docs).token_budget("n_chars", budget=40, group_col="source").df
     assert all(r.cum_tokens <= 40 for r in tb.collect())
     assert tb.count() >= 2
+
+
+def test_pipe_similar_join_and_histogram(spark):
+    a = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (3, "nothing in common with anything else here")],
+        "doc_id long, text string",
+    )
+    lsh = {(r.lid, r.rid) for r in Pipe(a).similar_join(b, 0.8).collect()}
+    ex = {(r.lid, r.rid) for r in Pipe(a).similar_join(b, 0.8, exact=True).collect()}
+    assert lsh == ex == {(0, 1)}
+
+    d = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
+    h = {r.bin: r.cnt for r in Pipe(d).histogram("x", nbins=5).collect()}
+    assert h == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
