@@ -450,6 +450,97 @@ def decontaminate_stream(
     return staged.filter(~F.coalesce(tainted, F.lit(False))).drop("_sh")
 
 
+def dedup_stream_against(
+    stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> None:
+    """Incremental near-dedup of a document stream AGAINST A STATIC CORPUS:
+    every micro-batch drops its docs whose exact word-n-gram Jaccard with
+    any corpus doc reaches ``threshold``; survivors append to ``out_path``
+    as parquet — the streaming face of :func:`dedup.minhash_join` (the
+    "dedup the new crawl against what we already have" loop).
+
+    The corpus side is prepared ONCE at plan-build time and persisted: its
+    banded MinHash table is the signature store, its hashed-shingle sets
+    the verify store. Per batch the work is batch-sized: row-wise batch
+    signatures (no shuffle), an equi-join of batch bands against the
+    persisted corpus bands (groups = band buckets, never all-pairs), an
+    array_intersect verify on collisions only, one anti-join. Engine
+    state is zero — exactness against the corpus needs no watermark; for
+    WITHIN-stream dedup compose with near_dedup_stream upstream.
+    """
+    from fireworks_spark.operators import dedup as dd
+
+    corpus_sets = dd.shingle_sets(corpus, id_col, text_col, n).persist()
+    corpus_bands = (
+        dd.lsh_bands(
+            dd.minhash_signatures_rowwise(
+                corpus, id_col, text_col, num_hashes, n
+            ),
+            id_col,
+            num_hashes,
+            rows_per_band,
+        )
+        .select(F.col(id_col).alias("rid"), "band_idx", "band_key")
+        .persist()
+    )
+    csets = corpus_sets.select(
+        F.col(id_col).alias("rid"), F.col("shingles").alias("_sb")
+    )
+    thr = F.lit(threshold - 0.0005)  # jac rounds to 3 decimals in the join
+
+    def fb(batch: DataFrame, batch_id: int) -> None:
+        bsets = dd.shingle_sets(batch, id_col, text_col, n)
+        bbands = dd.lsh_bands(
+            dd.minhash_signatures_rowwise(
+                batch, id_col, text_col, num_hashes, n
+            ),
+            id_col,
+            num_hashes,
+            rows_per_band,
+        ).select(F.col(id_col).alias("lid"), "band_idx", "band_key")
+        cand = (
+            bbands.join(corpus_bands, ["band_idx", "band_key"])
+            .select("lid", "rid")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        jac = inter / (F.size("_sa") + F.size("_sb") - inter)
+        tainted = (
+            cand.join(
+                bsets.select(
+                    F.col(id_col).alias("lid"),
+                    F.col("shingles").alias("_sa"),
+                ),
+                "lid",
+            )
+            .join(csets, "rid")
+            .filter(F.round(jac, 3) >= thr)
+            .select(F.col("lid").alias(id_col))
+            .distinct()
+        )
+        batch.join(tainted, id_col, "left_anti").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    corpus_sets.unpersist()
+    corpus_bands.unpersist()
+
+
 def maintain_rollup_table(
     stream: DataFrame,
     table_path: str,

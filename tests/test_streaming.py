@@ -413,3 +413,46 @@ def test_decontaminate_stream_bloom_mode_no_false_negatives(spark, tmp_path):
     streaming.run_to_memory(kept, "decon_bloom_t", output_mode="append")
     got = sorted(r.doc_id for r in spark.table("decon_bloom_t").collect())
     assert got == [10]
+
+
+def test_dedup_stream_against_static_corpus(spark, tmp_path):
+    """Stream docs dedup against a static corpus == batch minhash_join
+    anti-join, through the real micro-batch engine (2 input files)."""
+    import datetime as dt
+    from fireworks_spark.operators import dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "some corpus document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    batch1 = [
+        (1, "the quick brown fox jumps over the lazy dog", t0),  # dup of 100
+        (2, "a totally novel document appears right here", t0),  # clean
+    ]
+    batch2 = [
+        (3, "the quick brown fox jumps over the lazy cat", t0),  # jac .75 < .8 -> clean
+        (4, "some corpus document with its own words", t0),      # dup of 101
+    ]
+    src = str(tmp_path / "against_src")
+    spark.createDataFrame(
+        batch1, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        batch2, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "against_out")
+    streaming.dedup_stream_against(stream, corpus, out, threshold=0.8)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [2, 3]
+    # corpus-side persisted frames were released after the run
+    # (baseline-relative: other module tests may hold their own caches)
