@@ -465,3 +465,146 @@ def repetition_stats(
             4,
         ).alias("top_bigram_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# hashed n-gram linear scorer (fasttext-style quality classifier)
+# --------------------------------------------------------------------------
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, idx, cnt, n_tokens): hashing-trick bag-of-words features —
+    every token maps to ``pmod(portable_hash(token), dim)``. The hash is
+    the md5-based 60-bit portable hash (dedup.portable_token_hash60), so
+    SQL engines derive identical indices from the raw text. One explode +
+    one (id, idx) hash aggregation; feature cardinality is bounded by
+    ``dim`` per doc regardless of vocabulary."""
+    from fireworks_spark.operators.dedup import portable_token_hash60
+
+    d = spread(df).select(
+        id_col, tokens(text_col).alias("_w")
+    ).filter(F.size("_w") > 0)
+    ex = d.select(
+        id_col,
+        F.size("_w").alias("n_tokens"),
+        F.explode("_w").alias("_t"),
+    ).withColumn(
+        "idx", F.pmod(portable_token_hash60(F.col("_t")), F.lit(dim))
+    )
+    return ex.groupBy(id_col, "n_tokens", "idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hashed_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pool: str = "mean",
+) -> DataFrame:
+    """Mean-pooled hashed-bag-of-words linear score per document — the
+    fasttext-style quality-classifier forward pass, evaluated entirely in
+    whole-stage codegen: per token, one portable hash + one lookup into
+    the weight vector shipped as a single array Literal; per doc, an
+    aggregate-mean. No explode, no shuffle, no Python — the filter runs
+    at scan speed, which is what a keep/drop gate over 100 TB needs.
+
+    score = bias + mean_t weights[hash(t) mod dim]. Returns
+    (id, score). Train ``weights`` with :func:`fit_hashed_classifier` or
+    bring calibrated ones."""
+    from fireworks_spark.operators.dedup import portable_token_hash60
+
+    dim = len(weights)
+    wlit = F.lit([float(w) for w in weights])
+    toks = tokens(text_col)
+    tot = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                wlit, F.pmod(portable_token_hash60(t), F.lit(dim)).cast("int") + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if pool == "mean":
+        score = F.when(
+            F.size(toks) > 0, tot / F.size(toks) + F.lit(float(bias))
+        ).otherwise(F.lit(float(bias)))
+    elif pool == "sum":
+        # With dyadic weights (multiples of 2^-k) a sum-pooled score is an
+        # EXACT double — no mean division, so cross-engine comparisons are
+        # bit-identical (what q136's oracle relies on).
+        score = tot + F.lit(float(bias))
+    else:
+        raise ValueError(f"pool must be 'mean' or 'sum', got {pool!r}")
+    return spread(df).select(id_col, score.alias("score"))
+
+
+def fit_hashed_classifier(
+    df: DataFrame,
+    label_col: str,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epochs: int = 20,
+    lr: float = 1.0,
+) -> tuple[list[float], float]:
+    """Train the hashed-bag logistic classifier (labels 0/1) by full-batch
+    distributed gradient descent. Per epoch: per-doc probabilities from
+    the current weights (broadcast join on idx — the parameter table is
+    ``dim`` rows), then the weight gradient aggregates per idx with
+    map-side partials, so the shuffle moves O(dim) rows however large the
+    corpus; the driver holds only the dim-vector. Feature frame persists
+    across epochs (released before returning).
+
+    Returns (weights, bias) for :func:`hashed_score`."""
+    import math
+
+    feats = hashed_features(df, dim, id_col, text_col).persist()
+    labels = df.select(id_col, F.col(label_col).cast("double").alias("_y"))
+    n_docs = labels.count()
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(epochs):
+        wdf = df.sparkSession.createDataFrame(
+            [(i, w[i]) for i in range(dim)], "idx long, _w double"
+        )
+        scored = (
+            feats.join(F.broadcast(wdf), "idx")
+            .groupBy(id_col, "n_tokens")
+            .agg(F.sum(F.col("cnt") * F.col("_w")).alias("_dot"))
+            .select(
+                id_col,
+                (F.col("_dot") / F.col("n_tokens") + F.lit(b)).alias("_z"),
+            )
+            .join(labels, id_col)
+            .select(
+                id_col,
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))) - F.col("_y"))
+                .alias("_err"),
+            )
+        )
+        grad = (
+            feats.join(scored, id_col)
+            .groupBy("idx")
+            .agg(
+                F.sum(
+                    F.col("_err") * F.col("cnt") / F.col("n_tokens")
+                ).alias("_g")
+            )
+            .collect()
+        )
+        gb = scored.agg(F.sum("_err")).collect()[0][0] or 0.0
+        for r in grad:
+            w[r["idx"]] -= lr * r["_g"] / n_docs
+        b -= lr * gb / n_docs
+    feats.unpersist()
+    return w, b

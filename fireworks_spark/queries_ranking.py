@@ -161,6 +161,29 @@ def q129_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dyadic weights (multiples of 1/16): sum-pooled scores are exact doubles
+# with <= 4 decimal digits, so ROUND(.,4) is the identity in every engine —
+# no half-boundary rounding hazard in the cross-engine check.
+_Q136_W = [((i * 37) % 21 - 10) / 16.0 for i in range(64)]
+
+
+def q136_hashed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style hashed-bag linear score per document with a fixed
+    64-dim dyadic weight vector: per token one portable md5 hash + one
+    lookup in a weight-array Literal, sum-pooled — all whole-stage
+    codegen, and every score an exact double (see _Q136_W note). The
+    oracle recomputes the identical score from the raw text with the
+    same ordered fold."""
+    from fireworks_spark.operators import ranking
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        ranking.hashed_score(d, _Q136_W, bias=0.125, pool="sum")
+        .select("doc_id", (F.round("score", 4) + F.lit(0.0)).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 def q130_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis–
     Spirakis): 20 docs per source, inclusion probability proportional to
@@ -290,6 +313,7 @@ RANKING_QUERIES = {
     "q88_decontaminate": q88_decontaminate,
     "q129_bloom_decontaminate": q129_bloom_decontaminate,
     "q130_weighted_sample": q130_weighted_sample,
+    "q136_hashed_score": q136_hashed_score,
     "q131_token_budget_sample": q131_token_budget_sample,
     "q89_domain_mix": q89_domain_mix,
     "q90_token_entropy": q90_token_entropy,
@@ -557,6 +581,30 @@ RANKING_ORACLE = {
     # Portable md5 uniform: same 60-bit integer as Spark's
     # conv(substring(md5(key:seed),1,15),16,10); (h % 2^20 + 0.5)/2^20 is
     # exact in binary float, so ordering on it is bit-identical.
+
+    # Summation mirrors Spark's aggregate: a sequential left-fold over the
+    # token array (join+SUM reorders float adds and flips round(.,4) at
+    # exact .00005 boundaries).
+    "q136_hashed_score": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, array_length(ws) AS n,
+                 list_reduce(list_prepend(0.0, list_transform(ws,
+                     t -> ([-0.625::DOUBLE, 0.375::DOUBLE, 0.0625::DOUBLE, -0.25::DOUBLE, -0.5625::DOUBLE, 0.4375::DOUBLE, 0.125::DOUBLE, -0.1875::DOUBLE, -0.5::DOUBLE, 0.5::DOUBLE, 0.1875::DOUBLE, -0.125::DOUBLE, -0.4375::DOUBLE, 0.5625::DOUBLE, 0.25::DOUBLE, -0.0625::DOUBLE, -0.375::DOUBLE, 0.625::DOUBLE, 0.3125::DOUBLE, 0.0::DOUBLE, -0.3125::DOUBLE, -0.625::DOUBLE, 0.375::DOUBLE, 0.0625::DOUBLE, -0.25::DOUBLE, -0.5625::DOUBLE, 0.4375::DOUBLE, 0.125::DOUBLE, -0.1875::DOUBLE, -0.5::DOUBLE, 0.5::DOUBLE, 0.1875::DOUBLE, -0.125::DOUBLE, -0.4375::DOUBLE, 0.5625::DOUBLE, 0.25::DOUBLE, -0.0625::DOUBLE, -0.375::DOUBLE, 0.625::DOUBLE, 0.3125::DOUBLE, 0.0::DOUBLE, -0.3125::DOUBLE, -0.625::DOUBLE, 0.375::DOUBLE, 0.0625::DOUBLE, -0.25::DOUBLE, -0.5625::DOUBLE, 0.4375::DOUBLE, 0.125::DOUBLE, -0.1875::DOUBLE, -0.5::DOUBLE, 0.5::DOUBLE, 0.1875::DOUBLE, -0.125::DOUBLE, -0.4375::DOUBLE, 0.5625::DOUBLE, 0.25::DOUBLE, -0.0625::DOUBLE, -0.375::DOUBLE, 0.625::DOUBLE, 0.3125::DOUBLE, 0.0::DOUBLE, -0.3125::DOUBLE, -0.625::DOUBLE])[
+                       CAST(('0x' || substring(md5(t), 1, 15))::BIGINT % 64
+                            AS INT) + 1])),
+                   (acc, x) -> acc + x) AS tot
+          FROM toks
+        )
+        SELECT doc_id,
+               ROUND(tot + 0.125, 4) + 0.0 AS score
+        FROM s ORDER BY doc_id
+    """,
+
     "q130_weighted_sample": """
         WITH s AS (
           SELECT doc_id, source,

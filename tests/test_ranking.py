@@ -191,3 +191,46 @@ def test_rrf_fuse_closed_form(spark):
     assert set(got) == {10, 20, 30, 40, 50}
     # 10 (rank 1 in a, 1/61) outranks 40 (rank 2 in b, 1/62)
     assert got[10][1] < got[40][1]
+
+
+def test_hashed_score_closed_form(spark):
+    import hashlib
+
+    from fireworks_spark.operators import ranking
+
+    dim = 16
+    weights = [round(0.1 * i - 0.5, 2) for i in range(dim)]
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, ""), (2, "gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in ranking.hashed_score(
+        docs, weights, bias=0.25
+    ).collect()}
+    exp0 = (weights[h("alpha")] + 2 * weights[h("beta")]) / 3 + 0.25
+    assert abs(got[0] - exp0) < 1e-9
+    assert got[1] == 0.25  # empty doc: bias only
+    assert abs(got[2] - (weights[h("gamma")] + 0.25)) < 1e-9
+
+
+def test_fit_hashed_classifier_separates_planted_labels(spark):
+    from fireworks_spark.operators import ranking
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "excellent prose with varied thoughtful words", 1))
+        rows.append((100 + i, "buy cheap pills now click here spam spam", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b = ranking.fit_hashed_classifier(
+        docs, "y", dim=32, epochs=15, lr=2.0
+    )
+    scored = {r.doc_id: r.score for r in ranking.hashed_score(
+        docs, w, bias=b
+    ).collect()}
+    good = [scored[i] for i in range(40)]
+    bad = [scored[100 + i] for i in range(40)]
+    assert min(good) > max(bad)  # perfectly separable corpus separates
