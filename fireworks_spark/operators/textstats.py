@@ -230,3 +230,46 @@ def ngram_novelty(
             ).alias("novel_frac"),
         )
     )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for dedup/grouping — the crawl-pipeline step that
+    makes 'HTTP://WWW.Example.com:80/a?utm_source=x&id=1#top' and
+    'http://example.com/a?id=1' the same key. Steps, in order:
+
+    1. drop the #fragment;
+    2. drop tracking params (utm_*, fbclid, gclid) wherever they appear;
+    3. tidy separators the removal leaves ('?&' -> '?', trailing ? / &);
+    4. lowercase scheme://host and strip a leading www.;
+    5. strip default ports (:80 / :443);
+    6. strip a bare trailing slash on a query-less path.
+
+    Pure regexp/string expression — runs in whole-stage codegen, and every
+    pattern stays in the dialect-portable subset (no lookaround), so ANSI
+    engines reproduce the key byte-for-byte (q137's oracle does).
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")
+    # keep the captured separator, then collapse the doubles it leaves
+    u = F.regexp_replace(
+        u, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", r"$1"
+    )
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    head = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0))
+    tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    head = F.regexp_replace(head, r"^([a-z0-9+.-]+://)www\.", r"$1")
+    head = F.regexp_replace(head, r":80$|:443$", "")
+    u = F.concat(head, tail)
+    return F.regexp_replace(u, r"^([^?]*[^/?])/$", r"$1")
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per canonical URL (minimum id wins) — exact dedup on
+    the canonicalized key: one hash shuffle, partial-aggregated."""
+    keyed = df.withColumn("_curl", canonical_url(url_col))
+    keep = keyed.groupBy("_curl").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, [id_col, "_curl"], "left_semi").drop("_curl")

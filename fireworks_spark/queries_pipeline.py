@@ -544,6 +544,31 @@ def q45_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q137_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: a synthetic messy URL per doc
+    (uppercase scheme/host, www., default port, utm_/fbclid params mid-
+    and end-query, fragments) reduced to its canonical key. Every regexp
+    stays in the dialect-portable subset, so the oracle rebuilds the same
+    URL and the same chain byte-for-byte (textstats.canonical_url)."""
+    d = spread(table(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.lit("HTTP://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:80/p"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=x&id="),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&fbclid=abc")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        textstats.canonical_url(url).alias("curl"),
+    ).orderBy("doc_id")
+
+
 def q46_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     sw = ["the", "and", "is", "of", "to", "a", "in"]
@@ -621,6 +646,7 @@ PIPELINE_QUERIES = {
     "q48_vector_normalize": q48_vector_normalize,
     "q49_centroids": q49_centroids,
     "q45_url_extract": q45_url_extract,
+    "q137_url_canonicalize": q137_url_canonicalize,
     "q46_stopword_filter": q46_stopword_filter,
     "q47_strip_markup": q47_strip_markup,
     "q98_line_dedup": q98_line_dedup,
@@ -983,6 +1009,36 @@ PIPELINE_ORACLE = {
         "'\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS masked "
         "FROM s ORDER BY doc_id"
     ),
+    "q137_url_canonicalize": """
+        WITH raw AS (
+          SELECT doc_id,
+                 'HTTP://WWW.' || source || '.Example.COM:80/p' ||
+                 CAST(doc_id % 7 AS VARCHAR) || '?utm_source=x&id=' ||
+                 CAST(doc_id AS VARCHAR) ||
+                 CASE WHEN doc_id % 3 = 0 THEN '&fbclid=abc' ELSE '' END ||
+                 CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS u
+          FROM documents
+        ),
+        s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS a FROM raw),
+        s2 AS (SELECT doc_id, regexp_replace(a,
+                 '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g') AS a
+               FROM s1),
+        s3 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(a,
+                   '&&+', '&', 'g'), '\\?&', '?'), '[?&]+$', '') AS a
+               FROM s2),
+        s4 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                     lower(regexp_extract(a,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')),
+                     '^([a-z0-9+.-]+://)www\\.', '\\1'), ':80$|:443$', '')
+                 || regexp_replace(a,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS a
+               FROM s3)
+        SELECT doc_id,
+               regexp_replace(a, '^([^?]*[^/?])/$', '\\1') AS curl
+        FROM s4 ORDER BY doc_id
+    """,
     "q45_url_extract": (
         f"WITH s AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents) "
         "SELECT doc_id, array_to_string("

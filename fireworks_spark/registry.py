@@ -114,6 +114,7 @@ _DRIVER_FRONT = [
     "q134_jaccard_join",
     "q135_minhash_join",
     "q136_hashed_score",
+    "q137_url_canonicalize",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational

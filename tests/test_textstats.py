@@ -135,3 +135,44 @@ def test_ngram_novelty_closed_form(spark):
     }
     # "a b c" shared (df=2); the others unique
     assert out == {0: (2, 0.5), 1: (2, 0.5)}
+
+
+def test_canonical_url_cases(spark):
+    cases = {
+        "HTTP://WWW.Example.com:80/a?utm_source=x&id=1#top":
+            "http://example.com/a?id=1",
+        "https://example.com:443/a/": "https://example.com/a",
+        "https://example.com/a?id=1&utm_medium=m&b=3":
+            "https://example.com/a?id=1&b=3",
+        "https://example.com/a?utm_source=1&utm_term=2":
+            "https://example.com/a",
+        "http://Example.com/Path/Is/CaseSensitive":
+            "http://example.com/Path/Is/CaseSensitive",
+        "https://example.com/": "https://example.com",
+        "https://example.com/a?fbclid=xyz&q=spark":
+            "https://example.com/a?q=spark",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {
+        r.u: r.c
+        for r in df.select(
+            "u", textstats.canonical_url("u").alias("c")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a?utm_source=x"),
+            (2, "HTTPS://EXAMPLE.COM/a"),          # same canonical as 1
+            (3, "https://example.com/b"),
+            (4, "https://www.example.com/b/"),     # same canonical as 3
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r.doc_id for r in textstats.url_dedup(df, "url").collect()
+    )
+    assert kept == [1, 3]
