@@ -84,14 +84,10 @@ _DRIVER_FRONT = [
     "q89_domain_mix",
     "q90_token_entropy",
     "q97_bigram_perplexity",
-    # --- rows-only / newly oracle-backed approx ops ---
+    # --- newly oracle-backed approx ops (value-checked as of r5) ---
     "q33_dedup_simhash",
     "q36_ann_ivf_topk",
     "q102_ann_lsh_topk",
-    "q103_semdedup",
-    "q106_pca_project",
-    "q107_bpe_merges",
-    "q108_bpe_encode",
     # --- new this round (never driver-checked yet) ---
     "q116_stata_roundtrip",
     "q117_html_roundtrip",
@@ -115,6 +111,11 @@ _DRIVER_FRONT = [
     "q135_minhash_join",
     "q136_hashed_score",
     "q137_url_canonicalize",
+    # --- rows-only by design (approx/iterative; r4-checked) ---
+    "q103_semdedup",
+    "q106_pca_project",
+    "q107_bpe_merges",
+    "q108_bpe_encode",
     # --- known-green sentinels, one per family (regression canaries) ---
     "q01_scan_projection",        # relational Q1-Q28
     "q16_intersect",         # multi-result relational
