@@ -223,6 +223,36 @@ def q131_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pre-training mix: exact dedup (md5 canonical keep) ->
+    Bloom-prefiltered benchmark decontamination (doc_id % 89 plays the
+    eval set) -> quality gate (>=5 tokens, avg token length <= 20) ->
+    deterministic weighted sampling (10 docs per source, weight n_chars).
+    Every stage is an operator under test elsewhere; this query checks
+    the COMPOSITION against one SQL oracle, which is what a user's actual
+    pipeline looks like."""
+    from fireworks_spark.operators import dedup, textstats, toolbox
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    keep = dedup.exact_dedup(corpus).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = corpus.join(keep, "doc_id", "left_semi")
+    clean = dedup.bloom_decontaminate(deduped, bench)
+    ntok = textstats.token_count("text")
+    qual = clean.filter(
+        (ntok >= 5) & (F.length("text").cast("double") / ntok <= 20.0)
+    )
+    mix = toolbox.weighted_sample(
+        qual, "n_chars", k=10, key_col="doc_id", group_col="source", seed=7
+    )
+    return mix.select("doc_id", "source", "n_chars").orderBy(
+        "source", "doc_id"
+    )
+
+
 def q89_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mix resampling: src0 kept fully, src1 half,
     src2 quarter, everything else 10%; counts per source afterwards."""
@@ -314,6 +344,7 @@ RANKING_QUERIES = {
     "q129_bloom_decontaminate": q129_bloom_decontaminate,
     "q130_weighted_sample": q130_weighted_sample,
     "q136_hashed_score": q136_hashed_score,
+    "q138_pretraining_mix": q138_pretraining_mix,
     "q131_token_budget_sample": q131_token_budget_sample,
     "q89_domain_mix": q89_domain_mix,
     "q90_token_entropy": q90_token_entropy,
@@ -605,6 +636,64 @@ RANKING_ORACLE = {
         FROM s ORDER BY doc_id
     """,
 
+    "q138_pretraining_mix": """
+        WITH corpus AS (
+          SELECT * FROM documents WHERE doc_id % 89 <> 0
+        ),
+        norm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+          FROM corpus
+        ),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(nt)),
+        dd AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+        toksall AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, array_length(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     AS shingle
+          FROM toksall WHERE array_length(w) >= 3
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0),
+        tainted AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 89 <> 0 AND shingle IN (SELECT shingle FROM bench)
+        ),
+        clean AS (
+          SELECT dd.* FROM dd
+          WHERE dd.doc_id NOT IN (SELECT doc_id FROM tainted)
+        ),
+        qual AS (
+          SELECT c.*,
+                 array_length(string_split(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g'), ' ')) AS ntok
+          FROM clean c
+        ),
+        gated AS (
+          SELECT * FROM qual
+          WHERE ntok >= 5 AND length(text) * 1.0 / ntok <= 20.0
+        ),
+        es AS (
+          SELECT doc_id, source, n_chars,
+                 -ln((('0x' || substring(md5(doc_id || ':' || 7), 1, 15))
+                        ::BIGINT % 1048576 + 0.5) / 1048576.0)
+                   / n_chars AS e
+          FROM gated WHERE n_chars > 0
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY e, doc_id) AS rk
+          FROM es
+        )
+        SELECT doc_id, source, n_chars
+        FROM r WHERE rk <= 10 ORDER BY source, doc_id
+    """,
     "q130_weighted_sample": """
         WITH s AS (
           SELECT doc_id, source,
