@@ -467,6 +467,48 @@ def token_budget_sample(
     return res
 
 
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Alpha-temperature domain rebalancing: sample each stratum at a rate
+    that makes the KEPT share of stratum s proportional to count(s)^alpha
+    — alpha=1 preserves the natural mix, alpha=0 equalizes, and the 0.2-0.7
+    range is the standard low-resource upweighting of multilingual
+    pre-training recipes.
+
+    Rates derive in one O(strata) aggregation (rate_s = share_s * N_kept /
+    count_s, scaled so the largest rate is 1.0 — no stratum oversamples);
+    selection is row kept iff portable_uniform(key) < rate — an md5-keyed
+    draw, so it is uniform for ANY id distribution (a plain key-mod rule
+    would keep everything when ids are small and sequential), reproducible
+    at any partitioning, map-side only, and exactly replayable in SQL.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per stratum
+    }
+    if not counts:
+        return df
+    powed = {s: float(n) ** alpha for s, n in counts.items()}
+    tot = sum(powed.values())
+    # unnormalized per-row rate; scale so max rate == 1.0
+    raw = {s: (powed[s] / tot) / counts[s] for s in counts}
+    top = max(raw.values())
+    rates = {s: raw[s] / top for s in counts}
+    kv: list = []
+    for s, r in sorted(rates.items()):
+        kv.extend([F.lit(s), F.lit(float(r))])
+    rate = F.element_at(F.create_map(*kv), F.col(stratum_col))
+    return df.filter(portable_uniform(key_col, seed=13) < rate)
+
+
 def standardize(
     df: DataFrame,
     cols: list[str],

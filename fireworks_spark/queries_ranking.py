@@ -271,6 +271,22 @@ def q89_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-temperature domain rebalancing at alpha=0.5 (the multilingual
+    upweighting standard): kept share per source proportional to
+    sqrt(count). The oracle re-derives the rates from the raw counts with
+    the same arithmetic and replays the deterministic keyed filter."""
+    from fireworks_spark.operators import toolbox
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        toolbox.temperature_mix(d, stratum_col="source", alpha=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("source")
+    )
+
+
 def q90_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram entropy (nats) — the low-entropy filter of a
     quality pipeline."""
@@ -345,6 +361,7 @@ RANKING_QUERIES = {
     "q130_weighted_sample": q130_weighted_sample,
     "q136_hashed_score": q136_hashed_score,
     "q138_pretraining_mix": q138_pretraining_mix,
+    "q139_temperature_mix": q139_temperature_mix,
     "q131_token_budget_sample": q131_token_budget_sample,
     "q89_domain_mix": q89_domain_mix,
     "q90_token_entropy": q90_token_entropy,
@@ -636,6 +653,21 @@ RANKING_ORACLE = {
         FROM s ORDER BY doc_id
     """,
 
+    "q139_temperature_mix": """
+        WITH c AS (
+          SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source
+        ),
+        p AS (SELECT source, n, pow(n, 0.5) AS pw FROM c),
+        t AS (SELECT SUM(pw) AS tot FROM p),
+        r AS (SELECT source, (pw / tot) / n AS raw FROM p, t),
+        m AS (SELECT MAX(raw) AS top FROM r),
+        rates AS (SELECT source, raw / top AS rate FROM r, m)
+        SELECT d.source, COUNT(*)::BIGINT AS kept
+        FROM documents d JOIN rates USING (source)
+        WHERE (('0x' || substring(md5(d.doc_id || ':' || 13), 1, 15))
+                 ::BIGINT % 1048576 + 0.5) / 1048576.0 < rate
+        GROUP BY d.source ORDER BY d.source
+    """,
     "q138_pretraining_mix": """
         WITH corpus AS (
           SELECT * FROM documents WHERE doc_id % 89 <> 0

@@ -112,6 +112,7 @@ _DRIVER_FRONT = [
     "q136_hashed_score",
     "q137_url_canonicalize",
     "q138_pretraining_mix",
+    "q139_temperature_mix",
     # --- rows-only by design (approx/iterative; r4-checked) ---
     "q103_semdedup",
     "q106_pca_project",

@@ -338,3 +338,30 @@ def test_histogram_grouped_bounds_are_per_group(spark):
     rows = {(r.g, r.bin): r for r in toolbox.histogram(d, "x", nbins=2, by="g").collect()}
     assert rows[("a", 0)].bin_lo == 0.0 and rows[("a", 1)].bin_hi == 10.0
     assert rows[("b", 0)].bin_lo == 100.0 and rows[("b", 1)].bin_hi == 200.0
+
+
+def test_temperature_mix_shares_track_alpha(spark):
+    # strata sized 400 / 100: natural share 4:1.
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def kept(alpha):
+        out = toolbox.temperature_mix(d, "source", alpha=alpha)
+        c = {}
+        for r in out.collect():
+            c[r.source] = c.get(r.source, 0) + 1
+        return c
+
+    # alpha=0: equalized — big sampled at rate 0.25 (binomial, sd ~8.7)
+    eq = kept(0.0)
+    assert eq["small"] == 100          # largest rate stratum keeps all
+    assert 60 <= eq["big"] <= 140
+    # alpha=1: natural mix preserved — nothing dropped
+    assert sum(kept(1.0).values()) == 500
+    # alpha=0.5: target 2:1 -> big at rate 0.5 (sd ~10)
+    mid = kept(0.5)
+    assert mid["small"] == 100 and 155 <= mid["big"] <= 245
+    # deterministic
+    assert kept(0.5) == kept(0.5)
