@@ -18,7 +18,9 @@ def replicate(df, id_col, k):
 docs = table(spark, sf, "documents").persist(); docs.count()
 bench = docs.filter(F.col("doc_id") % 89 == 0).persist(); bench.count()
 
-from fireworks_spark.operators import dedup, toolbox
+from fireworks_spark.operators import dedup, ranking, toolbox
+
+_W = [((i * 37) % 21 - 10) / 16.0 for i in range(64)]
 
 OPS = {
     "decontaminate_exact": lambda d: dedup.decontaminate(
@@ -29,6 +31,11 @@ OPS = {
         d, "n_chars", k=20, group_col="source"),
     "token_budget_sample": lambda d: toolbox.token_budget_sample(
         d, "n_chars", budget=20_000, group_col="source"),
+    "minhash_join": lambda d: dedup.minhash_join(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1), threshold=0.8),
+    "hashed_score": lambda d: ranking.hashed_score(d, _W, pool="sum"),
+    "temperature_mix": lambda d: toolbox.temperature_mix(d, "source", 0.5),
 }
 
 def run_once(fn, d):
