@@ -293,3 +293,48 @@ def register_tokens_udtf(spark, name: str = "tokens"):
 
     spark.udtf.register(name, Tokens)
     return Tokens
+
+
+def negative_samples(
+    df,
+    k: int = 4,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Deterministic uniform negative sampling for contrastive training:
+    for each anchor row, ``k`` pseudo-random OTHER rows, the standard
+    in-batch-negatives replacement when the batch is the whole corpus.
+
+    Ranks come from a window over ``id_col`` (dense contiguous 0..N-1 even
+    when ids have gaps); negative j of anchor r is rank
+    ``(r*2654435761 + (j+1)*40503) mod N``, nudged one forward when it
+    collides with the anchor itself — Knuth multiplicative-hash constants,
+    so negatives spread uniformly yet every engine can re-derive them
+    exactly (the oracle does). One rank window + a generate + one
+    equi-join on rank; no rand(), no shuffle beyond the join.
+
+    Returns (anchor id, neg_rank's id as neg_id, j).
+    """
+    from pyspark.sql import Window
+
+    n = df.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to sample negatives")
+    ranked = df.select(id_col).withColumn(
+        "_r", (F.row_number().over(Window.orderBy(id_col)) - 1).cast("long")
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
+    cand = ranked.select(F.col(id_col), F.col("_r"), j).withColumn(
+        "_neg",
+        F.pmod(
+            F.col("_r") * F.lit(2654435761) + (F.col("j") + 1) * F.lit(40503),
+            F.lit(n),
+        ),
+    ).withColumn(
+        "_neg",
+        F.when(F.col("_neg") == F.col("_r"), F.pmod(F.col("_neg") + 1, F.lit(n)))
+        .otherwise(F.col("_neg")),
+    )
+    other = ranked.select(
+        F.col("_r").alias("_neg"), F.col(id_col).alias("neg_id")
+    )
+    return cand.join(other, "_neg").select(id_col, "neg_id", "j")

@@ -122,7 +122,23 @@ def q94_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q140_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 4 pseudo-random
+    non-self partners per document via Knuth multiplicative-hash rank
+    arithmetic — uniform spread, zero rand(), and exactly re-derivable in
+    SQL (mlfeed.negative_samples)."""
+    from fireworks_spark import mlfeed
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        mlfeed.negative_samples(d, k=4)
+        .select("doc_id", "neg_id", F.col("j").cast("long").alias("j"))
+        .orderBy("doc_id", "j")
+    )
+
+
 MLFEED_QUERIES = {
+    "q140_negative_samples": q140_negative_samples,
     "q63_linear_score": q63_linear_score,
     "q64_batch_transform": q64_batch_transform,
     "q65_grouped_normalize": q65_grouped_normalize,
@@ -135,6 +151,27 @@ MLFEED_QUERIES = {
 _W_SQL = "[" + ", ".join(repr(w) for w in _WEIGHTS) + "]"
 
 MLFEED_ORACLE = {
+    "q140_negative_samples": """
+        WITH ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS r,
+                 COUNT(*) OVER () AS n
+          FROM documents
+        ),
+        cand AS (
+          SELECT doc_id, r, n, j,
+                 (r * 2654435761 + (j + 1) * 40503) % n AS neg0
+          FROM ranked, (SELECT unnest(range(4)) AS j)
+        ),
+        fixed AS (
+          SELECT doc_id, j, n,
+                 CASE WHEN neg0 = r THEN (neg0 + 1) % n ELSE neg0 END AS neg
+          FROM cand
+        )
+        SELECT f.doc_id, rk.doc_id AS neg_id, f.j::BIGINT AS j
+        FROM fixed f JOIN ranked rk ON rk.r = f.neg
+        ORDER BY f.doc_id, f.j
+    """,
     "q63_linear_score": (
         f"WITH w AS (SELECT {_W_SQL} AS w) "
         "SELECT vec_id, ROUND(list_reduce(list_transform("

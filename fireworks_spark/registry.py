@@ -113,6 +113,7 @@ _DRIVER_FRONT = [
     "q137_url_canonicalize",
     "q138_pretraining_mix",
     "q139_temperature_mix",
+    "q140_negative_samples",
     # --- rows-only by design (approx/iterative; r4-checked) ---
     "q103_semdedup",
     "q106_pca_project",

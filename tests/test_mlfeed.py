@@ -208,3 +208,27 @@ def test_tokens_udtf_matches_jvm_explode(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_negative_samples_deterministic_non_self(spark):
+    from fireworks_spark import mlfeed
+
+    df = spark.createDataFrame([(i * 3,) for i in range(10)], "doc_id long")
+    out = mlfeed.negative_samples(df, k=3).collect()
+    assert len(out) == 30
+    assert all(r.doc_id != r.neg_id for r in out)  # never the anchor
+    # negatives are real members of the (gappy-id) corpus
+    ids = {i * 3 for i in range(10)}
+    assert all(r.neg_id in ids for r in out)
+    again = mlfeed.negative_samples(df, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_spread_not_degenerate(spark):
+    from fireworks_spark import mlfeed
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = mlfeed.negative_samples(df, k=4).collect()
+    # the 400 draws hit a broad slice of the corpus, not a few hot ids
+    distinct_negs = len({r.neg_id for r in out})
+    assert distinct_negs >= 60
