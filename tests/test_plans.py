@@ -144,3 +144,25 @@ def test_plans_md_covers_every_registry_query():
         f"stale={sorted(audited - set(QUERIES))} — rerun tools/plan_audit.py"
     )
     assert "CART!" not in body and "ERR" not in body
+
+
+def test_weighted_sample_plans_window_group_limit(spark, sf_dir):
+    """Grouped weighted sampling must pre-prune to k per map task before
+    the group shuffle (WindowGroupLimit below the Exchange)."""
+    plan = _plan(QUERIES["q130_weighted_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bloom_decontaminate_plan_has_no_cartesian(spark, sf_dir):
+    plan = _plan(QUERIES["q129_bloom_decontaminate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the exact verify stays broadcast
+
+
+def test_hashed_score_plan_is_single_stage(spark, sf_dir):
+    """The quality-classifier forward pass must not shuffle the corpus:
+    the only Exchange allowed is the declared output ORDER BY's range
+    exchange."""
+    plan = _plan(QUERIES["q136_hashed_score"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan and "MapInPandas" not in plan
