@@ -9,7 +9,9 @@ Three tiers, chosen per format by what scales:
    source for but whose codec ships in every executor's Python with no
    extra dependency — Stata .dta (pandas' built-in StataReader/Writer),
    Excel .xlsx (stdlib zipfile + OOXML templates on write, iterparse on
-   read — no openpyxl), pandas pickle parts, and well-formed HTML tables.
+   read — no openpyxl), msgpack (the codec implemented from the public
+   spec — pandas dropped its own), pandas pickle parts, and well-formed
+   HTML tables.
    Same layout as the feather connector (io_formats.py): one file per task
    on read, one file per partition on write, the driver touches only a
    schema probe.
@@ -18,7 +20,7 @@ Three tiers, chosen per format by what scales:
    silently truncate.
 
 Formats whose backing library is absent from the container or that pandas
-itself dropped (hdf, msgpack, gbq, clipboard, sparse) raise
+itself dropped (hdf, gbq, clipboard, sparse) raise
 NotImplementedError with the recorded reason — a decision, not an
 oversight; `UNSUPPORTED` is the registry.
 
@@ -571,12 +573,238 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# msgpack — dependency-free file-parallel connector (spec-implemented codec)
+# --------------------------------------------------------------------------
+#
+# pandas dropped to_msgpack/read_msgpack in 1.0, so the reference's
+# Message.to('msgpack') has no library path anywhere; the format itself is
+# tiny (https://github.com/msgpack/msgpack/blob/master/spec.md), so the
+# connector ships its own codec for the row-record subset: nil, bool,
+# int64, float64, str, bin, array, map. Layout mirrors the pickle
+# connector: a stream of row-maps per part file.
+
+
+def _mp_pack(o, out: bytearray) -> None:
+    import struct
+
+    if o is None:
+        out.append(0xC0)
+    elif o is True:
+        out.append(0xC3)
+    elif o is False:
+        out.append(0xC2)
+    elif isinstance(o, int):
+        if 0 <= o <= 0x7F:
+            out.append(o)
+        elif -32 <= o < 0:
+            out.append(0x100 + o)
+        else:
+            out.append(0xD3)
+            out += struct.pack(">q", o)
+    elif isinstance(o, float):
+        out.append(0xCB)
+        out += struct.pack(">d", o)
+    elif isinstance(o, str):
+        b = o.encode("utf-8")
+        if len(b) <= 31:
+            out.append(0xA0 | len(b))
+        elif len(b) <= 0xFFFF:
+            out.append(0xDA)
+            out += struct.pack(">H", len(b))
+        else:
+            out.append(0xDB)
+            out += struct.pack(">I", len(b))
+        out += b
+    elif isinstance(o, (bytes, bytearray)):
+        out.append(0xC6)
+        out += struct.pack(">I", len(o))
+        out += bytes(o)
+    elif isinstance(o, (list, tuple)):
+        if len(o) <= 15:
+            out.append(0x90 | len(o))
+        else:
+            out.append(0xDD)
+            out += struct.pack(">I", len(o))
+        for v in o:
+            _mp_pack(v, out)
+    elif isinstance(o, dict):
+        if len(o) <= 15:
+            out.append(0x80 | len(o))
+        else:
+            out.append(0xDF)
+            out += struct.pack(">I", len(o))
+        for k, v in o.items():
+            _mp_pack(k, out)
+            _mp_pack(v, out)
+    else:
+        raise TypeError(f"msgpack connector cannot encode {type(o)}")
+
+
+def _mp_unpack(buf: bytes, pos: int):
+    import struct
+
+    b = buf[pos]
+    pos += 1
+    if b <= 0x7F:
+        return b, pos
+    if b >= 0xE0:
+        return b - 0x100, pos
+    if 0xA0 <= b <= 0xBF:
+        n = b & 0x1F
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if 0x90 <= b <= 0x9F:
+        n = b & 0x0F
+        out = []
+        for _ in range(n):
+            v, pos = _mp_unpack(buf, pos)
+            out.append(v)
+        return out, pos
+    if 0x80 <= b <= 0x8F:
+        n = b & 0x0F
+        d = {}
+        for _ in range(n):
+            k, pos = _mp_unpack(buf, pos)
+            v, pos = _mp_unpack(buf, pos)
+            d[k] = v
+        return d, pos
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b == 0xCB:
+        return struct.unpack_from(">d", buf, pos)[0], pos + 8
+    if b == 0xD3:
+        return struct.unpack_from(">q", buf, pos)[0], pos + 8
+    if b == 0xDA:
+        n = struct.unpack_from(">H", buf, pos)[0]
+        return buf[pos + 2 : pos + 2 + n].decode("utf-8"), pos + 2 + n
+    if b == 0xDB:
+        n = struct.unpack_from(">I", buf, pos)[0]
+        return buf[pos + 4 : pos + 4 + n].decode("utf-8"), pos + 4 + n
+    if b == 0xC6:
+        n = struct.unpack_from(">I", buf, pos)[0]
+        return bytes(buf[pos + 4 : pos + 4 + n]), pos + 4 + n
+    if b == 0xDD:
+        n = struct.unpack_from(">I", buf, pos)[0]
+        pos += 4
+        out = []
+        for _ in range(n):
+            v, pos = _mp_unpack(buf, pos)
+            out.append(v)
+        return out, pos
+    if b == 0xDF:
+        n = struct.unpack_from(">I", buf, pos)[0]
+        pos += 4
+        d = {}
+        for _ in range(n):
+            k, pos = _mp_unpack(buf, pos)
+            v, pos = _mp_unpack(buf, pos)
+            d[k] = v
+        return d, pos
+    raise ValueError(f"msgpack connector cannot decode type byte {b:#x}")
+
+
+def write_msgpack(df: DataFrame, path: str) -> None:
+    """Distributed msgpack write: each partition streams its rows as
+    consecutive row-maps into one part-*.msgpack (appended per Arrow
+    batch — task memory stays at one batch). Values: int/float/str/bool/
+    bytes/arrays/None; richer types should go through parquet."""
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        import uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        rows = 0
+        fh = None
+        try:
+            for b in batches:
+                if not len(b):
+                    continue
+                if fh is None:
+                    pid = TaskContext.get().partitionId()
+                    fh = open(
+                        os.path.join(
+                            path,
+                            f"part-{pid:05d}-{uuid.uuid4().hex}.msgpack",
+                        ),
+                        "wb",
+                    )
+                cols = list(b.columns)
+                buf = bytearray()
+                for rec in b.itertuples(index=False):
+                    d = {}
+                    for c, v in zip(cols, rec):
+                        if isinstance(v, (list, tuple)) or (
+                            hasattr(v, "tolist") and hasattr(v, "__len__")
+                        ):  # array cell
+                            v = [
+                                x.item() if hasattr(x, "item") else x
+                                for x in v
+                            ]
+                        elif hasattr(v, "item"):  # numpy scalar
+                            v = v.item()
+                            if isinstance(v, float) and v != v:
+                                v = None
+                        elif v is not None and not isinstance(
+                            v, (dict, str, bytes)
+                        ) and pd.isna(v):
+                            v = None
+                        d[c] = v
+                    _mp_pack(d, buf)
+                    rows += 1
+                fh.write(bytes(buf))
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame({"rows": [rows]})
+
+    df.mapInPandas(_write, "rows long").write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+
+def read_msgpack(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed msgpack read: one part file per task; the driver decodes
+    only the first row-map of the first file for the schema probe."""
+    import pandas as pd
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.msgpack")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .msgpack files under {path}")
+    with open(files[0], "rb") as fh:
+        first, _ = _mp_unpack(fh.read(), 0)
+    schema = spark.createDataFrame(pd.DataFrame([first])).schema
+
+    def _read(batches):
+        for b in batches:
+            for f in b["f"]:
+                with open(f, "rb") as fh:
+                    buf = fh.read()
+                pos, recs = 0, []
+                while pos < len(buf):
+                    rec, pos = _mp_unpack(buf, pos)
+                    recs.append(rec)
+                yield pd.DataFrame(recs)
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(_read, schema)
+
+
+# --------------------------------------------------------------------------
 # unified Message.read / Message.to dispatch
 # --------------------------------------------------------------------------
 
 UNSUPPORTED: dict[str, str] = {
     "hdf": "pytables not in the container; no distributed reader",
-    "msgpack": "removed from pandas itself (>=1.0); use parquet/feather",
     "gbq": "external BigQuery service; out of scope for a local engine",
     "clipboard": "needs a desktop clipboard; meaningless on a cluster",
     "sparse": "removed from pandas itself (>=1.0); arrays stay dense",
@@ -603,6 +831,8 @@ def message_read(
         return read_stata(spark, path)
     if fmt == "excel":
         return read_excel(spark, path)
+    if fmt == "msgpack":
+        return read_msgpack(spark, path)
     if fmt == "pickle":
         return read_pickle(spark, path)
     if fmt == "html":
@@ -631,6 +861,8 @@ def message_to(df: DataFrame, fmt: str, path: str = None, **kw):
         return write_stata(df, path, **kw)
     if fmt == "excel":
         return write_excel(df, path)
+    if fmt == "msgpack":
+        return write_msgpack(df, path)
     if fmt == "pickle":
         return write_pickle(df, path)
     if fmt == "html":

@@ -164,6 +164,39 @@ def q133_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q141_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec-implemented msgpack connector end-to-end (Message.read/to
+    'msgpack', reference message.py:13 — pandas dropped its codec, so the
+    connector ships its own): customer written as per-partition row-map
+    streams, read back one file per task, aggregated against the original
+    parquet. Any encode/decode loss (int widths, float64 bits, utf-8)
+    surfaces as a value mismatch."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.edge_formats import read_msgpack, write_msgpack
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    d = tempfile.mkdtemp(prefix="fw_msgpack_")
+    try:
+        write_msgpack(c.repartition(4), d)
+        back = read_msgpack(spark, d)
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("bal"),
+                F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q117_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML table connector end-to-end (Message.to 'html' + a
     distributed JVM-regexp reader in place of lxml-backed read_html):
@@ -501,6 +534,7 @@ DATABASE_QUERIES = {
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
     "q133_excel_roundtrip": q133_excel_roundtrip,
+    "q141_msgpack_roundtrip": q141_msgpack_roundtrip,
     "q117_html_roundtrip": q117_html_roundtrip,
     "q60_delete_semantics": q60_delete_semantics,
     "q61_update_semantics": q61_update_semantics,
@@ -556,6 +590,12 @@ DATABASE_ORACLE = {
         "FROM customer GROUP BY 1 ORDER BY 1"
     ),
     "q116_stata_roundtrip": (
+        "SELECT c_mktsegment, count(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal, "
+        "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
+    "q141_msgpack_roundtrip": (
         "SELECT c_mktsegment, count(*) AS n, "
         "ROUND(SUM(c_acctbal), 2) AS bal, "
         "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "

@@ -114,6 +114,7 @@ _DRIVER_FRONT = [
     "q138_pretraining_mix",
     "q139_temperature_mix",
     "q140_negative_samples",
+    "q141_msgpack_roundtrip",
     # --- rows-only by design (approx/iterative; r4-checked) ---
     "q103_semdedup",
     "q106_pca_project",

@@ -141,12 +141,15 @@ def test_message_dispatch_full_surface(spark, small, tmp_path):
     assert back.count() == 100 and back.columns == ["id", "val", "name"]
     # dense is identity
     assert ef.message_to(small, "dense") is small
-    # excel routes to the dependency-free connector through the dispatcher
+    # excel + msgpack route to the dependency-free connectors
     xl = str(tmp_path / "xl")
     ef.message_to(small, "excel", xl)
     assert ef.message_read(spark, "excel", xl).count() == 100
+    mp = str(tmp_path / "mp_dispatch")
+    ef.message_to(small, "msgpack", mp)
+    assert ef.message_read(spark, "msgpack", mp).count() == 100
     # every reference to/read name is either routed or refused with a reason
-    for fmt in ("hdf", "msgpack", "gbq", "clipboard", "sparse"):
+    for fmt in ("hdf", "gbq", "clipboard", "sparse"):
         with pytest.raises(NotImplementedError, match=fmt):
             ef.message_to(small, fmt, str(tmp_path / fmt))
     with pytest.raises(NotImplementedError):
@@ -198,3 +201,56 @@ def test_excel_probe_widens_integral_first_double(spark, tmp_path):
     back = ef.read_excel(spark, p)
     assert dict(back.dtypes)["x"] == "double"
     assert {r.x for r in back.collect()} == {2.0, 2.5, 7.0}
+
+
+def test_msgpack_codec_canonical_bytes():
+    """Spot-check encodings against the public msgpack spec."""
+    import struct
+
+    def pack(o):
+        out = bytearray()
+        ef._mp_pack(o, out)
+        return bytes(out)
+
+    assert pack(5) == b"\x05"                       # positive fixint
+    assert pack(-1) == b"\xff"                      # negative fixint
+    assert pack(None) == b"\xc0"
+    assert pack(True) == b"\xc3" and pack(False) == b"\xc2"
+    assert pack("a") == b"\xa1a"                    # fixstr
+    assert pack(1.5) == b"\xcb" + struct.pack(">d", 1.5)
+    assert pack(2**40) == b"\xd3" + struct.pack(">q", 2**40)
+    assert pack([1, 2]) == b"\x92\x01\x02"          # fixarray
+    assert pack({"k": 1}) == b"\x81\xa1k\x01"       # fixmap
+    # roundtrip arbitrary nesting
+    obj = {"a": [1, -5, None, "héllo", 2.25], "b": b"\x00\x01", "c": True}
+    got, pos = ef._mp_unpack(pack(obj), 0)
+    assert got == obj
+
+
+def test_msgpack_roundtrip_file_parallel(spark, small, tmp_path):
+    p = str(tmp_path / "mp")
+    ef.write_msgpack(small.repartition(3), p)
+    import os
+
+    assert len([f for f in os.listdir(p) if f.endswith(".msgpack")]) == 3
+    back = ef.read_msgpack(spark, p)
+    assert back.rdd.getNumPartitions() == 3
+    got = {(r.id, r.val, r.name) for r in back.collect()}
+    assert got == {(i, i * 1.5, f"name_{i}") for i in range(100)}
+
+
+def test_msgpack_nulls_arrays_unicode(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "héllo wörld", [1.0, 2.5], True),
+            (2, None, [], False),
+            (3, "plain", [0.0], None),
+        ],
+        "id long, s string, arr array<double>, b boolean",
+    )
+    p = str(tmp_path / "mp2")
+    ef.write_msgpack(df, p)
+    back = {r.id: (r.s, list(r.arr), r.b) for r in ef.read_msgpack(spark, p).collect()}
+    assert back[1] == ("héllo wörld", [1.0, 2.5], True)
+    assert back[2] == (None, [], False)
+    assert back[3] == ("plain", [0.0], None)
