@@ -238,6 +238,19 @@ class Pipe:
         """Equi-width histogram (toolbox.histogram)."""
         return Pipe(toolbox.histogram(self.df, col, nbins=nbins, by=by))
 
+    def temperature_mix(
+        self, stratum_col: str = "source", alpha: float = 0.5
+    ) -> "Pipe":
+        """Alpha-temperature domain rebalancing (toolbox.temperature_mix)."""
+        return Pipe(toolbox.temperature_mix(self.df, stratum_col, alpha))
+
+    def negatives(self, k: int = 4, id_col: str = "doc_id") -> "Pipe":
+        """Deterministic contrastive negative sampling
+        (mlfeed.negative_samples)."""
+        from fireworks_spark import mlfeed
+
+        return Pipe(mlfeed.negative_samples(self.df, k=k, id_col=id_col))
+
     def decontaminate(
         self,
         benchmark: "Pipe | DataFrame",

@@ -151,3 +151,18 @@ def test_pipe_similar_join_and_histogram(spark):
     d = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
     h = {r.bin: r.cnt for r in Pipe(d).histogram("x", nbins=5).collect()}
     assert h == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_pipe_temperature_mix_and_negatives(spark):
+    d = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(10)],
+        "doc_id long, source string",
+    )
+    mixed = Pipe(d).temperature_mix("source", alpha=0.0).df
+    per = {}
+    for r in mixed.collect():
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per["small"] == 10 and per["big"] < 40  # big downsampled
+
+    negs = Pipe(d).negatives(k=2).df.collect()
+    assert len(negs) == 100 and all(r.doc_id != r.neg_id for r in negs)
