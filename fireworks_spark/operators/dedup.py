@@ -156,8 +156,8 @@ def shingle_candidates(
     no dedup signal anyway).
     """
     sets = shingle_sets(df, id_col, text_col, n).persist()
-    out = _candidate_stats(sets, id_col, df_cap)[0].select("ida", "idb")
-    return _attach_caches(out, extra=[sets])
+    cand, _, caches = _candidate_stats(sets, id_col, df_cap)
+    return _attach_caches(cand.select("ida", "idb"), extra=[sets] + caches)
 
 
 def _candidate_stats(
@@ -172,7 +172,9 @@ def _candidate_stats(
     verify) would otherwise re-tokenize the corpus once per branch, which
     measured 5x slower than the persisted working set at sf0.1.
 
-    Returns (cand, stats) where cand = (ida, idb, _common) — _common is the
+    Returns (cand, stats, caches) where cand = (ida, idb, _common) —
+    caches lists the frames persisted here (the hot-shingle table) for the
+    caller to attach to its release handle; _common is the
     number of shared shingles NOT dropped by df_cap (an exact lower bound on
     |A ∩ B|) — and stats = (_id, _sz, _hot) with _sz the full distinct
     shingle count and _hot how many of those exceeded df_cap. The pair count
@@ -185,11 +187,15 @@ def _candidate_stats(
     sh = sets.select(id_col, F.explode("shingles").alias("shingle"))
     sizes = sets.select(id_col, F.size("shingles").alias("_sz"))
     if df_cap is not None:
+        # persisted: consumed by BOTH the hot-count join and the cold
+        # anti-join — unpersisted, the corpus-wide frequency aggregation
+        # runs once per consumer. Handle rides the cand frame.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > df_cap)
             .select("shingle")
+            .persist()
         )
         hotcnt = (
             sh.join(hot, "shingle").groupBy(id_col).agg(
@@ -213,7 +219,8 @@ def _candidate_stats(
         .groupBy("ida", "idb")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
-    return cand, stats
+    caches = [hot] if df_cap is not None else []
+    return cand, stats, caches
 
 
 # --------------------------------------------------------------------------
@@ -283,8 +290,9 @@ def jaccard_pairs(
     at any scale.
     """
     sets = shingle_sets(df, id_col, text_col, n).persist()
+    caches: list = []
     if candidates is None:
-        cand, stats = _candidate_stats(sets, id_col, df_cap)
+        cand, stats, caches = _candidate_stats(sets, id_col, df_cap)
     else:
         cand = candidates.select("ida", "idb").distinct().withColumn(
             "_common", F.lit(None).cast("long")
@@ -343,7 +351,9 @@ def jaccard_pairs(
         .filter(F.col("jac") >= threshold)
     )
     return _attach_caches(
-        out, *( [candidates] if candidates is not None else [] ), extra=[sets]
+        out,
+        *([candidates] if candidates is not None else []),
+        extra=[sets] + caches,
     )
 
 
@@ -384,6 +394,8 @@ def jaccard_join(
         )
         df_cap = None  # external candidates: no co-occurrence counts
     if df_cap is not None:
+        # persisted: four consumers (two anti-joins, two hot-count joins)
+        # would otherwise each recompute the union-wide frequency agg
         hot = (
             shl.select("shingle")
             .unionAll(shr.select("shingle"))
@@ -391,6 +403,7 @@ def jaccard_join(
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > df_cap)
             .select("shingle")
+            .persist()
         )
         coldl = shl.join(hot, "shingle", "left_anti")
         coldr = shr.join(hot, "shingle", "left_anti")
@@ -443,7 +456,8 @@ def jaccard_join(
         .select("lid", "rid", F.round(jac, 3).alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
-    return _attach_caches(out, extra=[sl, sr])
+    extra = [sl, sr] + ([hot] if df_cap is not None else [])
+    return _attach_caches(out, extra=extra)
 
 
 # --------------------------------------------------------------------------
