@@ -495,10 +495,15 @@ def test_jaccard_join_caches_released(spark):
     left = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
     right = spark.createDataFrame([(1, "a b c d f")], ["doc_id", "text"])
     baseline = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
-    out = dedup.jaccard_join(left, right, threshold=0.1)
-    out.collect()
-    dedup.release_caches(out)
-    assert set(dict(spark.sparkContext._jsc.getPersistentRDDs())) <= baseline
+    # df_cap path also persists the union hot-shingle table; both must free
+    for kw in ({}, {"df_cap": 8}):
+        out = dedup.jaccard_join(left, right, threshold=0.1, **kw)
+        out.collect()
+        dedup.release_caches(out)
+        assert (
+            set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+            <= baseline
+        ), kw
 
 
 def test_minhash_join_finds_planted_cross_dups(spark):
