@@ -273,3 +273,54 @@ def url_dedup(
     keyed = df.withColumn("_curl", canonical_url(url_col))
     keep = keyed.groupBy("_curl").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, [id_col, "_curl"], "left_semi").drop("_curl")
+
+
+def domain_overlap(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between domains: (src_a, src_b, jac) for
+    every unordered domain pair — the corpus-analysis step behind mixing
+    decisions ("how redundant are these two sources?").
+
+    One tokenize + distinct pass builds the (domain, token) vocabulary
+    table (bounded by |domains| x |vocab|); pair intersections come from a
+    self-equi-join ON TOKEN whose output is at most |domains|^2 rows per
+    token group — with a handful of domains this is skew-free by
+    construction, and union sizes derive from per-domain counts, not a
+    second scan. Values are exact; jac rounds to 4 for cross-engine
+    comparison.
+    """
+    vocab = (
+        spread(df)
+        .select(F.col(by).alias("_d"), F.explode(words(text_col)).alias("_t"))
+        .filter(F.col("_t") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("_d").agg(F.count(F.lit(1)).alias("_sz"))
+    a = vocab.select(F.col("_d").alias("src_a"), "_t")
+    b = vocab.select(F.col("_d").alias("src_b"), "_t")
+    inter = (
+        a.join(b, "_t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_d").alias("src_a"), F.col("_sz").alias("_sa"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_d").alias("src_b"), F.col("_sz").alias("_sb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("_c") / (F.col("_sa") + F.col("_sb") - F.col("_c")), 4
+            ).alias("jac"),
+        )
+    )

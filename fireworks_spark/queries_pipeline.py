@@ -569,6 +569,14 @@ def q137_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q142_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (textstats.domain_overlap)
+    — exact set overlap from one tokenize+distinct pass and a token
+    self-join bounded by |domains|^2 per token group."""
+    d = table(spark, sf_dir, "documents")
+    return textstats.domain_overlap(d).orderBy("src_a", "src_b")
+
+
 def q46_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     sw = ["the", "and", "is", "of", "to", "a", "in"]
@@ -647,6 +655,7 @@ PIPELINE_QUERIES = {
     "q49_centroids": q49_centroids,
     "q45_url_extract": q45_url_extract,
     "q137_url_canonicalize": q137_url_canonicalize,
+    "q142_domain_overlap": q142_domain_overlap,
     "q46_stopword_filter": q46_stopword_filter,
     "q47_strip_markup": q47_strip_markup,
     "q98_line_dedup": q98_line_dedup,
@@ -1038,6 +1047,23 @@ PIPELINE_ORACLE = {
         SELECT doc_id,
                regexp_replace(a, '^([^?]*[^/?])/$', '\\1') AS curl
         FROM s4 ORDER BY doc_id
+    """,
+    "q142_domain_overlap": f"""
+        WITH v AS (
+          SELECT DISTINCT source AS d, unnest({_TOKS}) AS t
+          FROM documents
+        ),
+        v2 AS (SELECT d, t FROM v WHERE t <> ''),
+        sz AS (SELECT d, COUNT(*) AS s FROM v2 GROUP BY d),
+        i AS (
+          SELECT a.d AS src_a, b.d AS src_b, COUNT(*) AS c
+          FROM v2 a JOIN v2 b ON a.t = b.t AND a.d < b.d
+          GROUP BY 1, 2
+        )
+        SELECT src_a, src_b,
+               ROUND(c * 1.0 / (sa.s + sb.s - c), 4) AS jac
+        FROM i JOIN sz sa ON sa.d = src_a JOIN sz sb ON sb.d = src_b
+        ORDER BY src_a, src_b
     """,
     "q45_url_extract": (
         f"WITH s AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents) "

@@ -115,6 +115,7 @@ _DRIVER_FRONT = [
     "q139_temperature_mix",
     "q140_negative_samples",
     "q141_msgpack_roundtrip",
+    "q142_domain_overlap",
     # --- rows-only by design (approx/iterative; r4-checked) ---
     "q103_semdedup",
     "q106_pca_project",

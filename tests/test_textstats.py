@@ -176,3 +176,19 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
         r.doc_id for r in textstats.url_dedup(df, "url").collect()
     )
     assert kept == [1, 3]
+
+
+def test_domain_overlap_exact_jaccard(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a", "x y z"),
+            (2, "a", "x w"),
+            (3, "b", "x y q"),      # vocab b = {x,y,q}; a = {x,y,z,w}
+            (4, "c", "unrelated tokens only"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.src_a, r.src_b): r.jac for r in textstats.domain_overlap(d).collect()}
+    # |a ∩ b| = {x,y} = 2; |a ∪ b| = {x,y,z,w,q} = 5
+    assert got[("a", "b")] == 0.4
+    assert ("a", "c") not in got and ("b", "c") not in got  # no shared tokens
