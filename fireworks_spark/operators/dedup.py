@@ -985,6 +985,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     clustering embeddings with spherical k-means, then — WITHIN each
@@ -1002,18 +1003,30 @@ def semdedup(
     is (N/k)^2 with k chosen to bound cluster size — at 100 TB you pick
     k ~ N/20k and the heaviest task touches ~20k vectors. Mirrors the
     reference's dedup-by-content semantics (fireworks/toolbox) lifted to
-    embedding space."""
+    embedding space.
+
+    ``centroids`` (optional, list of dim-length vectors) injects a
+    deterministic quantizer in place of the learned spherical k-means —
+    the same injection shape as similarity.ivf_topk, which makes the
+    cluster assignment (and hence the whole kept set) SQL-derivable so the
+    correctness driver can value-check the prune end-to-end. Assignment is
+    by cosine (centroids are normalized here; rows are normalized in the
+    assign pass), ties to the lowest centroid index."""
     import numpy as np
 
-    from fireworks_spark.operators.similarity import _spherical_kmeans
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    else:
+        from fireworks_spark.operators.similarity import _spherical_kmeans
 
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in df.select(vec_col).limit(100_000).collect()
-        ]
-    )
-    C = _spherical_kmeans(sample, num_clusters, seed)
+        sample = np.stack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in df.select(vec_col).limit(100_000).collect()
+            ]
+        )
+        C = _spherical_kmeans(sample, num_clusters, seed)
 
     import pandas as pd
 

@@ -125,13 +125,38 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    components=None,
 ) -> DataFrame:
     """Project every vector onto the top-k principal components (mean-
-    centered). Returns (id_col, pc array<double> of length k)."""
+    centered). Returns (id_col, pc array<double> of length k).
+
+    ``components`` (optional, [k, dim]) injects a fixed basis in place of
+    the learned eigenvectors — the ivf_topk-style injection that makes the
+    mean-center + matmul + round pass SQL-derivable so the correctness
+    driver value-checks the projection machinery end-to-end (the learned
+    eig path stays covered by the local reconstruction tests). With an
+    injected basis only the per-dimension mean is computed from data, via
+    one JVM posexplode aggregate (dim rows to the driver, not dim^2)."""
     import numpy as np
     import pandas as pd
 
-    comps, mean, _ = pca_fit(df, k, vec_col)
+    if components is not None:
+        comps = np.asarray(components, dtype=np.float64)
+        mean_rows = (
+            df.select(
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "d", "x"
+                )
+            )
+            .groupBy("d")
+            .agg(F.avg("x").alias("mx"))
+            .collect()
+        )
+        mean = np.zeros(comps.shape[1])
+        for r in mean_rows:
+            mean[r["d"]] = r["mx"]
+    else:
+        comps, mean, _ = pca_fit(df, k, vec_col)
 
     def _proj(batches):
         for b in batches:

@@ -375,17 +375,28 @@ def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q106_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 PCA projection of every embedding (driver-side eig of the
-    distributed covariance, Arrow matmul projection pass). Depends on the
-    eigendecomposition (no SQL equivalent), so rows-only for the driver;
-    tests/test_similarity.py asserts exact reconstruction on planted
-    low-rank data and orthonormal components. Output is flattened to
-    scalar pc0..pc7 columns (the driver's canonicalizer hashes scalar
-    cells, not arrays)."""
+    """Mean-centered basis projection of every embedding through the PCA
+    projection operator (distributed mean, Arrow matmul pass) with an
+    INJECTED orthonormal basis: the first 8 rows of the order-64 Sylvester
+    Hadamard matrix, H[k][d] = (-1)^popcount(k AND d) / 8. A closed-form
+    basis makes the mean-center + matmul + round pass fully SQL-derivable,
+    so the driver value-checks the projection machinery end-to-end. The
+    LEARNED path (driver eig of the distributed covariance) remains the
+    pca_project default, covered by tests/test_similarity.py (exact
+    reconstruction on planted low-rank data, orthonormal components).
+    Output is flattened to scalar pc0..pc7 columns (the driver's
+    canonicalizer hashes scalar cells, not arrays)."""
     from fireworks_spark.operators import embedstats
 
     e = table(spark, sf_dir, "embeddings")
-    proj = embedstats.pca_project(e, k=8)
+    basis = [
+        [
+            (1.0 if bin(k & d).count("1") % 2 == 0 else -1.0) / 8.0
+            for d in range(64)
+        ]
+        for k in range(8)
+    ]
+    proj = embedstats.pca_project(e, k=8, components=basis)
     return proj.select(
         "vec_id", *[F.col("pc")[i].alias(f"pc{i}") for i in range(8)]
     ).orderBy("vec_id")
@@ -431,14 +442,39 @@ def q108_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
-    within each cluster drop every vector whose cosine to an earlier (lower
-    id) member reaches eps. Depends on the learned quantizer (no SQL
-    equivalent), so rows-only for the driver; tests/test_dedup.py asserts
-    the kept set matches a full-gram Python reference implementation
-    exactly."""
+    """SemDeDup (Abbas et al. 2023): cluster the embeddings, then within
+    each cluster drop every vector whose cosine to an earlier (lower id)
+    member reaches eps. Uses an INJECTED deterministic quantizer (per-label
+    mean vectors, computed distributively exactly like q36's IVF coarse
+    quantizer) so cluster assignment — and therefore the whole kept set —
+    is SQL-derivable and the driver value-checks the per-cluster
+    triangular cosine prune end-to-end. The LEARNED spherical-k-means
+    quantizer remains the semdedup default, covered by tests/test_dedup.py
+    (kept set matches a full-gram Python reference exactly)."""
     e = table(spark, sf_dir, "embeddings")
-    return dedup.semdedup(e, eps=0.9, num_clusters=8).orderBy("vec_id")
+    cent_rows = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d", "x"
+            ),
+        )
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cx"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = r["cx"]
+    centroids = [
+        [by_label[lb][d] for d in sorted(by_label[lb])]
+        for lb in sorted(by_label)
+    ]
+    return (
+        dedup.semdedup(e, eps=0.9, centroids=centroids)
+        .withColumn("cluster", F.col("cluster").cast("long"))
+        .orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1005,6 +1041,71 @@ PIPELINE_ORACLE = {
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         )
         SELECT ida, idb, sim FROM p WHERE sim >= 0.5 ORDER BY ida, idb
+    """,
+    # q103: the injected per-label-mean quantizer re-derived from the raw
+    # table (q36's cent/cvec/assign fragments), then the SemDeDup rule —
+    # drop a member iff ANY lower-id member of the SAME cluster (kept or
+    # dropped, the paper's upper-triangular rule) has cosine >= eps.
+    "q103_semdedup": f"""
+        WITH ex AS (
+          SELECT label, vec_id,
+                 unnest(range(1, array_length(embedding) + 1)) AS d,
+                 unnest(list_transform(range(1, array_length(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE))) AS x
+          FROM embeddings
+        ), cent AS (
+          SELECT label AS pt, d, AVG(x) AS cx FROM ex GROUP BY pt, d
+        ), cvec AS (
+          SELECT pt, list(cx ORDER BY d) AS cv FROM cent GROUP BY pt
+        ), assign AS (
+          SELECT vec_id, pt FROM (
+            SELECT b.vec_id, c.pt,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY {_cos('b.embedding', 'c.cv')} DESC, c.pt) AS rr
+            FROM embeddings b CROSS JOIN cvec c
+          ) WHERE rr = 1
+        ), dropped AS (
+          SELECT DISTINCT a2.vec_id
+          FROM assign a1
+          JOIN assign a2 ON a1.pt = a2.pt AND a1.vec_id < a2.vec_id
+          JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+          JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+          WHERE {_cos('e1.embedding', 'e2.embedding')} >= 0.9
+        )
+        SELECT a.vec_id, CAST(a.pt AS BIGINT) AS cluster
+        FROM assign a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY a.vec_id
+    """,
+    # q106: the injected Hadamard basis H[k][d] = (-1)^popcount(k AND d)/8
+    # re-derived in SQL (bit_count), mean-centering from the same table.
+    "q106_pca_project": """
+        WITH dims AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings WHERE embedding IS NOT NULL
+        ), mn AS (
+          SELECT d, AVG(x) AS mx FROM dims GROUP BY d
+        ), proj AS (
+          SELECT v.vec_id, t.k,
+                 ROUND(SUM((v.x - m.mx) *
+                       (CASE WHEN bit_count(CAST(t.k AS BIGINT)
+                                            & CAST(v.d AS BIGINT)) % 2 = 0
+                             THEN 1.0 ELSE -1.0 END) / 8.0), 4) + 0.0 AS p
+          FROM dims v JOIN mn m USING (d)
+          CROSS JOIN range(0, 8) t(k)
+          GROUP BY v.vec_id, t.k
+        )
+        SELECT vec_id,
+               MAX(CASE WHEN k = 0 THEN p END) AS pc0,
+               MAX(CASE WHEN k = 1 THEN p END) AS pc1,
+               MAX(CASE WHEN k = 2 THEN p END) AS pc2,
+               MAX(CASE WHEN k = 3 THEN p END) AS pc3,
+               MAX(CASE WHEN k = 4 THEN p END) AS pc4,
+               MAX(CASE WHEN k = 5 THEN p END) AS pc5,
+               MAX(CASE WHEN k = 6 THEN p END) AS pc6,
+               MAX(CASE WHEN k = 7 THEN p END) AS pc7
+        FROM proj GROUP BY vec_id ORDER BY vec_id
     """,
     "q42_dup_clusters": _CLUSTERS_SQL,
     "q43_keep_canonical": _CANONICAL_SQL,

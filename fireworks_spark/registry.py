@@ -63,115 +63,53 @@ ORACLES.update(RANKING_ORACLE)
 
 
 # ---------------------------------------------------------------------------
-# Driver-check rotation. The correctness driver walks the first ~50 registry
-# entries in insertion order. Rounds 1-4 have driver-green rows for every
-# oracle-backed query EXCEPT the 12 leading this list; after they get a
-# driver row this round, coverage is complete and this block collapses to a
-# round-robin of sentinels. The rows-only (no-SQL-oracle) queries follow so
-# the driver keeps recording their row counts, then one known-green sentinel
-# per query family as regression canaries inside the check window.
-_DRIVER_FRONT = [
-    # --- never driver-checked (positions 51-62 of the round-4 order) ---
-    "q77_null_funcs",
-    "q78_union_all_distinct_mix",
-    "q82_tfidf",
-    "q83_bm25",
-    "q84_chunk",
-    "q85_repetition",
-    "q86_pack_sequences",
-    "q87_quality_gate",
-    "q88_decontaminate",
-    "q89_domain_mix",
-    "q90_token_entropy",
-    "q97_bigram_perplexity",
-    # --- newly oracle-backed approx ops (value-checked as of r5) ---
-    "q33_dedup_simhash",
-    "q36_ann_ivf_topk",
-    "q102_ann_lsh_topk",
-    # --- new this round (never driver-checked yet) ---
-    "q116_stata_roundtrip",
-    "q117_html_roundtrip",
-    "q118_transaction_semantics",
-    "q119_pq_adc_topk",
-    "q120_hybrid_rrf",
-    "q121_fasta_roundtrip",
-    "q122_fastq_roundtrip",
-    "q123_orc_roundtrip",
-    "q124_csv_roundtrip",
-    "q125_genbank_roundtrip",
-    "q126_json_roundtrip",
-    "q127_fuzzy_join",
-    "q128_ivfpq_topk",
-    "q129_bloom_decontaminate",
-    "q130_weighted_sample",
-    "q131_token_budget_sample",
-    "q132_histogram",
-    "q133_excel_roundtrip",
-    "q134_jaccard_join",
-    "q135_minhash_join",
-    "q136_hashed_score",
-    "q137_url_canonicalize",
-    "q138_pretraining_mix",
-    "q139_temperature_mix",
-    "q140_negative_samples",
-    "q141_msgpack_roundtrip",
-    "q142_domain_overlap",
-    # --- rows-only by design (approx/iterative; r4-checked) ---
-    "q103_semdedup",
-    "q106_pca_project",
-    "q107_bpe_merges",
-    "q108_bpe_encode",
-    # --- known-green sentinels, one per family (regression canaries) ---
-    "q01_scan_projection",        # relational Q1-Q28
-    "q16_intersect",         # multi-result relational
-    "q70_lag_lead",               # window functions
-    "q71_cube",                   # cube/rollup
-    "q72_percentile",             # exact percentiles
-    "q73_exists_subquery",        # subqueries
-    "q74_explode_array",          # UDTF/explode
-    "q75_stddev",                 # stats aggs
-    "q76_regexp_extract",         # string/regexp
-    "q79_session_windows",        # sessionization
-    "q80_grouping_sets",          # grouping sets
-    "q92_approx_percentile",      # approx aggs
-    "q29_asof_join",              # time-series asof (r5: payload-struct fix)
-    "q81_interval_join",          # interval join
-    "q91_rolling_time_window",    # rolling RANGE frames
-    "q96_cogroup_asof",           # cogrouped Arrow
-    "q111_time_rollup",           # multi-grain rollup
-    "q68_stream_tumbling",        # streaming tumbling
-    "q69_stream_sliding",         # streaming sliding
-    "q30_dedup_exact",            # dedup family
-    "q31_dedup_ngram_jaccard",    # jaccard pairs (r5: unpersist path)
-    "q32_dedup_minhash_lsh",      # minhash LSH
-    "q34_dedup_embedding_cosine",        # embedding near-dup
-    "q42_dup_clusters",           # connected components
-    "q115_leakage_safe_split",    # leakage-safe split
-    "q35_ann_cosine_topk",         # ANN brute force
-    "q37_text_token_stats",             # text stats family
-    "q104_dsir_weights",          # ranking family
-    "q112_mg_heavy_hitters",      # sketch (r5: null-key fix)
-    "q113_rebalance_strata",      # rebalance
-    "q114_feather_roundtrip",     # Arrow IPC connector (r5: streamed writer)
-    "q63_linear_score",           # mlfeed/model
-    "q65_grouped_normalize",      # applyInPandas
-    "q66_media_meta",             # multimodal
-    "q95_salted_join",            # skew handling
-    "q60_delete_semantics",       # database mutations
-    "q54_label_onehot",           # toolbox/labeling
-    "q50_shuffle_permutation",    # shuffle/repeat
-]
+# Driver-check rotation: a literal STALENESS round-robin, generated from the
+# recorded CORRECTNESS_r*.json history at import time (not hand-listed).
+#
+# Generation rule: a query's "freshness" is the highest round whose
+# CORRECTNESS file recorded it VALUE-GREEN (hash_match true). Queries are
+# ordered stalest-first (freshness ascending, registry insertion order as the
+# tie-break), so the driver's ~50-query window always re-checks the queries
+# whose last value evidence is oldest, and every query re-earns a green row
+# every ceil(len(QUERIES)/50) rounds. Rows never value-checked — new queries,
+# and rows-only ops whose history is all `no_oracle` — have freshness 0 and
+# therefore lead the window permanently (the driver keeps recording their
+# row counts; a newly oracle-backed op graduates to hash-checked the very
+# next round). A recorded FAILURE does not refresh: only hash-green rows
+# push a query to the back of the rotation.
+def staleness_order() -> "list[str]":
+    """Stalest-first query order derived from CORRECTNESS_r*.json."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    last_green: dict = {q: 0 for q in QUERIES}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue  # a malformed history file must not break the registry
+        for name, row in rows.items():
+            if name in last_green and row.get("hash_match") is True:
+                last_green[name] = max(last_green[name], rnd)
+    insertion = {q: i for i, q in enumerate(QUERIES)}
+    return sorted(QUERIES, key=lambda q: (last_green[q], insertion[q]))
 
 
-def _rotate(front: list[str]) -> None:
-    missing = [q for q in front if q not in QUERIES]
+def _rotate(order: "list[str]") -> None:
+    missing = [q for q in order if q not in QUERIES]
     if missing:  # a typo here silently shrinks the driver check window
-        raise KeyError(f"_DRIVER_FRONT names not in QUERIES: {missing}")
-    order = list(front) + [q for q in QUERIES if q not in front]
+        raise KeyError(f"rotation names not in QUERIES: {missing}")
+    full = list(order) + [q for q in QUERIES if q not in order]
     for mapping in (QUERIES, ORACLES):
-        rotated = {k: mapping[k] for k in order if k in mapping}
+        rotated = {k: mapping[k] for k in full if k in mapping}
         mapping.clear()
         mapping.update(rotated)
 
 
-_rotate(_DRIVER_FRONT)
+_rotate(staleness_order())
