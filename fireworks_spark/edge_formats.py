@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -380,6 +381,9 @@ _XLSX_STATIC = {
 }
 
 
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def _xlsx_cell(v) -> str:
     """One <c> element. Strings go as inline strings (no sharedStrings
     table — each task writes self-contained XML with no cross-file state);
@@ -405,6 +409,10 @@ def _xlsx_cell(v) -> str:
         .replace("<", "&lt;")
         .replace(">", "&gt;")
     )
+    # XML 1.0 forbids most C0 control characters even escaped; real crawl
+    # text contains them, and leaving them in would write a file the
+    # ET.iterparse reader then rejects. Strip them (openpyxl does the same).
+    s = _XML_ILLEGAL.sub("", s)
     return f'<c t="inlineStr"><is><t xml:space="preserve">{s}</t></is></c>'
 
 
@@ -675,17 +683,62 @@ def _mp_unpack(buf: bytes, pos: int):
         return True, pos
     if b == 0xCB:
         return struct.unpack_from(">d", buf, pos)[0], pos + 8
+    if b == 0xCA:  # float32 (standard encoders emit it for narrow floats)
+        return struct.unpack_from(">f", buf, pos)[0], pos + 4
+    # full uint8..uint64 / int8..int64 families: write_msgpack only emits
+    # fixint/0xD3, but standard encoders (msgpack-python) pick the
+    # narrowest representation, so the reader must accept them all
+    if b == 0xCC:
+        return buf[pos], pos + 1
+    if b == 0xCD:
+        return struct.unpack_from(">H", buf, pos)[0], pos + 2
+    if b == 0xCE:
+        return struct.unpack_from(">I", buf, pos)[0], pos + 4
+    if b == 0xCF:
+        return struct.unpack_from(">Q", buf, pos)[0], pos + 8
+    if b == 0xD0:
+        return struct.unpack_from(">b", buf, pos)[0], pos + 1
+    if b == 0xD1:
+        return struct.unpack_from(">h", buf, pos)[0], pos + 2
+    if b == 0xD2:
+        return struct.unpack_from(">i", buf, pos)[0], pos + 4
     if b == 0xD3:
         return struct.unpack_from(">q", buf, pos)[0], pos + 8
+    if b == 0xD9:  # str8
+        n = buf[pos]
+        return buf[pos + 1 : pos + 1 + n].decode("utf-8"), pos + 1 + n
     if b == 0xDA:
         n = struct.unpack_from(">H", buf, pos)[0]
         return buf[pos + 2 : pos + 2 + n].decode("utf-8"), pos + 2 + n
     if b == 0xDB:
         n = struct.unpack_from(">I", buf, pos)[0]
         return buf[pos + 4 : pos + 4 + n].decode("utf-8"), pos + 4 + n
+    if b == 0xC4:  # bin8
+        n = buf[pos]
+        return bytes(buf[pos + 1 : pos + 1 + n]), pos + 1 + n
+    if b == 0xC5:  # bin16
+        n = struct.unpack_from(">H", buf, pos)[0]
+        return bytes(buf[pos + 2 : pos + 2 + n]), pos + 2 + n
     if b == 0xC6:
         n = struct.unpack_from(">I", buf, pos)[0]
         return bytes(buf[pos + 4 : pos + 4 + n]), pos + 4 + n
+    if b == 0xDC:  # array16
+        n = struct.unpack_from(">H", buf, pos)[0]
+        pos += 2
+        out = []
+        for _ in range(n):
+            v, pos = _mp_unpack(buf, pos)
+            out.append(v)
+        return out, pos
+    if b == 0xDE:  # map16
+        n = struct.unpack_from(">H", buf, pos)[0]
+        pos += 2
+        d = {}
+        for _ in range(n):
+            k, pos = _mp_unpack(buf, pos)
+            v, pos = _mp_unpack(buf, pos)
+            d[k] = v
+        return d, pos
     if b == 0xDD:
         n = struct.unpack_from(">I", buf, pos)[0]
         pos += 4
@@ -770,7 +823,11 @@ def write_msgpack(df: DataFrame, path: str) -> None:
 
 def read_msgpack(spark: SparkSession, path: str) -> DataFrame:
     """Distributed msgpack read: one part file per task; the driver decodes
-    only the first row-map of the first file for the schema probe."""
+    only the first ~200 row-maps of the first file for the schema probe
+    (bounded driver work). Nulls are skipped during inference so a null
+    cell in the first record cannot poison a column's type (the
+    read_excel probe's rule, including its bigint->double widening);
+    all-null columns fall back to string."""
     import pandas as pd
 
     files = (
@@ -781,19 +838,82 @@ def read_msgpack(spark: SparkSession, path: str) -> DataFrame:
     if not files:
         raise FileNotFoundError(f"no .msgpack files under {path}")
     with open(files[0], "rb") as fh:
-        first, _ = _mp_unpack(fh.read(), 0)
-    schema = spark.createDataFrame(pd.DataFrame([first])).schema
+        buf = fh.read()
+    cols: list = []  # insertion-ordered union of keys over probed records
+    kinds: dict = {}
+    pos = 0
+    for _ in range(200):
+        if pos >= len(buf):
+            break
+        rec, pos = _mp_unpack(buf, pos)
+        for key, v in rec.items():
+            if key not in kinds:
+                cols.append(key)
+                kinds[key] = None
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                k = "boolean"
+            elif isinstance(v, int):
+                k = "bigint"
+            elif isinstance(v, float):
+                k = "double"
+            elif isinstance(v, (bytes, bytearray)):
+                k = "binary"
+            elif isinstance(v, list):
+                elem = None
+                for x in v:
+                    if x is None:
+                        continue
+                    e = (
+                        "boolean"
+                        if isinstance(x, bool)
+                        else "bigint"
+                        if isinstance(x, int)
+                        else "double"
+                        if isinstance(x, float)
+                        else "string"
+                    )
+                    if elem is None or elem == e:
+                        elem = e
+                    elif {elem, e} == {"bigint", "double"}:
+                        elem = "double"
+                    else:
+                        elem = "string"
+                k = f"array<{elem or 'string'}>"
+            else:
+                k = "string"
+            prev = kinds[key]
+            if prev is None or prev == k:
+                kinds[key] = k
+            elif {prev, k} == {"bigint", "double"}:
+                kinds[key] = "double"
+            else:
+                kinds[key] = "string"
+    schema = ", ".join(f"`{c}` {kinds[c] or 'string'}" for c in cols)
+
+    # columns widened to string by a mixed-type probe carry non-string
+    # values in the data; stringify them so the Arrow cast can't fail
+    str_cols = [c for c in cols if (kinds[c] or "string") == "string"]
 
     def _read(batches):
         for b in batches:
             for f in b["f"]:
                 with open(f, "rb") as fh:
-                    buf = fh.read()
-                pos, recs = 0, []
-                while pos < len(buf):
-                    rec, pos = _mp_unpack(buf, pos)
+                    fbuf = fh.read()
+                fpos, recs = 0, []
+                while fpos < len(fbuf):
+                    rec, fpos = _mp_unpack(fbuf, fpos)
                     recs.append(rec)
-                yield pd.DataFrame(recs)
+                pdf = pd.DataFrame(recs)
+                for c in str_cols:
+                    if c in pdf.columns:
+                        pdf[c] = pdf[c].map(
+                            lambda v: v
+                            if v is None or isinstance(v, str)
+                            else str(v)
+                        )
+                yield pdf
 
     paths = spark.createDataFrame([(f,) for f in files], "f string")
     return paths.repartition(len(files)).mapInPandas(_read, schema)

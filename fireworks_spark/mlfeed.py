@@ -304,24 +304,30 @@ def negative_samples(
     for each anchor row, ``k`` pseudo-random OTHER rows, the standard
     in-batch-negatives replacement when the batch is the whole corpus.
 
-    Ranks come from a window over ``id_col`` (dense contiguous 0..N-1 even
-    when ids have gaps); negative j of anchor r is rank
-    ``(r*2654435761 + (j+1)*40503) mod N``, nudged one forward when it
-    collides with the anchor itself — Knuth multiplicative-hash constants,
-    so negatives spread uniformly yet every engine can re-derive them
-    exactly (the oracle does). One rank window + a generate + one
-    equi-join on rank; no rand(), no shuffle beyond the join.
+    Ranks are dense contiguous 0..N-1 in id order even when ids have gaps,
+    computed with toolbox.with_row_index — the distributed two-pass
+    zipWithIndex design — NOT a global window (a partitionBy-less window
+    funnels the whole corpus through one task); negative j of anchor r is
+    rank ``(r*2654435761 + (j+1)*40503) mod N``, nudged one forward when
+    it collides with the anchor itself — Knuth multiplicative-hash
+    constants, so negatives spread uniformly yet every engine can
+    re-derive them exactly (the oracle does). One distributed rank pass +
+    a generate + one equi-join on rank; no rand().
+
+    Two documented consequences of the closed-form draw: an anchor can
+    repeat a negative when N divides 40503*(j'-j) (callers needing
+    distinct negatives per anchor should dedupe on (id, neg_id)), and the
+    row-index pass persists its range buckets — the handle is exposed as
+    ``_row_index_cache`` on the result (release via dedup.release_caches).
 
     Returns (anchor id, neg_rank's id as neg_id, j).
     """
-    from pyspark.sql import Window
+    from fireworks_spark.operators.toolbox import with_row_index
 
     n = df.count()
     if n < 2:
         raise ValueError("need at least 2 rows to sample negatives")
-    ranked = df.select(id_col).withColumn(
-        "_r", (F.row_number().over(Window.orderBy(id_col)) - 1).cast("long")
-    )
+    ranked = with_row_index(df.select(id_col), [id_col], "_r")
     j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
     cand = ranked.select(F.col(id_col), F.col("_r"), j).withColumn(
         "_neg",
@@ -337,4 +343,6 @@ def negative_samples(
     other = ranked.select(
         F.col("_r").alias("_neg"), F.col(id_col).alias("neg_id")
     )
-    return cand.join(other, "_neg").select(id_col, "neg_id", "j")
+    out = cand.join(other, "_neg").select(id_col, "neg_id", "j")
+    out._row_index_cache = ranked._row_index_cache
+    return out

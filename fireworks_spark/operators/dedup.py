@@ -1155,29 +1155,67 @@ def bloom_might_contain(
     col: Column | str,
     bitset: list[int],
     k: int = 5,
+    literal_max_bytes: int = 16 << 20,
 ) -> Column:
-    """Pure-JVM membership probe against a :func:`bloom_bitset` result.
+    """Membership probe against a :func:`bloom_bitset` result.
 
-    The bitset ships inside the plan as a literal long array (16 KiB at the
-    default size) — no join, no shuffle, no Python: the probe is ``k`` bit
-    tests evaluated in whole-stage codegen at scan speed. False positives
-    occur at the configured rate; false negatives never do, which is what
-    makes the prefilter + exact-verify composition exact.
+    Default path (bitset <= ``literal_max_bytes``, 16 MiB): pure JVM — the
+    bitset ships inside the plan as a literal long array (16 KiB at the
+    default size), no join, no shuffle, no Python: the probe is ``k`` bit
+    tests evaluated in whole-stage codegen at scan speed.
+
+    Above the threshold a plan-embedded Literal would bloat every task's
+    serialized plan, so the words ship ONCE per executor as a broadcast
+    variable instead: the ``k`` positions are still computed JVM-side
+    (xxhash64 — bit-identical to the build side), and only the word lookup
+    runs in an Arrow-batched vectorized pandas UDF. Same semantics either
+    way: false positives at the configured rate, false negatives never,
+    which is what makes the prefilter + exact-verify composition exact.
     """
     col = F.col(col) if isinstance(col, str) else col
     num_bits = len(bitset) * 64
-    # F.lit(list) -> one array Literal, evaluated once; F.array(*lits)
-    # would re-CreateArray 2048 elements per row per seed (measured 9x).
-    arr = F.lit(list(bitset))
-    cond = F.lit(True)
-    for s in range(k):
-        pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
-        word = F.element_at(arr, (pos / 64).cast("int") + 1)
-        mask = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
-        )
-        cond = cond & (word.bitwiseAND(mask) != 0)
-    return cond
+    if len(bitset) * 8 <= literal_max_bytes:
+        # F.lit(list) -> one array Literal, evaluated once; F.array(*lits)
+        # would re-CreateArray 2048 elements per row per seed (measured 9x).
+        arr = F.lit(list(bitset))
+        cond = F.lit(True)
+        for s in range(k):
+            pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
+            word = F.element_at(arr, (pos / 64).cast("int") + 1)
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+            )
+            cond = cond & (word.bitwiseAND(mask) != 0)
+        return cond
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    bc = SparkSession.getActiveSession().sparkContext.broadcast(
+        np.asarray(bitset, dtype=np.int64).view(np.uint64)
+    )
+
+    def _probe_fn(pos):
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        words = bc.value
+        P = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
+        hit = (words[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    # real class objects (module-level `from __future__ import annotations`
+    # would stringify inline hints and break pandas_udf type inference)
+    _probe_fn.__annotations__ = {"pos": pd.Series, "return": pd.Series}
+    _probe = F.pandas_udf(_probe_fn, "boolean")
+
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
+            for s in range(k)
+        ]
+    )
+    return _probe(positions)
 
 
 def bloom_decontaminate(

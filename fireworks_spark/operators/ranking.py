@@ -562,8 +562,10 @@ def fit_hashed_classifier(
     the current weights (broadcast join on idx — the parameter table is
     ``dim`` rows), then the weight gradient aggregates per idx with
     map-side partials, so the shuffle moves O(dim) rows however large the
-    corpus; the driver holds only the dim-vector. Feature frame persists
-    across epochs (released before returning).
+    corpus; the driver holds only the dim-vector. The bias gradient rides
+    the SAME aggregate as a synthetic idx=-1 row, so each epoch is ONE
+    job (one collect), not two. Feature frame persists across epochs
+    (released before returning).
 
     Returns (weights, bias) for :func:`hashed_score`."""
     import math
@@ -594,17 +596,28 @@ def fit_hashed_classifier(
         )
         grad = (
             feats.join(scored, id_col)
-            .groupBy("idx")
-            .agg(
-                F.sum(
-                    F.col("_err") * F.col("cnt") / F.col("n_tokens")
-                ).alias("_g")
+            .select(
+                "idx",
+                (F.col("_err") * F.col("cnt") / F.col("n_tokens")).alias(
+                    "_c"
+                ),
             )
+            .unionByName(
+                scored.select(
+                    F.lit(-1).cast("long").alias("idx"),
+                    F.col("_err").alias("_c"),
+                )
+            )
+            .groupBy("idx")
+            .agg(F.sum("_c").alias("_g"))
             .collect()
         )
-        gb = scored.agg(F.sum("_err")).collect()[0][0] or 0.0
+        gb = 0.0
         for r in grad:
-            w[r["idx"]] -= lr * r["_g"] / n_docs
+            if r["idx"] == -1:
+                gb = r["_g"] or 0.0
+            else:
+                w[r["idx"]] -= lr * r["_g"] / n_docs
         b -= lr * gb / n_docs
     feats.unpersist()
     return w, b

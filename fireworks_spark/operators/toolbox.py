@@ -631,19 +631,23 @@ def histogram(
     this profiles a 100 TB column at scan speed. All arithmetic is plain
     IEEE double (sub/div/floor — correctly rounded everywhere), making the
     bin assignment engine-portable and oracle-checkable. A max-value row
-    lands in the last bin; a constant column collapses to bin 0.
+    lands in the last bin; a constant column collapses to bin 0. NULL
+    values are excluded entirely (min/max already ignore them; without the
+    filter a null bin expression would silently land in the top bin via
+    least(null, nbins-1), or in bin 0 for constant columns).
     """
     x = F.col(col).cast("double")
+    nn = df.filter(x.isNotNull())
     if by is None:
-        stats = df.agg(
+        stats = nn.agg(
             F.min(x).alias("_mn"), F.max(x).alias("_mx")
         )
-        staged = df.crossJoin(F.broadcast(stats))
+        staged = nn.crossJoin(F.broadcast(stats))
     else:
-        stats = df.groupBy(by).agg(
+        stats = nn.groupBy(by).agg(
             F.min(x).alias("_mn"), F.max(x).alias("_mx")
         )
-        staged = df.join(F.broadcast(stats), by)
+        staged = nn.join(F.broadcast(stats), by)
     width = (F.col("_mx") - F.col("_mn")) / F.lit(float(nbins))
     bin_ = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
         F.least(

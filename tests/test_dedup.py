@@ -188,6 +188,30 @@ def test_bloom_filters_most_non_members(spark):
     assert fp <= 5
 
 
+def test_bloom_broadcast_path_matches_literal_path(spark):
+    """Above literal_max_bytes the probe switches from a plan-embedded
+    array Literal to a broadcast variable + vectorized Arrow lookup;
+    membership decisions must be identical (positions are the same
+    JVM-side xxhash64 either way). Threshold forced to 0 to exercise the
+    broadcast path at test size."""
+    vals = spark.createDataFrame([(i,) for i in range(500)], ["v"])
+    bits = dedup.bloom_bitset(vals, "v", num_bits=1 << 12, k=5)
+    probe = spark.createDataFrame([(i,) for i in range(2000)], ["v"])
+    lit_hits = sorted(
+        r.v
+        for r in probe.where(dedup.bloom_might_contain("v", bits, k=5))
+        .collect()
+    )
+    bc_hits = sorted(
+        r.v
+        for r in probe.where(
+            dedup.bloom_might_contain("v", bits, k=5, literal_max_bytes=0)
+        ).collect()
+    )
+    assert lit_hits == bc_hits
+    assert set(range(500)) <= set(bc_hits)  # no false negatives
+
+
 def test_bloom_decontaminate_equals_exact(spark):
     corpus = spark.createDataFrame(
         [

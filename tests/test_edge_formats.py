@@ -239,6 +239,72 @@ def test_msgpack_roundtrip_file_parallel(spark, small, tmp_path):
     assert got == {(i, i * 1.5, f"name_{i}") for i in range(100)}
 
 
+def test_msgpack_null_in_first_record_roundtrips(spark, tmp_path):
+    """A null cell in the first record must not poison schema inference:
+    the probe walks up to 200 records and skips nulls (the reader used to
+    infer void from the first record and fail on its own writer's file)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None)], "id long, s string"
+    ).coalesce(1)
+    p = str(tmp_path / "mp_nullfirst")
+    ef.write_msgpack(df, p)
+    back = {r.id: r.s for r in ef.read_msgpack(spark, p).collect()}
+    assert back == {1: None, 2: "b", 3: None}
+    assert dict(ef.read_msgpack(spark, p).dtypes)["s"] == "string"
+
+
+def test_msgpack_all_null_column_falls_back_to_string(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, s string"
+    ).coalesce(1)
+    p = str(tmp_path / "mp_allnull")
+    ef.write_msgpack(df, p)
+    back = ef.read_msgpack(spark, p)
+    assert dict(back.dtypes)["s"] == "string"
+    assert {r.s for r in back.collect()} == {None}
+
+
+def test_msgpack_decodes_foreign_encoder_type_bytes():
+    """Standard encoders pick the narrowest representation (str8, uint8,
+    int16, bin8, float32, array16, map16...); the decoder must accept the
+    whole scalar/bin family, not just the bytes write_msgpack emits."""
+    import struct
+
+    cases = [
+        (b"\xcc\xff", 255),                       # uint8
+        (b"\xcd\x01\x00", 256),                   # uint16
+        (b"\xce\x00\x01\x00\x00", 65536),         # uint32
+        (b"\xcf" + struct.pack(">Q", 2**40), 2**40),   # uint64
+        (b"\xd0\x80", -128),                      # int8
+        (b"\xd1\xff\x00", -256),                  # int16
+        (b"\xd2" + struct.pack(">i", -70000), -70000),  # int32
+        (b"\xd9\x03abc", "abc"),                  # str8
+        (b"\xc4\x02\x00\x01", b"\x00\x01"),       # bin8
+        (b"\xc5\x00\x02\xab\xcd", b"\xab\xcd"),   # bin16
+        (b"\xca" + struct.pack(">f", 1.5), 1.5),  # float32
+        (b"\xdc\x00\x02\x01\x02", [1, 2]),        # array16
+        (b"\xde\x00\x01\xa1k\x05", {"k": 5}),     # map16
+    ]
+    for raw, want in cases:
+        got, pos = ef._mp_unpack(raw, 0)
+        assert got == want and pos == len(raw), (raw, got)
+
+
+def test_excel_strips_xml_invalid_control_chars(spark, tmp_path):
+    """XML 1.0 forbids most C0 controls even escaped; crawl text containing
+    them must still write a file read_excel can parse (controls stripped,
+    like openpyxl). Tab/newline are legal and must survive."""
+    df = spark.createDataFrame(
+        [(1, "bad\x00ctl\x07here"), (2, "keep\ttab\nline")],
+        "id long, s string",
+    )
+    p = str(tmp_path / "xlsx_ctl")
+    ef.write_excel(df, p)
+    back = {r.id: r.s for r in ef.read_excel(spark, p).collect()}
+    assert back[1] == "badctlhere"
+    assert back[2] == "keep\ttab\nline"
+
+
 def test_msgpack_nulls_arrays_unicode(spark, tmp_path):
     df = spark.createDataFrame(
         [

@@ -331,6 +331,19 @@ def test_histogram_constant_column_single_bin(spark):
     assert len(rows) == 1 and rows[0].bin == 0 and rows[0].cnt == 7
 
 
+def test_histogram_excludes_nulls(spark):
+    # nulls must not inflate any bin (they used to land in the top bin via
+    # least(null, nbins-1), and in bin 0 for constant columns)
+    d = spark.createDataFrame(
+        [(1.0,), (None,), (5.5,), (None,), (10.0,)], "x double"
+    )
+    out = {r.bin: r.cnt for r in toolbox.histogram(d, "x", nbins=2).collect()}
+    assert out == {0: 1, 1: 2}
+    const = spark.createDataFrame([(5.0,), (None,), (5.0,)], "x double")
+    rows = toolbox.histogram(const, "x", nbins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].cnt == 2
+
+
 def test_histogram_grouped_bounds_are_per_group(spark):
     d = spark.createDataFrame(
         [("a", 0.0), ("a", 10.0), ("b", 100.0), ("b", 200.0)], "g string, x double"
