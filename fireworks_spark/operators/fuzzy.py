@@ -2,29 +2,30 @@
 
 Blocking is the whole problem at scale: a naive fuzzy join is a cartesian
 product with a levenshtein filter. The deletion-neighborhood trick
-(the SymSpell blocking scheme, public domain) makes edit-distance <= 1
-joins EXACT with a plain equi-join: for every string emit the string plus
-its |s| one-character-deletion variants; two strings at edit distance <= 1
-(one substitution, insertion, or deletion) ALWAYS share at least one
-variant — s itself for equality, the deletion result for insert/delete,
-and the common del-1 variant for substitution. So:
+(the SymSpell blocking scheme, public domain) makes edit-distance <= k
+joins EXACT with a plain equi-join: for every string emit every variant
+obtainable by at most k character deletions; if levenshtein(a, b) <= k
+then (take an optimal alignment, delete from each side the characters it
+does not match identically) some string is reachable from BOTH a and b by
+at most k deletions, so the two neighborhoods intersect. So:
 
 - candidate generation = equi-join on the variant key: each side explodes
-  to |s|+1 narrow (id, key) rows; the shuffle is a hash join on selective
-  whole-string-shaped keys (no df-cap needed — key frequency is bounded by
-  genuine near-duplicate mass, not by vocabulary);
+  to O(|s|^k) narrow (id, key) rows; the shuffle is a hash join on
+  selective whole-string-shaped keys (no df-cap needed — key frequency is
+  bounded by genuine near-duplicate mass, not by vocabulary);
 - verification = the built-in JVM ``levenshtein`` on the candidate pairs
   only (insert/delete/substitute each cost 1, the same definition DuckDB's
-  ``levenshtein`` uses — which is what makes q127 value-checkable);
+  ``levenshtein`` uses — which is what makes q127/q143 value-checkable);
 - recall is exactly 1 by construction — unlike n-gram blocking there is no
   capped-posting miss case to argue about.
 
-Cost: |s|+1 keys per row per side. The 100 TB shape is two narrow
-explodes, one equi-join, one distinct, one small verify join — every step
-shuffles on a key, nothing is quadratic. Higher radii (k deletions for
-distance k) square the key count per level; k=1 covers the
-dirty-data-to-canonical join this exists for, and larger radii should use
-the n-gram/minhash candidates in operators/dedup.py instead.
+Cost: |s|+1 keys per row per side at k=1; ~|s|^2/2 at k=2 (each level
+multiplies by the remaining length — the reason SymSpell dictionaries cap
+at distance 2). The 100 TB shape is two narrow explodes, one equi-join,
+one distinct, one small verify join — every step shuffles on a key,
+nothing is quadratic in the row count. Radii above 2 square the key count
+again and should use the n-gram/minhash candidates in operators/dedup.py
+instead (explicitly refused below).
 """
 
 from __future__ import annotations
@@ -33,18 +34,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _deletion_keys(s: F.Column) -> F.Column:
-    """array<string>: the string plus all one-character-deletion variants.
-    ``s`` must be a projected attribute (not an inline expression) — it is
-    referenced once per deletion inside the lambda, and expressions inside
-    one Project share nothing (see BASELINE.md on HOF-lambda CSE)."""
-    dels = F.transform(
+def _deletions(s: F.Column) -> F.Column:
+    """array<string>: all one-character-deletion variants of ``s``.
+    ``s`` must be a projected attribute or lambda variable (not an inline
+    expression) — it is referenced once per deletion inside the lambda,
+    and expressions inside one Project share nothing (see BASELINE.md on
+    HOF-lambda CSE)."""
+    return F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.concat(
             s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))
         ),
     )
-    return F.array_append(dels, s)
+
+
+def _deletion_keys(s: F.Column, max_dist: int = 1) -> F.Column:
+    """array<string>: the string plus every variant obtainable by at most
+    ``max_dist`` (1 or 2) character deletions, de-duplicated."""
+    d1 = _deletions(s)
+    if max_dist == 1:
+        return F.array_distinct(F.array_append(d1, s))
+    # depth 2: delete one more character from every depth-1 variant.
+    # (sequence(1, 0) on an empty variant descends through 0 and emits the
+    # empty string again — harmless, array_distinct collapses it.)
+    d2 = F.flatten(F.transform(d1, _deletions))
+    return F.array_distinct(F.concat(d2, d1, F.array(s)))
 
 
 def fuzzy_join(
@@ -57,12 +71,13 @@ def fuzzy_join(
     max_dist: int = 1,
 ) -> DataFrame:
     """Exact edit-distance join: (left_id, right_id, dist) for every pair
-    with levenshtein(left_text, right_text) <= max_dist. Only max_dist=1
-    has the exact deletion-neighborhood blocking; see module docstring."""
-    if max_dist != 1:
+    with levenshtein(left_text, right_text) <= max_dist. max_dist of 1 or
+    2 has the exact deletion-neighborhood blocking; see module docstring."""
+    if max_dist not in (1, 2):
         raise NotImplementedError(
-            "deletion-neighborhood blocking is exact for max_dist=1 only; "
-            "use dedup.jaccard_pairs / minhash for looser similarity"
+            "deletion-neighborhood blocking is exact for max_dist in "
+            "(1, 2) only; use dedup.jaccard_pairs / minhash for looser "
+            "similarity"
         )
     L = left.select(
         F.col(left_id).alias("lid"), F.col(left_text).alias("ls")
@@ -70,21 +85,35 @@ def fuzzy_join(
     R = right.select(
         F.col(right_id).alias("rid"), F.col(right_text).alias("rs")
     )
-    lk = L.select(
-        "lid", "ls", F.explode(_deletion_keys(F.col("ls"))).alias("key")
-    )
-    rk = R.select(
-        "rid", "rs", F.explode(_deletion_keys(F.col("rs"))).alias("key")
-    )
-    cand = (
-        lk.join(rk, "key")
-        .select("lid", "rid")
+    # Block on DISTINCT strings, not rows: duplicated strings (the common
+    # case in entity resolution — and the adversarial case for any
+    # blocking scheme, since identical strings share EVERY key) would
+    # multiply candidate-join group sizes quadratically in the duplication
+    # factor. Distinct-first makes candidate generation and the
+    # levenshtein verify independent of duplication; the verified
+    # distinct (ls, rs) pairs then expand back to id pairs with two plain
+    # equi-joins. Measured: 16x-replicated part names, dist=2 — 157s
+    # row-level blocking vs 8s distinct-first (tools/scaling_probe_fuzzy).
+    lk = (
+        L.select("ls")
         .distinct()
+        .select(
+            "ls", F.explode(_deletion_keys(F.col("ls"), max_dist)).alias("key")
+        )
+    )
+    rk = (
+        R.select("rs")
+        .distinct()
+        .select(
+            "rs", F.explode(_deletion_keys(F.col("rs"), max_dist)).alias("key")
+        )
     )
     dist = F.levenshtein(F.col("ls"), F.col("rs"))
-    return (
-        cand.join(L, "lid")
-        .join(R, "rid")
-        .select("lid", "rid", dist.alias("dist"))
+    verified = (
+        lk.join(rk, "key")
+        .select("ls", "rs")
+        .distinct()
+        .select("ls", "rs", dist.alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+    return verified.join(L, "ls").join(R, "rs").select("lid", "rid", "dist")

@@ -363,6 +363,43 @@ def q127_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-2 join (operators/fuzzy.py, two-level SymSpell
+    deletion-neighborhood blocking — recall exactly 1, no cartesian
+    product): every 20th part name with its 3rd character deleted and then
+    the 7th character of the result deleted (edit distance <= 2 from the
+    canonical) resolved back against the full name table. The oracle is
+    the BRUTE-FORCE levenshtein join in DuckDB, so blocking completeness
+    (recall 1 at radius 2) and the distances are both driver-checked
+    against ground truth."""
+    from fireworks_spark.operators.fuzzy import fuzzy_join
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower("p_name").alias("nm")
+    )
+    d1 = p.filter(F.col("p_partkey") % 20 == 0).select(
+        "p_partkey",
+        F.concat(
+            F.col("nm").substr(F.lit(1), F.lit(2)),
+            F.col("nm").substr(F.lit(4), F.length("nm")),
+        ).alias("s"),
+    )
+    damaged = d1.select(
+        "p_partkey",
+        F.concat(
+            F.col("s").substr(F.lit(1), F.lit(6)),
+            F.col("s").substr(F.lit(8), F.length("s")),
+        ).alias("dm"),
+    )
+    return (
+        fuzzy_join(
+            damaged, p, "p_partkey", "p_partkey", "dm", "nm", max_dist=2
+        )
+        .select("lid", "rid", F.col("dist").cast("long").alias("dist"))
+        .orderBy("lid", "rid")
+    )
+
+
 def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix of the embedding column as (i, j, cov)
     rows — the whitening statistic. Each Arrow batch collapses to one
@@ -700,6 +737,7 @@ PIPELINE_QUERIES = {
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
     "q119_pq_adc_topk": q119_pq_adc_topk,
     "q127_fuzzy_join": q127_fuzzy_join,
+    "q143_fuzzy_join_dist2": q143_fuzzy_join_dist2,
     "q128_ivfpq_topk": q128_ivfpq_topk,
     "q103_semdedup": q103_semdedup,
     "q105_embedding_covariance": q105_embedding_covariance,
@@ -1268,6 +1306,24 @@ PIPELINE_ORACLE = {
                CAST(levenshtein(d.ls, p.rs) AS BIGINT) AS dist
         FROM cand c JOIN D d USING (lid) JOIN P p USING (rid)
         WHERE levenshtein(d.ls, p.rs) <= 1
+        ORDER BY lid, rid
+    """,
+    # q143: the oracle is the BRUTE-FORCE levenshtein join — ground truth
+    # for the two-level deletion blocking (recall must be exactly 1).
+    "q143_fuzzy_join_dist2": """
+        WITH P AS (
+            SELECT p_partkey AS rid, lower(p_name) AS rs FROM part
+        ), D1 AS (
+            SELECT p_partkey AS lid,
+                   substr(lower(p_name), 1, 2) || substr(lower(p_name), 4)
+                   AS s
+            FROM part WHERE p_partkey % 20 = 0
+        ), D AS (
+            SELECT lid, substr(s, 1, 6) || substr(s, 8) AS ls FROM D1
+        )
+        SELECT d.lid, p.rid,
+               CAST(levenshtein(d.ls, p.rs) AS BIGINT) AS dist
+        FROM D d JOIN P p ON levenshtein(d.ls, p.rs) <= 2
         ORDER BY lid, rid
     """,
     "q37_text_token_stats": f"""

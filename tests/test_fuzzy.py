@@ -71,7 +71,44 @@ def test_fuzzy_join_planted_perturbation(spark, sf_dir):
     assert len(hits) == n  # every damaged row finds its source
 
 
+def test_fuzzy_join_dist2_equals_bruteforce(spark):
+    """Two-deletion neighborhood blocking must be EXACT at distance 2:
+    same pairs and distances as the brute-force join, nothing missed."""
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(WORDS)], "id long, w string"
+    )
+    got = {
+        (r.lid, r.rid): r.dist
+        for r in fuzzy_join(df, df, "id", "id", "w", "w", max_dist=2).collect()
+    }
+    want = {
+        (i, j): _lev(a, b)
+        for (i, a), (j, b) in itertools.product(enumerate(WORDS), repeat=2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+    # distance-exactly-2 pairs must be present (the new capability):
+    assert any(d == 2 for d in got.values())
+
+
+def test_fuzzy_join_dist2_short_and_empty_strings(spark):
+    """Length <= 2 strings exercise the empty-variant corner of the
+    2-deletion neighborhood (sequence(1,0) descending)."""
+    rows = [(0, ""), (1, "a"), (2, "ab"), (3, "ba"), (4, "abc"), (5, "xy")]
+    df = spark.createDataFrame(rows, "id long, w string")
+    got = {
+        (r.lid, r.rid): r.dist
+        for r in fuzzy_join(df, df, "id", "id", "w", "w", max_dist=2).collect()
+    }
+    want = {
+        (i, j): _lev(a, b)
+        for (i, a), (j, b) in itertools.product(rows, repeat=2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+
+
 def test_fuzzy_join_rejects_wider_radius(spark):
     df = spark.createDataFrame([(0, "x")], "id long, w string")
     with pytest.raises(NotImplementedError):
-        fuzzy_join(df, df, "id", "id", "w", "w", max_dist=2)
+        fuzzy_join(df, df, "id", "id", "w", "w", max_dist=3)

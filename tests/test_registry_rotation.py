@@ -77,6 +77,24 @@ def _coverage_rows() -> dict:
     return rows
 
 
+def test_plans_md_audits_every_registry_query():
+    """PLANS.md (tools/plan_audit.py output) must cover exactly the
+    registry — a new query without a regenerated audit fails here, keeping
+    the no-cartesian claim complete — and no row may carry the CART! or
+    ERR flags."""
+    rows = {}
+    for line in (REPO / "PLANS.md").read_text().splitlines():
+        m = re.match(r"\|\s*(q\d+\w*)\s*\|(.*)", line)
+        if m:
+            rows[m.group(1)] = m.group(2)
+    assert set(rows) == set(QUERIES), (
+        f"PLANS.md missing {sorted(set(QUERIES) - set(rows))}, "
+        f"extra {sorted(set(rows) - set(QUERIES))} — rerun tools/plan_audit.py"
+    )
+    flagged = [q for q, r in rows.items() if "CART!" in r or "ERR" in r]
+    assert not flagged, f"PLANS.md flags: {flagged}"
+
+
 def test_coverage_md_query_table_matches_registry():
     """COVERAGE.md's declared-query table: one row per registry query, and
     the oracle column ('DuckDB SQL' vs 'rows-only ...') must match actual
