@@ -166,3 +166,25 @@ def test_hashed_score_plan_is_single_stage(spark, sf_dir):
     plan = _plan(QUERIES["q136_hashed_score"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Join" not in plan and "MapInPandas" not in plan
+
+
+def test_vocab_topk_plan_single_shuffle_take_ordered(spark, sf_dir):
+    """q41 (explode + count + top-k) pinned after the r5 bench flagged a
+    0.35->0.72s swing (re-timed at ~0.43s warm — noise): exactly one data
+    shuffle (hash on token for the count; AQE may add coalesce reads, not
+    new exchanges), the limit folded into TakeOrderedAndProject, partial
+    aggregation below the exchange, no window, no join."""
+    plan = _plan(QUERIES["q41_vocab_topk"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_fuzzy_join_plans_equi_join_only(spark, sf_dir):
+    """Both fuzzy radii must stay pure equi-join pipelines: deletion-key
+    blocking, no cartesian product, no nested-loop join."""
+    for q in ("q127_fuzzy_join", "q143_fuzzy_join_dist2"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
