@@ -483,6 +483,60 @@ def q125_genbank_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q144_embl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBL source end-to-end: flat-file records synthesized from
+    documents (ID/AC/DE/DR/SQ line codes + count-suffixed sequence lines),
+    written as text parts, re-read with the '\\n//' record scan. Sequences
+    use the same letters-only md5 encoding as q125; the DR line carries
+    the raw md5 hex so the dbxref parse is value-checked too. Id
+    precedence (accession.SV), entry name, folded DE lines, dbxrefs and
+    sequence reassembly are all oracle-checked."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_embl
+
+    d = table(spark, sf_dir, "documents")
+    seq = F.translate(
+        F.md5(F.col("text").cast("binary")), "0123456789", "ghijklmnop"
+    )
+    rec = F.concat(
+        F.lit("ID   DOC"),
+        F.col("doc_id").cast("string"),
+        F.lit("; SV 1; linear; DNA; STD; UNC; 32 BP.\nAC   A"),
+        F.col("doc_id").cast("string"),
+        F.lit(";\nDE   synthetic record\nDE   "),
+        F.col("doc_id").cast("string"),
+        F.lit(".\nDR   MD5; "),
+        F.md5(F.col("text").cast("binary")),
+        F.lit(".\nSQ   Sequence 32 BP;\n     "),
+        F.substring(seq, 1, 16),
+        F.lit(" "),
+        F.substring(seq, 17, 16),
+        F.lit("        32\n//"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_embl_")
+    path = f"{tmp}/embl"
+    try:
+        d.select(rec.alias("value")).repartition(8).write.text(path)
+        back = read_embl(spark, path)
+        return (
+            back.select(
+                F.regexp_replace("ids", r"^A|\.1$", "")
+                .cast("long")
+                .alias("doc_id"),
+                F.col("names").alias("entry"),
+                F.col("descriptions").alias("descr"),
+                F.col("sequences").alias("seq"),
+                F.element_at("dbxrefs", 1).alias("xref"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q126_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink with declared schema on re-read: unicode and
     quote-bearing strings survive the JSON escaping loop; aggregated
@@ -526,6 +580,7 @@ def q126_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 DATABASE_QUERIES = {
     "q118_transaction_semantics": q118_transaction_semantics,
     "q125_genbank_roundtrip": q125_genbank_roundtrip,
+    "q144_embl_roundtrip": q144_embl_roundtrip,
     "q126_json_roundtrip": q126_json_roundtrip,
     "q123_orc_roundtrip": q123_orc_roundtrip,
     "q124_csv_roundtrip": q124_csv_roundtrip,
@@ -546,6 +601,13 @@ DATABASE_ORACLE = {
         "SELECT doc_id, 'DOC' || doc_id AS locus, "
         "'synthetic record ' || doc_id || '.' AS descr, "
         "upper(translate(md5(text), '0123456789', 'ghijklmnop')) AS seq "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q144_embl_roundtrip": (
+        "SELECT doc_id, 'DOC' || doc_id AS entry, "
+        "'synthetic record ' || doc_id || '.' AS descr, "
+        "upper(translate(md5(text), '0123456789', 'ghijklmnop')) AS seq, "
+        "'MD5; ' || md5(text) AS xref "
         "FROM documents ORDER BY doc_id"
     ),
     "q126_json_roundtrip": (

@@ -149,13 +149,70 @@ def read_genbank(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_embl(spark: SparkSession, path: str) -> DataFrame:
+    """One row per EMBL flat-file record (BioSeqPipe filetype='embl').
+
+    EMBL records terminate with ``//`` exactly like GenBank, so the same
+    ``lineSep='\\n//'`` record scan applies (splittable, distributed);
+    fields live on two-letter line codes, extracted with JVM regexps:
+
+    - names: the ID line's entry name (SeqRecord.name)
+    - ids: accession.SV-version when both are present (SeqIO's record.id
+      for EMBL), else the first AC accession, else the entry name
+    - descriptions: DE lines folded to single spaces
+    - sequences: everything after the SQ header line, letters only,
+      uppercased (EMBL sequence lines carry trailing base counts; the
+      letters-only strip removes them with the whitespace)
+    - dbxrefs: DR lines, prefix and trailing period stripped (one
+      "DB; id" string per line, mirroring how SeqIO fills dbxrefs)
+    """
+    raw = spark.read.text(path, lineSep="\n//")
+    rec = F.col("value")
+    entry = F.regexp_extract(rec, r"(?m)^ID\s+([^;\s]+)", 1)
+    sv = F.regexp_extract(rec, r"(?m)^ID\s+[^;]*;\s*SV\s+(\d+)", 1)
+    acc = F.regexp_extract(rec, r"(?m)^AC\s+([^;\s]+)", 1)
+
+    def _code_lines(code: str) -> F.Column:
+        # records are a few hundred bytes, so re-splitting per reference
+        # is bounded (unlike the wholetext FASTQ case in read_fastq)
+        return F.transform(
+            F.filter(
+                F.split(rec, "\n"), lambda l: l.rlike(f"^{code}\\s")
+            ),
+            lambda l: F.trim(F.regexp_replace(l, f"^{code}\\s+", "")),
+        )
+
+    descriptions = F.array_join(_code_lines("DE"), " ")
+    dbxrefs = F.transform(
+        _code_lines("DR"), lambda s: F.regexp_replace(s, r"\.$", "")
+    )
+    seq_tail = F.regexp_extract(rec, r"(?s)\nSQ[^\n]*\n(.*)", 1)
+    has = lambda c: c != ""  # noqa: E731
+    return (
+        raw.filter(rec.rlike(r"(?m)^ID\s"))
+        .select(
+            F.when(
+                has(acc) & has(sv), F.concat(acc, F.lit("."), sv)
+            )
+            .otherwise(F.coalesce(F.nullif(acc, F.lit("")), entry))
+            .alias("ids"),
+            entry.alias("names"),
+            F.trim(descriptions).alias("descriptions"),
+            F.upper(
+                F.regexp_replace(seq_tail, r"[^A-Za-z]", "")
+            ).alias("sequences"),
+            dbxrefs.alias("dbxrefs"),
+        )
+    )
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
-    filetype=...) (pipes.py:33). Supported: fasta, fastq, genbank; other
-    SeqIO formats (embl, abi, ...) need their own record-delimiter parses
-    and raise until someone needs them."""
+    filetype=...) (pipes.py:33). Supported: fasta, fastq, genbank, embl;
+    other SeqIO formats (abi, sff, ...) need their own record-delimiter
+    parses and raise until someone needs them."""
     ft = filetype.lower()
     if ft == "fasta":
         return read_fasta(spark, path)
@@ -163,8 +220,10 @@ def read_bioseq(
         return read_fastq(spark, path)
     if ft in ("genbank", "gb"):
         return read_genbank(spark, path)
+    if ft == "embl":
+        return read_embl(spark, path)
     raise NotImplementedError(
-        f"filetype {filetype!r}: only fasta, fastq and genbank have "
+        f"filetype {filetype!r}: only fasta, fastq, genbank and embl have "
         "distributed parses (reference BioSeqPipe accepts any Bio.SeqIO "
         "format)"
     )

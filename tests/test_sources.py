@@ -83,7 +83,66 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        read_bioseq(spark, str(p), "embl")
+        read_bioseq(spark, str(p), "abi")
+
+
+EMBL_FIXTURE = """ID   X56734; SV 1; linear; mRNA; STD; PLN; 1859 BP.
+AC   X56734; S46826;
+DE   Trifolium repens mRNA for non-cyanogenic beta-glucosidase,
+DE   partial sequence.
+KW   beta-glucosidase.
+OS   Trifolium repens (white clover)
+DR   MD5; 1e51ca3a5450c43524b9185c236cc5cc.
+DR   Ensembl-Gn; ENSG00000139618.
+SQ   Sequence 120 BP; 34 A; 28 C; 27 G; 31 T; 0 other;
+     aaacaaacca aatatggatt ttattgtagc catatttgct ctgtttgtta ttagctcatt        60
+     cacaattact tccacaaatg cagttgaagc ttctactctt cttgacatag gtaacctgag       120
+//
+ID   HE1000; SV 3; linear; DNA; STD; ROD; 24 BP.
+AC   HE1000;
+DE   Mini record.
+SQ   Sequence 24 BP;
+     acgtacgtac gtacgtacgt acgt        24
+//
+ID   NOVER;
+AC   ;
+DE   No-version record.
+SQ   Sequence 4 BP;
+     acgt        4
+//
+"""
+
+
+def test_embl_parse(spark, tmp_path):
+    """EMBL flat-file records via the same '\\n//' record delimiter as
+    GenBank: ID entry name, accession.SV-precedence id, folded multi-line
+    DE, DR dbxrefs (trailing period stripped), count-suffixed sequence
+    lines reduced to letters."""
+    from fireworks_spark.sources import read_bioseq, read_embl
+
+    p = tmp_path / "t.embl"
+    p.write_text(EMBL_FIXTURE)
+    rows = {r.names: r for r in read_embl(spark, str(p)).collect()}
+    assert set(rows) == {"X56734", "HE1000", "NOVER"}
+    r1 = rows["X56734"]
+    assert r1.ids == "X56734.1"
+    assert r1.descriptions == (
+        "Trifolium repens mRNA for non-cyanogenic beta-glucosidase, "
+        "partial sequence."
+    )
+    assert r1.sequences.startswith("AAACAAACCAAATATGGATT")
+    assert len(r1.sequences) == 120
+    assert r1.dbxrefs == [
+        "MD5; 1e51ca3a5450c43524b9185c236cc5cc",
+        "Ensembl-Gn; ENSG00000139618",
+    ]
+    r2 = rows["HE1000"]
+    assert r2.ids == "HE1000.3"
+    assert r2.sequences == "ACGTACGTACGTACGTACGTACGT"
+    assert r2.dbxrefs == []
+    # no SV / empty AC falls back to the entry name
+    assert rows["NOVER"].ids == "NOVER"
+    assert read_bioseq(spark, str(p), "embl").count() == 3
 
 
 GENBANK_FIXTURE = """LOCUS       SCU49845     5028 bp    DNA             PLN       21-JUN-1999
