@@ -1540,6 +1540,97 @@ def minhash_signatures_rowwise(
     return sets.select(id_col, *sig)
 
 
+def substring_dedup(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_hash: bool = True,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022, arXiv:2107.06499 — the
+    companion to :func:`chunk_dup_stats`, which only measures): delete
+    from every document each token covered by a ``k``-token window whose
+    exact text occurs EARLIER in corpus order (earlier (id, position), so
+    exactly one occurrence of every duplicated span survives — the
+    suffix-array dedup's keep-first policy at token-window granularity).
+    Overlapping duplicated windows merge into maximal removed spans
+    automatically because coverage is per-position. Documents shorter than
+    ``k`` tokens are untouched. Text is compared and reassembled in
+    normalized form (lower/trim/single-space — functions.text.words), the
+    corpus-dedup convention shared with line_dedup.
+
+    Returns (id_col, text — deduped, n_removed — tokens dropped).
+
+    Scale (vs the paper's suffix array, which needs a global sorted
+    structure): window enumeration is a pure generate stage — stride-1
+    windows cost k hashed tokens per input token, all inside whole-stage
+    codegen before anything moves; only the narrow (key, id, pos) table
+    shuffles (one hash per window with ``use_hash``, 8-byte keys). First
+    occurrences come from one min-struct aggregate on the window key
+    (partial map-side: a viral boilerplate span arrives pre-collapsed per
+    task); coverage explodes redundant occurrences back to k positions
+    and anti-joins the token table; reassembly is one groupBy(id) sort of
+    kept (pos, token) pairs — shuffle bounded by surviving tokens.
+    ``use_hash=False`` keys on the window text itself (what the SQL
+    oracle can re-derive; the hash path risks one 64-bit collision per
+    ~1e19 window pairs — tests assert both paths agree)."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("_id"), words(text_col).alias("_w")
+    )
+    n = F.size("_w")
+    starts = F.when(
+        n >= k, F.sequence(F.lit(0), n - k)
+    ).otherwise(F.array().cast("array<int>"))
+    win = F.array_join(F.slice("_w", F.col("_p") + 1, k), " ")
+    occ = (
+        toks.select("_id", "_w", F.explode(starts).alias("_p"))
+        .select(
+            "_id",
+            "_p",
+            (F.xxhash64(win) if use_hash else win).alias("_key"),
+        )
+    )
+    firsts = occ.groupBy("_key").agg(
+        F.min(F.struct(F.col("_id"), F.col("_p"))).alias("_f"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    redundant = (
+        occ.join(firsts.filter(F.col("_cnt") >= 2), "_key")
+        .filter(
+            (F.col("_id") != F.col("_f._id")) | (F.col("_p") != F.col("_f._p"))
+        )
+        .select("_id", "_p")
+    )
+    covered = redundant.select(
+        "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + k - 1)).alias("_pos")
+    ).distinct()
+    tokpos = toks.select("_id", F.posexplode("_w").alias("_pos", "_tok"))
+    kept = tokpos.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_tok")))
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    sizes = toks.select("_id", n.alias("_n"))
+    return (
+        sizes.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def chunk_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -363,6 +363,18 @@ def q127_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (dedup.substring_dedup, k=20): every token
+    covered by a 20-token window duplicating an earlier-(id,pos) window is
+    deleted corpus-wide — the Lee et al. 2022 dedup as an actual rewrite,
+    not just the q110 statistic. Declared with use_hash=False so the
+    window keys are the literal window texts and the oracle re-derives
+    first-occurrence ranking, span coverage and document reassembly in
+    SQL; the xxhash64 scale path is asserted equal in test_dedup."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.substring_dedup(d, k=20, use_hash=False).orderBy("doc_id")
+
+
 def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance-2 join (operators/fuzzy.py, two-level SymSpell
     deletion-neighborhood blocking — recall exactly 1, no cartesian
@@ -738,6 +750,7 @@ PIPELINE_QUERIES = {
     "q119_pq_adc_topk": q119_pq_adc_topk,
     "q127_fuzzy_join": q127_fuzzy_join,
     "q143_fuzzy_join_dist2": q143_fuzzy_join_dist2,
+    "q145_substring_dedup": q145_substring_dedup,
     "q128_ivfpq_topk": q128_ivfpq_topk,
     "q103_semdedup": q103_semdedup,
     "q105_embedding_covariance": q105_embedding_covariance,
@@ -1307,6 +1320,43 @@ PIPELINE_ORACLE = {
         FROM cand c JOIN D d USING (lid) JOIN P p USING (rid)
         WHERE levenshtein(d.ls, p.rs) <= 1
         ORDER BY lid, rid
+    """,
+    # q145: first-occurrence ranking of every 20-token window, coverage of
+    # redundant occurrences, and per-document reassembly re-derived in SQL.
+    "q145_substring_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS w FROM documents
+        ), occ AS (
+          SELECT doc_id, t.p,
+                 array_to_string(w[t.p + 1 : t.p + 20], ' ') AS key
+          FROM toks, unnest(range(0, len(w) - 19)) t(p)
+        ), red AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY doc_id, p) AS rn
+            FROM occ
+          ) WHERE rn > 1
+        ), cov AS (
+          SELECT DISTINCT doc_id, p + u.i AS pos, TRUE AS c
+          FROM red, unnest(range(0, 20)) u(i)
+        ), tokpos AS (
+          SELECT doc_id, t.i - 1 AS pos, w[t.i] AS tok
+          FROM toks, unnest(range(1, len(w) + 1)) t(i)
+        ), kept AS (
+          SELECT tp.doc_id, tp.pos, tp.tok
+          FROM tokpos tp
+          LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+          WHERE cov.c IS NULL
+        ), reb AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, COALESCE(r.text, '') AS text,
+               CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN reb r USING (doc_id)
+        ORDER BY t.doc_id
     """,
     # q143: the oracle is the BRUTE-FORCE levenshtein join — ground truth
     # for the two-level deletion blocking (recall must be exactly 1).

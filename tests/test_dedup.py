@@ -310,6 +310,46 @@ def test_line_dedup_keeps_first_occurrence_only(spark):
     }
 
 
+def test_substring_dedup_removes_repeated_spans(spark):
+    """ExactSubstr removal with k=3: the duplicated 3-token span survives
+    only at its first (id, pos) occurrence; overlapping duplicate windows
+    merge into one maximal removed span; short docs untouched."""
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "intro text the quick brown fox jumps away"),  # 5-token dup span
+            (3, "tiny doc"),                                   # < k, untouched
+            (4, "the quick brown"),                            # exactly one dup window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup.substring_dedup(d, k=3).collect()
+    }
+    # doc 2: windows over 'the quick brown fox jumps' all duplicate doc 1's
+    # -> positions 2..6 covered, keeping 'intro text' and 'away'
+    assert out[1] == ("the quick brown fox jumps over it", 0)
+    assert out[2] == ("intro text away", 5)
+    assert out[3] == ("tiny doc", 0)
+    assert out[4] == ("", 3)
+
+
+def test_substring_dedup_hash_path_matches_string_path(spark, docs):
+    a = dedup.substring_dedup(docs, k=8, use_hash=True).orderBy("doc_id")
+    b = dedup.substring_dedup(docs, k=8, use_hash=False).orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_substring_dedup_in_doc_repeats(spark):
+    """A span repeated inside ONE document keeps only its first copy."""
+    d = spark.createDataFrame(
+        [(1, "a b c x y a b c z w")], "doc_id long, text string"
+    )
+    out = dedup.substring_dedup(d, k=3).collect()[0]
+    assert out["text"] == "a b c x y z w" and out["n_removed"] == 3
+
+
 def test_rowwise_minhash_equals_grouped_minhash(docs):
     a = dedup.minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
     b = dedup.minhash_signatures_rowwise(docs, num_hashes=8).orderBy("doc_id")
