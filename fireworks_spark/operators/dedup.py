@@ -663,31 +663,32 @@ def simhash64(
     return hashed.mapInPandas(_sign, f"{id_col} long, simhash long")
 
 
-def simhash_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
+def hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    token_hash=None,
+    sig_col: str = "simhash",
+    num_bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming via band blocking
-    sized by the pigeonhole bound: max_hamming+1 bands guarantee a pair
-    within the Hamming budget agrees exactly on at least one band (fewer
-    bands would silently lose recall — a fixed 4-band split is only valid
-    for max_hamming <= 3). Candidates meet on an equi-join key, then
-    bit_count(xor) verifies exactly."""
-    sig = simhash64(df, id_col, text_col, token_hash=token_hash)
+    """(ida, idb, hamming) pairs with Hamming(signature) <= max_hamming
+    via band blocking sized by the pigeonhole bound: max_hamming+1 bands
+    guarantee a pair within the Hamming budget agrees exactly on at least
+    one band (fewer bands would silently lose recall). Candidates meet on
+    an equi-join key, then bit_count(xor) verifies exactly. Shared by
+    simhash_pairs (text) and multimodal.media_dup_pairs (bytes)."""
     nb = max_hamming + 1
-    if nb > 64:
-        raise ValueError("max_hamming must be < 64")
-    # distribute 64 bits over nb bands as evenly as possible
-    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    if nb > num_bits:
+        raise ValueError("max_hamming must be < num_bits")
+    # distribute num_bits over nb bands as evenly as possible
+    widths = [
+        num_bits // nb + (1 if i < num_bits % nb else 0) for i in range(nb)
+    ]
     offsets = [sum(widths[:i]) for i in range(nb)]
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftright("simhash", offsets[i])
+                F.shiftright(sig_col, offsets[i])
                 .bitwiseAND(F.lit((1 << widths[i]) - 1))
                 .alias("band_key"),
             )
@@ -696,14 +697,21 @@ def simhash_pairs(
     )
     bands = sig.select(
         F.col(id_col).alias("id"),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.explode(band_structs).alias("bd"),
-    ).select("id", "simhash", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_key").alias("band_key"))
+    ).select(
+        "id",
+        "_sig",
+        F.col("bd.band_idx").alias("band_idx"),
+        F.col("bd.band_key").alias("band_key"),
+    )
     a = bands.select(
-        F.col("id").alias("ida"), F.col("simhash").alias("sha"), "band_idx", "band_key"
+        F.col("id").alias("ida"), F.col("_sig").alias("sha"),
+        "band_idx", "band_key",
     )
     b = bands.select(
-        F.col("id").alias("idb"), F.col("simhash").alias("shb"), "band_idx", "band_key"
+        F.col("id").alias("idb"), F.col("_sig").alias("shb"),
+        "band_idx", "band_key",
     )
     return (
         a.join(b, ["band_idx", "band_key"])
@@ -712,6 +720,19 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming — see
+    :func:`hamming_pairs` for the pigeonhole band-blocking design."""
+    sig = simhash64(df, id_col, text_col, token_hash=token_hash)
+    return hamming_pairs(sig, max_hamming, id_col=id_col, sig_col="simhash")
 
 
 # --------------------------------------------------------------------------

@@ -220,3 +220,74 @@ def audio_windows(
     return df.select(id_col, bin_col).mapInPandas(
         _gen, schema=f"{id_col} long, win_idx int, n_bytes int, rms double"
     )
+
+
+def media_blockhash(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    num_bits: int = 48,
+) -> DataFrame:
+    """Perceptual block hash over raw media bytes — the blockhash/aHash
+    family on the byte stream: byte p (of L) belongs to block
+    (p * num_bits) // L, and bit b is 1 iff block b's mean byte value is
+    strictly greater than the whole stream's mean. Returns
+    (id_col, phash long). Like :func:`audio_windows` this is real byte
+    math (a codec would only replace the bytes->pixels step); the 48-bit
+    default keeps every arithmetic step inside signed-64 range so the
+    same hash is derivable in plain SQL (q147's oracle). Integer sums
+    are exact in float64, so the strict-> comparison is engine-portable
+    (no rounding step needed).
+
+    Scale: one Arrow-batched pass, one hash per row out — the narrow
+    signature table is what downstream joins shuffle, never the bytes.
+    """
+    import numpy as np
+
+    if not 1 <= num_bits <= 62:
+        raise ValueError("num_bits must be in 1..62 (signed-64 safe)")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(num_bits, dtype=np.int64)
+        for b in batches:
+            out = []
+            for raw in b[bin_col]:
+                a = np.frombuffer(bytes(raw), dtype=np.uint8).astype(
+                    np.float64
+                )
+                if not len(a):
+                    out.append(0)
+                    continue
+                idx = (np.arange(len(a)) * num_bits) // len(a)
+                sums = np.bincount(idx, weights=a, minlength=num_bits)
+                cnts = np.bincount(idx, minlength=num_bits)
+                means = sums / np.maximum(cnts, 1)
+                bits = ((means > a.mean()) & (cnts > 0)).astype(np.int64)
+                out.append(int((bits << shifts).sum()))
+            yield pd.DataFrame({id_col: b[id_col], "phash": out})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        _gen, schema=f"{id_col} long, phash long"
+    )
+
+
+def media_dup_pairs(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    num_bits: int = 48,
+) -> DataFrame:
+    """Near-duplicate media pairs: block-hash every byte stream, then find
+    all pairs within ``max_hamming`` via the same pigeonhole band blocking
+    the text simhash uses (dedup.hamming_pairs) — candidates meet on an
+    equi-join key, bit_count(xor) verifies exactly, never an all-pairs
+    join. This is the dedup surface extended to the multimodal columns:
+    re-encoded or lightly edited media keeps most block means, so it lands
+    within a small Hamming radius of the original."""
+    from fireworks_spark.operators.dedup import hamming_pairs
+
+    sig = media_blockhash(df, bin_col, id_col, num_bits)
+    return hamming_pairs(
+        sig, max_hamming, id_col=id_col, sig_col="phash", num_bits=num_bits
+    )

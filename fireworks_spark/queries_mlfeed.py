@@ -122,6 +122,26 @@ def q94_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection (multimodal.media_dup_pairs): 48-bit
+    perceptual block hash over the raw bytes, pigeonhole band blocking,
+    exact bit_count verify — the dedup surface extended to binary media
+    columns. ASCII fixture bytes equal their code points, so the oracle
+    re-derives block means, the strict-> sign rule, the hash fold and the
+    pairwise Hamming check from ord(char) — integer byte sums are exact
+    in float64, making the comparison engine-portable with no rounding."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    return (
+        multimodal.media_dup_pairs(
+            d, "media", "doc_id", max_hamming=8, num_bits=48
+        )
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("ida", "idb")
+    )
+
+
 def q140_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling: 4 pseudo-random
     non-self partners per document via Knuth multiplicative-hash rank
@@ -146,11 +166,42 @@ MLFEED_QUERIES = {
     "q67_media_features": q67_media_features,
     "q93_frame_sample": q93_frame_sample,
     "q94_audio_windows": q94_audio_windows,
+    "q147_media_dup_pairs": q147_media_dup_pairs,
 }
 
 _W_SQL = "[" + ", ".join(repr(w) for w in _WEIGHTS) + "]"
 
 MLFEED_ORACLE = {
+    # q147: block hash re-derived from ord(char) byte values (ASCII
+    # fixture), then brute-force pairwise Hamming at the declared radius —
+    # ground truth for the band blocking's recall.
+    "q147_media_dup_pairs": """
+        WITH pos AS (
+          SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text
+          FROM documents
+        ), byt AS (
+          SELECT doc_id,
+                 ((p - 1) * 48) // length(text) AS blk,
+                 ord(substring(text, p::INT, 1))::DOUBLE AS v
+          FROM pos
+        ), bm AS (
+          SELECT doc_id, blk, AVG(v) AS m FROM byt GROUP BY doc_id, blk
+        ), om AS (
+          SELECT doc_id, AVG(v) AS om FROM byt GROUP BY doc_id
+        ), sig AS (
+          SELECT bm.doc_id,
+                 CAST(SUM(CASE WHEN bm.m > om.om
+                               THEN (1::BIGINT << blk::INT)
+                               ELSE 0 END) AS BIGINT) AS h
+          FROM bm JOIN om ON om.doc_id = bm.doc_id
+          GROUP BY bm.doc_id
+        )
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 8
+        ORDER BY ida, idb
+    """,
     "q140_negative_samples": """
         WITH ranked AS (
           SELECT doc_id,

@@ -185,6 +185,47 @@ def test_audio_windows_rms(spark):
     assert rows[1].n_bytes == 100 and rows[1].rms == 4.0
 
 
+def test_media_blockhash_and_dup_pairs(spark):
+    """Block hash: identical byte streams collide exactly; a lightly
+    perturbed copy lands within a small Hamming radius; an unrelated
+    stream does not pair. Band blocking must recover every brute-force
+    pair at the radius (pigeonhole recall 1)."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, 4096).astype(np.uint8).tobytes()
+    # flip a few bytes -> most block means unchanged
+    near = bytearray(base)
+    for i in range(0, 40):
+        near[i * 100] = (near[i * 100] + 7) % 256
+    other = rng.randint(0, 256, 4096).astype(np.uint8).tobytes()
+    rows = [(1, base), (2, bytes(near)), (3, other), (4, base)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    sig = {
+        r.doc_id: r.phash
+        for r in multimodal.media_blockhash(df, "media", "doc_id").collect()
+    }
+    assert sig[1] == sig[4]  # identical bytes -> identical hash
+    got = {
+        (r.ida, r.idb): r.hamming
+        for r in multimodal.media_dup_pairs(
+            df, "media", "doc_id", max_hamming=12
+        ).collect()
+    }
+    # brute-force reference at the same radius
+    want = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 12
+    }
+    assert got == want
+    assert got[(1, 4)] == 0
+    assert (1, 2) in got and got[(1, 2)] > 0  # near-dup found, not exact
+    assert (1, 3) not in got  # unrelated stream stays out
+
+
 def test_tokens_udtf_matches_jvm_explode(spark):
     from fireworks_spark import mlfeed
 
