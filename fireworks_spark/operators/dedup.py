@@ -1127,6 +1127,61 @@ def decontaminate(
     return corpus.join(tainted, id_col, "left_anti")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """GRADED benchmark-overlap report — the GPT-3/PaLM-style n-gram
+    contamination rule ("a doc is contaminated when a high fraction of
+    its n-grams appear in the eval set"), where :func:`decontaminate` is
+    the binary any-overlap version. Per corpus document: its distinct
+    n-gram count, the fraction present in the benchmark's shingle set,
+    and the verdict at ``threshold``. Documents too short to have any
+    n-gram report 0.0 / false.
+
+    Returns (id_col, n_shingles, overlap_frac, contaminated).
+
+    Scale shape is decontaminate's: the benchmark reduces to a distinct
+    broadcast shingle set, the corpus's exploded shingles stream through
+    a map-side broadcast LEFT join marking hits, and the only shuffle is
+    the per-document count aggregate (partial map-side)."""
+    bench_sh = F.broadcast(
+        shingle_table(benchmark, id_col, text_col, n)
+        .select("shingle", F.lit(True).alias("_hit"))
+        .distinct()
+    )
+    per_doc = (
+        shingle_table(corpus, id_col, text_col, n)
+        .join(bench_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            (
+                F.round(
+                    F.avg(F.when(F.col("_hit"), 1.0).otherwise(0.0)), 4
+                )
+                + F.lit(0.0)
+            ).alias("overlap_frac"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("overlap_frac", F.lit(0.0)).alias("overlap_frac"),
+            (F.coalesce("overlap_frac", F.lit(0.0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Bloom-filter decontamination (prefilter + exact verify)
 # --------------------------------------------------------------------------

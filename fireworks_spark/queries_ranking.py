@@ -126,6 +126,25 @@ def q87_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination report (dedup.contamination_report): docs with
+    doc_id % 97 == 0 play the eval set; every other doc reports its
+    distinct word-3-gram count, the fraction found in the eval set's
+    shingle pool, and the contaminated verdict at 50% overlap — the
+    GPT-3-style graded rule next to q88's binary any-overlap drop.
+    Benchmark shingles broadcast; the only corpus shuffle is the per-doc
+    count aggregate."""
+    from fireworks_spark.operators import dedup
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        dedup.contamination_report(corpus, bench, n=3, threshold=0.5)
+        .orderBy("doc_id")
+    )
+
+
 def q88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 97 == 0 play the eval
     set; every remaining doc sharing a word 3-gram with it is dropped.
@@ -357,6 +376,7 @@ RANKING_QUERIES = {
     "q86_pack_sequences": q86_pack_sequences,
     "q87_quality_gate": q87_quality_gate,
     "q88_decontaminate": q88_decontaminate,
+    "q146_contamination_report": q146_contamination_report,
     "q129_bloom_decontaminate": q129_bloom_decontaminate,
     "q130_weighted_sample": q130_weighted_sample,
     "q136_hashed_score": q136_hashed_score,
@@ -575,6 +595,35 @@ RANKING_ORACLE = {
                ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) + 0.0
                    AS entropy
         FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q146_contamination_report": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, array_length(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     AS shingle
+          FROM toks WHERE array_length(w) >= 3
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_shingles,
+                 ROUND(AVG(CASE WHEN shingle IN (SELECT shingle FROM bench)
+                                THEN 1.0 ELSE 0.0 END), 4) + 0.0 AS frac
+          FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               COALESCE(p.frac, 0.0) AS overlap_frac,
+               COALESCE(p.frac, 0.0) >= 0.5 AS contaminated
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY d.doc_id
     """,
     "q88_decontaminate": """
         WITH toks AS (

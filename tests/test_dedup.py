@@ -168,6 +168,34 @@ def test_decontaminate_removes_overlapping_docs(spark):
     assert kept == [2, 3]
 
 
+def test_contamination_report_graded_fractions(spark):
+    """Graded overlap: doc sharing half its 3-grams with the bench reports
+    0.5; full overlap 1.0; none 0.0; a too-short doc reports 0 shingles
+    and is never contaminated."""
+    bench = spark.createDataFrame(
+        [(100, "a b c d")], ["doc_id", "text"]  # shingles: 'a b c', 'b c d'
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # both shingles hit -> 1.0
+            (2, "a b c x y"),     # 'a b c' of 3 shingles -> 0.3333
+            (3, "p q r s"),       # no overlap -> 0.0
+            (4, "xy"),            # < 3 tokens -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.overlap_frac, r.contaminated)
+        for r in dedup.contamination_report(
+            corpus, bench, n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[1] == (2, 1.0, True)
+    assert out[2] == (3, 0.3333, False)
+    assert out[3] == (2, 0.0, False)
+    assert out[4] == (0, 0.0, False)
+
+
 def test_bloom_bitset_no_false_negatives(spark):
     vals = spark.createDataFrame([(i,) for i in range(500)], ["v"])
     bits = dedup.bloom_bitset(vals, "v", num_bits=1 << 12, k=5)
