@@ -675,10 +675,27 @@ def hamming_pairs(
     guarantee a pair within the Hamming budget agrees exactly on at least
     one band (fewer bands would silently lose recall). Candidates meet on
     an equi-join key, then bit_count(xor) verifies exactly. Shared by
-    simhash_pairs (text) and multimodal.media_dup_pairs (bytes)."""
+    simhash_pairs (text) and multimodal.media_dup_pairs (bytes).
+
+    Blocking runs on DISTINCT signatures: exact duplicates (the dominant
+    duplicate mass in real corpora, and the adversarial case for banding —
+    identical signatures share EVERY band) would otherwise multiply band
+    groups quadratically in the duplication factor. Distinct-first makes
+    the candidate join and verify independent of duplication (measured
+    98s -> 8s at 16x replication, tools/scaling_probe_round6.py); the
+    verified signature pairs then expand back to id pairs with plain
+    equi-joins, and identical-signature groups pair within themselves at
+    Hamming 0. Remaining scale knob: the band KEY SPACE is
+    2^(num_bits/(max_hamming+1)) — candidate volume over distinct
+    signatures scales with D^2 / keyspace per band, so a wide radius on a
+    short signature (e.g. 8 on 48 bits -> 5-bit keys) needs the distinct
+    count D bounded; grow num_bits or shrink the radius for corpora with
+    many distinct signatures."""
     nb = max_hamming + 1
     if nb > num_bits:
         raise ValueError("max_hamming must be < num_bits")
+    ids = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
+    dsig = ids.select("_sig").distinct()
     # distribute num_bits over nb bands as evenly as possible
     widths = [
         num_bits // nb + (1 if i < num_bits % nb else 0) for i in range(nb)
@@ -688,38 +705,49 @@ def hamming_pairs(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftright(sig_col, offsets[i])
+                F.shiftright("_sig", offsets[i])
                 .bitwiseAND(F.lit((1 << widths[i]) - 1))
                 .alias("band_key"),
             )
             for i in range(nb)
         ]
     )
-    bands = sig.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("_sig"),
-        F.explode(band_structs).alias("bd"),
+    bands = dsig.select(
+        "_sig", F.explode(band_structs).alias("bd")
     ).select(
-        "id",
         "_sig",
         F.col("bd.band_idx").alias("band_idx"),
         F.col("bd.band_key").alias("band_key"),
     )
     a = bands.select(
-        F.col("id").alias("ida"), F.col("_sig").alias("sha"),
-        "band_idx", "band_key",
+        F.col("_sig").alias("sha"), "band_idx", "band_key"
     )
     b = bands.select(
-        F.col("id").alias("idb"), F.col("_sig").alias("shb"),
-        "band_idx", "band_key",
+        F.col("_sig").alias("shb"), "band_idx", "band_key"
     )
-    return (
+    sig_pairs = (
         a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("ida") < F.col("idb"))
-        .select("ida", "idb", F.expr("bit_count(sha ^ shb)").alias("hamming"))
+        .filter(F.col("sha") < F.col("shb"))
+        .select("sha", "shb", F.expr("bit_count(sha ^ shb)").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    cross = (
+        sig_pairs.join(ids.select(F.col("id").alias("_ia"), F.col("_sig").alias("sha")), "sha")
+        .join(ids.select(F.col("id").alias("_ib"), F.col("_sig").alias("shb")), "shb")
+        .select(
+            F.least("_ia", "_ib").alias("ida"),
+            F.greatest("_ia", "_ib").alias("idb"),
+            "hamming",
+        )
+    )
+    same = (
+        ids.select(F.col("id").alias("ida"), "_sig")
+        .join(ids.select(F.col("id").alias("idb"), "_sig"), "_sig")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(same)
 
 
 def simhash_pairs(
