@@ -194,15 +194,71 @@ class Pipe:
         other_id_col: str,
         text_col: str,
         other_text_col: str,
+        max_dist: int = 1,
     ) -> "Pipe":
-        """Exact edit-distance-1 join (operators/fuzzy.py deletion-
-        neighborhood blocking) — dirty-to-canonical entity resolution."""
+        """Exact edit-distance join at radius 1 or 2 (operators/fuzzy.py
+        deletion-neighborhood blocking) — dirty-to-canonical entity
+        resolution."""
         from fireworks_spark.operators.fuzzy import fuzzy_join
 
         rhs = other.df if isinstance(other, Pipe) else other
         return Pipe(
             fuzzy_join(
-                self.df, rhs, id_col, other_id_col, text_col, other_text_col
+                self.df, rhs, id_col, other_id_col, text_col,
+                other_text_col, max_dist,
+            )
+        )
+
+    def substring_dedup(
+        self,
+        k: int = 20,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Pipe":
+        """ExactSubstr removal: delete every token covered by a k-token
+        window duplicating an earlier occurrence corpus-wide
+        (dedup.substring_dedup)."""
+        from fireworks_spark.operators import dedup as dd
+
+        return Pipe(
+            dd.substring_dedup(self.df, k=k, id_col=id_col, text_col=text_col)
+        )
+
+    def contamination(
+        self,
+        benchmark: "Pipe | DataFrame",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 13,
+        threshold: float = 0.8,
+    ) -> "Pipe":
+        """Graded n-gram contamination report — overlap fraction per doc
+        plus a threshold verdict (dedup.contamination_report); the graded
+        companion to :meth:`decontaminate`'s binary drop."""
+        from fireworks_spark.operators import dedup as dd
+
+        bench = benchmark.df if isinstance(benchmark, Pipe) else benchmark
+        return Pipe(
+            dd.contamination_report(
+                self.df, bench, id_col=id_col, text_col=text_col,
+                n=n, threshold=threshold,
+            )
+        )
+
+    def media_dups(
+        self,
+        bin_col: str = "media",
+        id_col: str = "doc_id",
+        max_hamming: int = 8,
+        num_bits: int = 48,
+    ) -> "Pipe":
+        """Near-duplicate media pairs via byte block hashing + banded
+        Hamming search (multimodal.media_dup_pairs)."""
+        from fireworks_spark.operators import multimodal
+
+        return Pipe(
+            multimodal.media_dup_pairs(
+                self.df, bin_col, id_col, max_hamming, num_bits
             )
         )
 

@@ -475,17 +475,44 @@ def q107_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# q108's injected merge table: chains two-level merges (ow -> ow</w>,
+# jo -> joi, er -> er</w>) so the encoder's rank-priority loop is
+# genuinely exercised, over pairs frequent in the fixture vocabulary.
+_Q108_MERGES = [
+    ("a", "n"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("h", "a"),
+    ("j", "o"),
+    ("jo", "i"),
+    ("e", "r"),
+    ("er", "</w>"),
+]
+
+
 def q108_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode every document with the 30 learned merges (Arrow-batched
-    subword segmentation); returns per-doc subtoken counts. Rows-only
-    (depends on the learned merge table)."""
+    """Encode every document with an INJECTED fixed merge table (the
+    q36/q103/q106 injection pattern): BPE encoding applies merges in rank
+    order, which equals applying each merge globally (leftmost-first,
+    non-overlapping) in sequence — and THAT is expressible as chained
+    string replaces over a delimiter-guarded symbol string, so the oracle
+    re-derives every document's full subtoken stream in SQL and the
+    driver value-checks the Arrow-batched encoder end-to-end (count AND
+    an md5 of the joined subtokens). The LEARNED merge path stays under
+    q107 (rows-only training) + tests/test_bpe.py (hand-computed
+    merges)."""
     from fireworks_spark.operators import bpe
 
     d = table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(d, num_merges=30)
     return (
-        bpe.bpe_encode(d, merges)
-        .select("doc_id", "n_subtokens")
+        bpe.bpe_encode(d, _Q108_MERGES)
+        .select(
+            "doc_id",
+            "n_subtokens",
+            F.md5(
+                F.encode(F.array_join("subtokens", " "), "UTF-8")
+            ).alias("subtok_md5"),
+        )
         .orderBy("doc_id")
     )
 
@@ -1320,6 +1347,48 @@ PIPELINE_ORACLE = {
         FROM cand c JOIN D d USING (lid) JOIN P p USING (rid)
         WHERE levenshtein(d.ls, p.rs) <= 1
         ORDER BY lid, rid
+    """,
+    # q108: the injected merge table applied as chained string replaces
+    # over a '|'-delimited symbol string ('|' never appears in the fixture
+    # alphabet, and '|sym_a||sym_b|' representations of adjacent symbols
+    # share no characters, so DuckDB's leftmost-first non-overlapping
+    # replace() equals the encoder's same-rank merge order exactly).
+    "q108_bpe_encode": """
+        WITH w AS (
+          SELECT doc_id, pos, wd FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS wd
+            FROM documents
+          ) WHERE wd <> ''
+        ), s0 AS (
+          SELECT doc_id, pos,
+                 '|' || array_to_string(
+                     list_append(string_split(wd, ''), '</w>'), '||')
+                 || '|' AS s
+          FROM w
+        ),
+        s1 AS (SELECT doc_id, pos, replace(s, '|a||n|', '|an|') AS s FROM s0),
+        s2 AS (SELECT doc_id, pos, replace(s, '|o||w|', '|ow|') AS s FROM s1),
+        s3 AS (SELECT doc_id, pos,
+                      replace(s, '|ow||</w>|', '|ow</w>|') AS s FROM s2),
+        s4 AS (SELECT doc_id, pos, replace(s, '|h||a|', '|ha|') AS s FROM s3),
+        s5 AS (SELECT doc_id, pos, replace(s, '|j||o|', '|jo|') AS s FROM s4),
+        s6 AS (SELECT doc_id, pos, replace(s, '|jo||i|', '|joi|') AS s FROM s5),
+        s7 AS (SELECT doc_id, pos, replace(s, '|e||r|', '|er|') AS s FROM s6),
+        s8 AS (SELECT doc_id, pos,
+                      replace(s, '|er||</w>|', '|er</w>|') AS s FROM s7),
+        enc AS (
+          SELECT doc_id, pos,
+                 string_split(substr(s, 2, length(s) - 2), '||') AS subs
+          FROM s8
+        ), agg AS (
+          SELECT doc_id, flatten(list(subs ORDER BY pos)) AS all_subs
+          FROM enc GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(len(all_subs) AS BIGINT) AS n_subtokens,
+               md5(array_to_string(all_subs, ' ')) AS subtok_md5
+        FROM agg ORDER BY doc_id
     """,
     # q145: first-occurrence ranking of every 20-token window, coverage of
     # redundant occurrences, and per-document reassembly re-derived in SQL.

@@ -166,3 +166,42 @@ def test_pipe_temperature_mix_and_negatives(spark):
 
     negs = Pipe(d).negatives(k=2).df.collect()
     assert len(negs) == 100 and all(r.doc_id != r.neg_id for r in negs)
+
+
+def test_pipe_round6_operators(spark):
+    """Facade coverage for the round-6 surface: radius-2 fuzzy join,
+    substring dedup, graded contamination, media near-dups."""
+    d = spark.createDataFrame(
+        [(1, "a b c x y a b c z w"), (2, "p q r s t u v w x y")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_removed for r in Pipe(d).substring_dedup(k=3).collect()}
+    assert out == {1: 3, 2: 0}
+
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    rep = {
+        r.doc_id: r.contaminated
+        for r in Pipe(d).contamination(bench, n=3, threshold=0.1).collect()
+    }
+    assert rep[1] is True and rep[2] is False
+
+    names = spark.createDataFrame(
+        [(1, "spark"), (2, "spork"), (3, "sparkle")], "id long, w string"
+    )
+    pairs = {
+        (r.lid, r.rid): r.dist
+        for r in Pipe(names)
+        .fuzzy_join(names, "id", "id", "w", "w", max_dist=2)
+        .collect()
+    }
+    assert pairs[(1, 3)] == 2 and pairs[(1, 2)] == 1
+
+    from pyspark.sql import functions as F
+
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    dup = media.union(media.select(F.col("doc_id") + 10, "media"))
+    got = {
+        (r.ida, r.idb)
+        for r in Pipe(dup).media_dups(max_hamming=0).collect()
+    }
+    assert (1, 11) in got and (2, 12) in got
