@@ -246,3 +246,95 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "sim", "rk")
     )
+
+
+def mmr_rerank(
+    scored: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    qid_col: str = "qid",
+    id_col: str = "nid",
+    score_col: str = "sim",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of a per-query candidate list: greedily pick ``k`` items maximizing
+    ``lam * relevance - (1 - lam) * max cosine to the already-picked set``
+    (first pick by pure ``lam * relevance``; ties to the lowest id) — the
+    standard diversity stage between ANN top-k and RAG context assembly,
+    next to ranking.rrf_fuse.
+
+    Returns (qid_col, rk, id_col, mmr — rounded to 4).
+
+    Scale: candidate lists are top-k-sized by construction (tens to
+    hundreds per query), so the greedy loop runs inside ONE applyInPandas
+    task per query over its own candidates — per-query cost k * |cand|
+    sims via a BLAS gram, shuffle bounded by the candidate table, never
+    the corpus. The picks are exactly re-derivable step by step in SQL
+    (q149's oracle chains one CTE per selection)."""
+    import numpy as np
+    import pandas as pd
+
+    joined = scored.select(
+        F.col(qid_col).alias("_q"),
+        F.col(id_col).alias("_n"),
+        F.col(score_col).cast("double").alias("_rel"),
+    ).join(
+        vectors.select(
+            F.col(vec_id_col).alias("_n"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "_n",
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_n").reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        # pairwise sims rounded to 4 decimals (the repo's cross-engine
+        # cosine convention, q34): keeps the greedy arithmetic on
+        # identical doubles in any engine re-deriving the picks
+        G = np.round(Vn @ Vn.T, 4)
+        rel = pdf["_rel"].to_numpy()
+        n = len(pdf)
+        # maxsim starts as None, NOT zeros: cosines can be negative, and
+        # clamping the diversity term at 0 would silently reward items
+        # anti-similar to the picked set less than the definition does
+        maxsim = None
+        picked = np.zeros(n, dtype=bool)
+        out_rk, out_n, out_s = [], [], []
+        for rk in range(1, min(k, n) + 1):
+            if maxsim is None:
+                mmr = lam * rel
+            else:
+                mmr = lam * rel - (1.0 - lam) * maxsim
+            mmr = np.where(picked, -np.inf, mmr)
+            i = int(np.argmax(mmr))  # first max == lowest id (sorted)
+            picked[i] = True
+            maxsim = (
+                G[:, i].copy()
+                if maxsim is None
+                else np.maximum(maxsim, G[:, i])
+            )
+            out_rk.append(rk)
+            out_n.append(pdf["_n"].iloc[i])
+            out_s.append(float(mmr[i]))
+        return pd.DataFrame(
+            {"_q": pdf["_q"].iloc[0], "rk": out_rk, "_n": out_n, "mmr": out_s}
+        )
+
+    # rounding happens JVM-side: 0.7 * (4-decimal rel) lands exactly on
+    # decimal rounding boundaries, where Python's half-even round()
+    # diverges from SQL ROUND; F.round matches the oracle convention
+    return (
+        joined.groupBy("_q")
+        .applyInPandas(_mmr, "_q long, rk int, _n long, mmr double")
+        .select(
+            F.col("_q").alias(qid_col),
+            "rk",
+            F.col("_n").alias(id_col),
+            (F.round("mmr", 4) + F.lit(0.0)).alias("mmr"),
+        )
+    )

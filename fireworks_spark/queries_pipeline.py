@@ -412,6 +412,24 @@ def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (similarity.mmr_rerank) of brute-force
+    top-20 candidates for 5 queries: greedy lam=0.7 picks, k=5. The
+    oracle chains one CTE per selection step — relevance from the
+    rounded candidate sims, diversity from raw pairwise cosines, ties to
+    the lowest id — so every pick and every reported marginal score is
+    value-checked. (The SQL writes the diversity weight as (1.0 - 0.7)
+    to reproduce the engine's IEEE double exactly.)"""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cand = similarity.cosine_topk(e, q, k=20)
+    return (
+        similarity.mmr_rerank(cand, e, k=5, lam=0.7)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
 def q105_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix of the embedding column as (i, j, cov)
     rows — the whitening statistic. Each Arrow batch collapses to one
@@ -772,6 +790,7 @@ PIPELINE_QUERIES = {
     "q47_strip_markup": q47_strip_markup,
     "q98_line_dedup": q98_line_dedup,
     "q35_ann_cosine_topk": q35_ann_cosine_topk,
+    "q149_mmr_rerank": q149_mmr_rerank,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
     "q119_pq_adc_topk": q119_pq_adc_topk,
@@ -1028,6 +1047,73 @@ WITH p AS (
 )
 SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
 """
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
+    """One CTE per greedy MMR selection step (see q149 docstring); the
+    diversity weight is written (1.0 - lam) so DuckDB reproduces the
+    engine's IEEE double for the coefficient exactly."""
+    parts = [
+        f"""cand AS (
+  SELECT qid, nid, sim FROM (
+    SELECT q.vec_id AS qid, b.vec_id AS nid,
+           round({_cos('q.embedding', 'b.embedding')}, 4) AS sim,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({_cos('q.embedding', 'b.embedding')}, 4) DESC,
+                      b.vec_id) AS rk
+    FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rk <= 20
+)""",
+        f"""ps AS (
+  SELECT a.qid, a.nid AS i, b.nid AS j,
+         round({_cos('va.embedding', 'vb.embedding')}, 4) AS s
+  FROM cand a JOIN cand b ON b.qid = a.qid
+  JOIN embeddings va ON va.vec_id = a.nid
+  JOIN embeddings vb ON vb.vec_id = b.nid
+)""",
+        f"""p1 AS (
+  SELECT qid, nid, mmr FROM (
+    SELECT qid, nid, {lam} * sim AS mmr,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY {lam} * sim DESC, nid) AS rn
+    FROM cand) WHERE rn = 1
+)""",
+    ]
+    for t in range(2, k + 1):
+        prev = "cand" if t == 2 else f"m{t - 2}"
+        ms = "ps.s" if t == 2 else "greatest(m.ms, ps.s)"
+        src = "c" if t == 2 else "m"
+        frm = (
+            f"cand c JOIN p1 ON p1.qid = c.qid "
+            f"JOIN ps ON ps.qid = c.qid AND ps.i = c.nid AND ps.j = p1.nid"
+            if t == 2
+            else f"m{t - 2} m JOIN p{t - 1} ON p{t - 1}.qid = m.qid "
+            f"JOIN ps ON ps.qid = m.qid AND ps.i = m.nid "
+            f"AND ps.j = p{t - 1}.nid"
+        )
+        parts.append(
+            f"""m{t - 1} AS (
+  SELECT {src}.qid, {src}.nid, {src}.sim, {ms} AS ms
+  FROM {frm}
+  WHERE {src}.nid <> p{t - 1}.nid
+)"""
+        )
+        parts.append(
+            f"""p{t} AS (
+  SELECT qid, nid, mmr FROM (
+    SELECT qid, nid, {lam} * sim - (1.0 - {lam}) * ms AS mmr,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY {lam} * sim - (1.0 - {lam}) * ms DESC, nid) AS rn
+    FROM m{t - 1}) WHERE rn = 1
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT qid, CAST({t} AS BIGINT) AS rk, nid, "
+        f"ROUND(mmr, 4) + 0.0 AS mmr FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects + " ORDER BY qid, rk"
 
 PIPELINE_ORACLE = {
     "q115_leakage_safe_split": (
@@ -1316,6 +1402,7 @@ PIPELINE_ORACLE = {
     """,
     "q35_ann_cosine_topk": _ANN_SQL,
     "q36_ann_ivf_topk": _IVF_ANN_SQL,
+    "q149_mmr_rerank": _mmr_sql(k=5, lam=0.7),
     "q102_ann_lsh_topk": _LSH_ANN_SQL,
     "q119_pq_adc_topk": _PQ_ADC_SQL,
     "q128_ivfpq_topk": _IVFPQ_SQL,

@@ -192,3 +192,37 @@ def test_sign_bits_dim_fast_path_parity(emb):
     assert (
         slow.join(fast, "vec_id").filter(slow["b"] != fast["b"]).count() == 0
     )
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Closed form: the near-clone of the first pick must lose its rank-2
+    slot to an orthogonal candidate despite higher relevance (the whole
+    point of MMR); lam=1 degenerates to plain relevance order."""
+    from fireworks_spark.operators.similarity import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),        # A: identical to the query
+            (2, [0.999, 0.04471, 0.0]),  # B: near-clone of A
+            (3, [0.0, 1.0, 0.0]),        # C: orthogonal, lower relevance
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    scored = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.999), (0, 3, 0.5)],
+        "qid long, nid long, sim double",
+    )
+    picks = [
+        r.nid
+        for r in mmr_rerank(scored, vecs, k=3, lam=0.5)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert picks == [1, 3, 2]  # diverse C beats redundant B at rank 2
+    rel_only = [
+        r.nid
+        for r in mmr_rerank(scored, vecs, k=3, lam=1.0)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert rel_only == [1, 2, 3]
