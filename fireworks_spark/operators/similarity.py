@@ -266,7 +266,13 @@ def mmr_rerank(
     standard diversity stage between ANN top-k and RAG context assembly,
     next to ranking.rrf_fuse.
 
-    Returns (qid_col, rk, id_col, mmr — rounded to 4).
+    Returns (qid_col, rk, id_col, mmr).  Scores are computed in EXACT
+    scaled-integer arithmetic: with sims quantized to 4 decimals and
+    ``lam`` to 3, ``mmr * 1e7 = lam1000 * sim4 - (1000 - lam1000) * ms4``
+    is an int64, so the greedy argmax never compares doubles and the
+    reported score (one int64 / 1e7 division at the end) is bit-identical
+    in any IEEE engine re-deriving the picks — no decimal half-way
+    rounding case can exist on either side.
 
     Scale: candidate lists are top-k-sized by construction (tens to
     hundreds per query), so the greedy loop runs inside ONE applyInPandas
@@ -289,45 +295,49 @@ def mmr_rerank(
         "_n",
     )
 
+    lam_i = int(round(lam * 1000))  # lambda quantized to 3 decimals
+
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_n").reset_index(drop=True)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        # pairwise sims rounded to 4 decimals (the repo's cross-engine
-        # cosine convention, q34): keeps the greedy arithmetic on
-        # identical doubles in any engine re-deriving the picks
-        G = np.round(Vn @ Vn.T, 4)
-        rel = pdf["_rel"].to_numpy()
+        # pairwise sims quantized to 4 decimals, held as int64 (sim*1e4):
+        # the repo's cross-engine cosine convention (q34) made exact —
+        # every score below is pure integer arithmetic
+        G4 = np.rint(np.round(Vn @ Vn.T, 4) * 1e4).astype(np.int64)
+        rel4 = np.rint(np.round(pdf["_rel"].to_numpy(), 4) * 1e4).astype(
+            np.int64
+        )
         n = len(pdf)
         # maxsim starts as None, NOT zeros: cosines can be negative, and
         # clamping the diversity term at 0 would silently reward items
         # anti-similar to the picked set less than the definition does
-        maxsim = None
+        maxsim4 = None
         picked = np.zeros(n, dtype=bool)
+        sentinel = np.iinfo(np.int64).min
         out_rk, out_n, out_s = [], [], []
         for rk in range(1, min(k, n) + 1):
-            if maxsim is None:
-                mmr = lam * rel
+            if maxsim4 is None:
+                score7 = lam_i * rel4  # mmr * 1e7, exactly
             else:
-                mmr = lam * rel - (1.0 - lam) * maxsim
-            mmr = np.where(picked, -np.inf, mmr)
-            i = int(np.argmax(mmr))  # first max == lowest id (sorted)
+                score7 = lam_i * rel4 - (1000 - lam_i) * maxsim4
+            score7 = np.where(picked, sentinel, score7)
+            i = int(np.argmax(score7))  # first max == lowest id (sorted)
             picked[i] = True
-            maxsim = (
-                G[:, i].copy()
-                if maxsim is None
-                else np.maximum(maxsim, G[:, i])
+            maxsim4 = (
+                G4[:, i].copy()
+                if maxsim4 is None
+                else np.maximum(maxsim4, G4[:, i])
             )
             out_rk.append(rk)
             out_n.append(pdf["_n"].iloc[i])
-            out_s.append(float(mmr[i]))
+            # single division of an exact int64 by 1e7: bit-identical to
+            # any other IEEE engine performing the same division
+            out_s.append(float(int(score7[i]) / 1e7))
         return pd.DataFrame(
             {"_q": pdf["_q"].iloc[0], "rk": out_rk, "_n": out_n, "mmr": out_s}
         )
 
-    # rounding happens JVM-side: 0.7 * (4-decimal rel) lands exactly on
-    # decimal rounding boundaries, where Python's half-even round()
-    # diverges from SQL ROUND; F.round matches the oracle convention
     return (
         joined.groupBy("_q")
         .applyInPandas(_mmr, "_q long, rk int, _n long, mmr double")
@@ -335,6 +345,6 @@ def mmr_rerank(
             F.col("_q").alias(qid_col),
             "rk",
             F.col("_n").alias(id_col),
-            (F.round("mmr", 4) + F.lit(0.0)).alias("mmr"),
+            "mmr",
         )
     )

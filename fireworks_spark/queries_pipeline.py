@@ -416,10 +416,11 @@ def q149_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-ranking (similarity.mmr_rerank) of brute-force
     top-20 candidates for 5 queries: greedy lam=0.7 picks, k=5. The
     oracle chains one CTE per selection step — relevance from the
-    rounded candidate sims, diversity from raw pairwise cosines, ties to
-    the lowest id — so every pick and every reported marginal score is
-    value-checked. (The SQL writes the diversity weight as (1.0 - 0.7)
-    to reproduce the engine's IEEE double exactly.)"""
+    quantized candidate sims, diversity from quantized pairwise cosines,
+    ties to the lowest id — so every pick and every reported marginal
+    score is value-checked. Scoring is exact scaled-integer arithmetic
+    (mmr*1e7 = 700*sim4 - 300*ms4 on int64) in BOTH engines, so no
+    decimal half-way double rounding can diverge (the r6 failure)."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     cand = similarity.cosine_topk(e, q, k=20)
@@ -1050,39 +1051,52 @@ SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
 
 
 def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
-    """One CTE per greedy MMR selection step (see q149 docstring); the
-    diversity weight is written (1.0 - lam) so DuckDB reproduces the
-    engine's IEEE double for the coefficient exactly."""
+    """One CTE per greedy MMR selection step (see q149 docstring).
+    Mirrors the engine's EXACT scaled-integer scoring: sims quantized to
+    int64 sim4 = round(cos*1e4), lambda to lam1000, every score held as
+    s7 = lam1000*sim4 - (1000-lam1000)*ms4 (= mmr*1e7, an integer), the
+    argmax/row_number ranked on the integer, one s7/1e7 division in the
+    final projection — so no decimal half-way double rounding exists in
+    either engine (the q149 r6 failure class)."""
+    lam_i = int(round(lam * 1000))
+    # ROUND(cos,4)*1e4 can sit a hair under the integer in binary;
+    # the outer ROUND(...,0) lands it exactly before the BIGINT cast
+    sim4 = (
+        f"CAST(ROUND(ROUND({_cos('q.embedding', 'b.embedding')}, 4) "
+        f"* 10000, 0) AS BIGINT)"
+    )
+    ps4 = (
+        f"CAST(ROUND(ROUND({_cos('va.embedding', 'vb.embedding')}, 4) "
+        f"* 10000, 0) AS BIGINT)"
+    )
     parts = [
         f"""cand AS (
-  SELECT qid, nid, sim FROM (
+  SELECT qid, nid, sim4 FROM (
     SELECT q.vec_id AS qid, b.vec_id AS nid,
-           round({_cos('q.embedding', 'b.embedding')}, 4) AS sim,
+           {sim4} AS sim4,
            row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY round({_cos('q.embedding', 'b.embedding')}, 4) DESC,
-                      b.vec_id) AS rk
+             ORDER BY {sim4} DESC, b.vec_id) AS rk
     FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
     WHERE q.vec_id < 5
   ) WHERE rk <= 20
 )""",
         f"""ps AS (
   SELECT a.qid, a.nid AS i, b.nid AS j,
-         round({_cos('va.embedding', 'vb.embedding')}, 4) AS s
+         {ps4} AS s4
   FROM cand a JOIN cand b ON b.qid = a.qid
   JOIN embeddings va ON va.vec_id = a.nid
   JOIN embeddings vb ON vb.vec_id = b.nid
 )""",
         f"""p1 AS (
-  SELECT qid, nid, mmr FROM (
-    SELECT qid, nid, {lam} * sim AS mmr,
+  SELECT qid, nid, s7 FROM (
+    SELECT qid, nid, {lam_i} * sim4 AS s7,
            row_number() OVER (PARTITION BY qid
-             ORDER BY {lam} * sim DESC, nid) AS rn
+             ORDER BY {lam_i} * sim4 DESC, nid) AS rn
     FROM cand) WHERE rn = 1
 )""",
     ]
     for t in range(2, k + 1):
-        prev = "cand" if t == 2 else f"m{t - 2}"
-        ms = "ps.s" if t == 2 else "greatest(m.ms, ps.s)"
+        ms = "ps.s4" if t == 2 else "greatest(m.ms4, ps.s4)"
         src = "c" if t == 2 else "m"
         frm = (
             f"cand c JOIN p1 ON p1.qid = c.qid "
@@ -1094,23 +1108,25 @@ def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
         )
         parts.append(
             f"""m{t - 1} AS (
-  SELECT {src}.qid, {src}.nid, {src}.sim, {ms} AS ms
+  SELECT {src}.qid, {src}.nid, {src}.sim4, {ms} AS ms4
   FROM {frm}
   WHERE {src}.nid <> p{t - 1}.nid
 )"""
         )
         parts.append(
             f"""p{t} AS (
-  SELECT qid, nid, mmr FROM (
-    SELECT qid, nid, {lam} * sim - (1.0 - {lam}) * ms AS mmr,
+  SELECT qid, nid, s7 FROM (
+    SELECT qid, nid,
+           {lam_i} * sim4 - {1000 - lam_i} * ms4 AS s7,
            row_number() OVER (PARTITION BY qid
-             ORDER BY {lam} * sim - (1.0 - {lam}) * ms DESC, nid) AS rn
+             ORDER BY {lam_i} * sim4 - {1000 - lam_i} * ms4 DESC,
+                      nid) AS rn
     FROM m{t - 1}) WHERE rn = 1
 )"""
         )
     selects = " UNION ALL ".join(
         f"SELECT qid, CAST({t} AS BIGINT) AS rk, nid, "
-        f"ROUND(mmr, 4) + 0.0 AS mmr FROM p{t}"
+        f"s7 / 10000000.0 AS mmr FROM p{t}"
         for t in range(1, k + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects + " ORDER BY qid, rk"
