@@ -481,9 +481,11 @@ def q107_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 30 BPE merges on the documents corpus. The corpus-scale stage
     is one map-side-combined word count; the merge loop runs driver-side
     over the bounded frequency table (every production BPE trainer's
-    shape). Deterministic (count-desc + lexicographic tiebreaks), but an
-    iterative algorithm with no SQL equivalent — rows-only; hand-computed
-    merges asserted in tests/test_bpe.py."""
+    shape). Deterministic (count-desc + lexicographic tiebreaks) and
+    fully value-checked: the oracle chains one CTE pair per greedy merge
+    (pair-count + argmax, then a delimiter-guarded replace over the
+    symbol strings — q108's encoding) so DuckDB re-derives all 30 merges
+    from the same word-frequency table."""
     from fireworks_spark.operators import bpe
 
     d = table(spark, sf_dir, "documents")
@@ -1131,7 +1133,65 @@ def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects + " ORDER BY qid, rk"
 
+def _bpe_merges_sql(
+    num_merges: int = 30, min_freq: int = 2, max_words: int = 50_000
+) -> str:
+    """One CTE pair per greedy BPE merge (the q149/_mmr_sql chaining
+    technique applied to training): b{t} counts adjacent symbol pairs
+    weighted by word frequency and picks the argmax (count desc, then
+    lexicographic — train_bpe's exact tiebreak), v{t} applies the merge
+    via a replace over q108's delimiter-guarded '|sym||sym|' encoding
+    (leftmost non-overlapping = the Python merge loop). The chain runs
+    over the bounded word-frequency table only, never the corpus; if the
+    best pair drops under ``min_freq`` the b CTE is empty and every later
+    step yields no rows — mirroring train_bpe's break. MATERIALIZED keeps
+    DuckDB from inlining the doubly-referenced v{t} chain."""
+    parts = [
+        f"""wc AS MATERIALIZED (
+  SELECT w, c FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> '' GROUP BY w
+  ) ORDER BY c DESC, w LIMIT {max_words}
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(
+           list_append(string_split(w, ''), '</w>'), '||') || '|' AS s, c
+  FROM wc
+)""",
+    ]
+    for t in range(1, num_merges + 1):
+        prev = f"v{t - 1}"
+        parts.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT syms[i] AS a, syms[i + 1] AS b, SUM(c) AS pc
+    FROM (
+      SELECT list_transform(string_split(s, '||'),
+                            x -> trim(x, '|')) AS syms, c
+      FROM {prev}
+    ), unnest(range(1, len(syms))) AS t(i)
+    GROUP BY a, b
+  ) WHERE pc >= {min_freq} ORDER BY pc DESC, a, b LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT replace(s, '|' || a || '||' || b || '|',
+                 '|' || a || b || '|') AS s, c
+  FROM {prev}, b{t}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f'SELECT CAST({t - 1} AS BIGINT) AS rank, '
+        f'a AS "left", b AS "right" FROM b{t}'
+        for t in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects + " ORDER BY rank"
+
+
 PIPELINE_ORACLE = {
+    "q107_bpe_merges": _bpe_merges_sql(num_merges=30),
     "q115_leakage_safe_split": (
         f"WITH RECURSIVE {_SHINGLES_CTE}, {_CLOSURE_CTE} "
         "SELECT d.doc_id, "
