@@ -105,14 +105,37 @@ def main() -> None:
     # Contention guard: this host shows occasional noisy-neighbor load
     # spikes (load >> local process activity) that inflate whichever 2-3
     # queries happen to be running by 3-5x. Re-time only the outliers —
-    # anything over 2s AND 3x the run's median — once, and keep the min:
-    # bounded extra work (a handful of queries), and a spike must hit the
-    # same query in both passes to survive into the headline number.
+    # anything over 2s AND 3x the run's median, OR over 2x its own
+    # previous-round record (BENCH_r06 logged 1.7-3.4x phantom cold-start
+    # regressions on sub-2s join queries that the median rule alone
+    # missed) — once, and keep the min: bounded extra work, and a spike
+    # must hit the same query in both passes to survive into the headline.
+    # The driver's BENCH_r*.json keeps only the compact tail (no per-query
+    # map), so bench.py maintains its own full record across runs.
+    local_rec = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    prev: dict[str, float] = {}
+    try:
+        with open(local_rec) as fh:
+            prev = {
+                k: v
+                for k, v in (json.load(fh).get("queries") or {}).items()
+                if isinstance(v, (int, float))
+            }
+    except Exception:
+        pass
     ok = sorted(v for v in timings.values() if v is not None)
     if ok:
         median = ok[len(ok) // 2]
         for name, t in list(timings.items()):
-            if t is None or t <= max(2.0, 3 * median):
+            if t is None:
+                continue
+            spiky = t > max(2.0, 3 * median)
+            # 0.3s floor: below that, scheduler jitter dominates and a
+            # 2x ratio is noise, not a regression signal
+            regressed = name in prev and t > 2 * prev[name] and t > 0.3
+            if not (spiky or regressed):
                 continue
             t0 = time.perf_counter()
             try:
@@ -133,6 +156,11 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
+    try:  # previous-round reference for the next run's regression retime
+        with open(local_rec, "w") as fh:
+            json.dump(out, fh)
+    except Exception:
+        pass
     # Full per-query line first (humans / archaeology), then a compact
     # summary as the LAST line: the driver keeps only a bounded tail of
     # stdout, and the full dict is long enough to get its head truncated,
