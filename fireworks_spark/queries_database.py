@@ -577,7 +577,94 @@ def q126_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q151_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact join through bucketed catalog tables: customer and
+    orders hash-bucketed on the join key AT WRITE TIME, then joined with
+    io_formats.bucketed_join — the pay-the-shuffle-once ingest layout for
+    repeated 100 TB fact-to-fact joins. The zero-Exchange physical plan is
+    asserted in tests/test_io_formats.py; this registry row value-checks
+    the join RESULT against the plain-join oracle, so a bucketing bug that
+    silently drops or misroutes rows (mismatched hash, bucket pruning)
+    fails the driver, not just the plan shape."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from fireworks_spark import io_formats
+
+    # a warehouse dir left by a PREVIOUS session isn't in this session's
+    # in-memory catalog, so overwrite alone raises LOCATION_ALREADY_EXISTS
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in ("q151_cust_b", "q151_ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    io_formats.write_bucketed(c, "q151_cust_b", ["c_custkey"], num_buckets=8)
+    io_formats.write_bucketed(o, "q151_ord_b", ["c_custkey"], num_buckets=8)
+    return (
+        io_formats.bucketed_join(
+            spark, "q151_cust_b", "q151_ord_b", ["c_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("rev"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q152_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering value-checked: part rows are range-clustered
+    along the Morton curve over (p_size, p_partkey) by io_formats.
+    zorder_sort (the data-skipping layout — every output file covers a
+    small hyper-rectangle so min/max footers prune on EITHER column), and
+    the query returns each row's interleaved key, which the oracle
+    re-derives bit-by-bit in SQL. Checks both no-row-loss through the
+    range exchange and the exact bit interleave. bits=16 covers the test
+    scales (p_partkey < 65536 through sf0.3); larger keys clamp, which
+    the operator documents as the caller's rank/offset duty."""
+    from fireworks_spark import io_formats
+
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    z = io_formats.zorder_sort(p, ["p_size", "p_partkey"], bits=16)
+    return z.select(
+        "p_partkey",
+        "p_size",
+        io_formats.zorder_key(["p_size", "p_partkey"], bits=16).alias(
+            "zkey"
+        ),
+    ).orderBy("p_partkey")
+
+
+def _zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """The Morton interleave as plain SQL bit arithmetic (mirrors
+    io_formats.zorder_key: bit i of column j lands at position i*n+j)."""
+    n = len(cols)
+    clamped = [
+        f"LEAST(GREATEST(CAST({c} AS BIGINT), 0), {(1 << bits) - 1})"
+        for c in cols
+    ]
+    # every term fully parenthesized: DuckDB gives | and << equal
+    # precedence, so an unwrapped chain reassociates as ((a<<i)|b)<<j
+    terms = [
+        f"((({clamped[j]} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j in range(n)
+    ]
+    return " | ".join(terms)
+
+
 DATABASE_QUERIES = {
+    "q151_bucketed_join": q151_bucketed_join,
+    "q152_zorder_key": q152_zorder_key,
     "q118_transaction_semantics": q118_transaction_semantics,
     "q125_genbank_roundtrip": q125_genbank_roundtrip,
     "q144_embl_roundtrip": q144_embl_roundtrip,
@@ -597,6 +684,17 @@ DATABASE_QUERIES = {
 }
 
 DATABASE_ORACLE = {
+    "q151_bucketed_join": (
+        "SELECT c_mktsegment, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) + 0.0 AS rev "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "q152_zorder_key": (
+        "SELECT p_partkey, p_size, CAST("
+        + _zorder_sql(["p_size", "p_partkey"], 16)
+        + " AS BIGINT) AS zkey FROM part ORDER BY p_partkey"
+    ),
     "q125_genbank_roundtrip": (
         "SELECT doc_id, 'DOC' || doc_id AS locus, "
         "'synthetic record ' || doc_id || '.' AS descr, "

@@ -13,6 +13,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from fireworks_spark import streaming
+from fireworks_spark.tables import table
 
 
 def q68_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,9 +49,57 @@ def q69_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("ws", "event_type")
 
 
+def q150_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator batch-parity: events split into
+    3 files replayed one micro-batch each through stateful_topk
+    (applyInPandasWithState, bounded per-key order-statistic state); the
+    final update per user — selected by the fold's monotonicity (the kept
+    top-k array only ever grows elementwise, so the max (size, array)
+    update IS the final state) — exploded to (user_id, rk, v) must equal
+    the batch per-user top-3, which the SQL oracle derives with one
+    window. Checks state carry-over ACROSS micro-batches, not just the
+    fold."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = table(spark, sf_dir, "events").select("user_id", "value")
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q150_{uuid.uuid4().hex[:8]}"
+    try:
+        src.repartition(3).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        streaming.run_to_memory(
+            streaming.stateful_topk(stream, k=3), name, "update"
+        )
+        updates = spark.table(name)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc(F.size("topk")), F.desc("topk")
+        )
+        return (
+            updates.withColumn("upd_rk", F.row_number().over(w))
+            .filter(F.col("upd_rk") == 1)
+            .select(
+                "user_id", F.posexplode("topk").alias("pos", "v")
+            )
+            .select(
+                "user_id", (F.col("pos") + 1).cast("long").alias("rk"), "v"
+            )
+            .orderBy("user_id", "rk")
+            # materialize before the staging dir is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 STREAMING_QUERIES = {
     "q68_stream_tumbling": q68_stream_tumbling,
     "q69_stream_sliding": q69_stream_sliding,
+    "q150_stateful_topk": q150_stateful_topk,
 }
 
 STREAMING_ORACLE = {
@@ -65,5 +114,12 @@ STREAMING_ORACLE = {
         "- i * INTERVAL '15 minutes' AS ws, event_type, COUNT(*) AS cnt "
         "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) "
         "GROUP BY 1, 2 ORDER BY ws, event_type"
+    ),
+    # final streaming state must equal the batch per-user top-3
+    "q150_stateful_topk": (
+        "SELECT user_id, rk, v FROM ("
+        "  SELECT user_id, value AS v, row_number() OVER ("
+        "    PARTITION BY user_id ORDER BY value DESC) AS rk"
+        "  FROM events) WHERE rk <= 3 ORDER BY user_id, rk"
     ),
 }

@@ -191,7 +191,38 @@ def q112_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_sketch(e, "user_id", capacity=120)
 
 
+def q148_interleave_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random interleave of three sources (HubJunction, reference
+    fireworks/toolbox/junctions.py:14-73): union + seeded random order.
+    The order itself is RNG-engine-specific (seed determinism is asserted
+    in tests/test_toolbox.py), so the declared invariant is the multiset —
+    per-source cardinality and id checksum must survive the interleave
+    exactly (a dropped/duplicated row from any source fails the hash)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .withColumn("src", F.lit("doc"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .withColumn("src", F.lit("cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("id"))
+        .withColumn("src", F.lit("supp"))
+    )
+    return (
+        toolbox.interleave_random([d, c, s], seed=7)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum"))
+        .orderBy("src")
+    )
+
+
 TOOLBOX_QUERIES = {
+    "q148_interleave_random": q148_interleave_random,
     "q112_mg_heavy_hitters": q112_mg_heavy_hitters,
     "q50_shuffle_permutation": q50_shuffle_permutation,
     "q51_repeat": q51_repeat,
@@ -240,6 +271,14 @@ TOOLBOX_ORACLE = {
         "ORDER BY cnt DESC, user_id"
     ),
 
+    "q148_interleave_random": (
+        "WITH u AS ("
+        "  SELECT doc_id AS id, 'doc' AS src FROM documents"
+        "  UNION ALL SELECT c_custkey, 'cust' FROM customer"
+        "  UNION ALL SELECT s_suppkey, 'supp' FROM supplier) "
+        "SELECT src, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum "
+        "FROM u GROUP BY src ORDER BY src"
+    ),
     "q50_shuffle_permutation": (
         "SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey"
     ),
