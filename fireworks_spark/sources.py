@@ -206,13 +206,61 @@ def read_embl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_swiss(spark: SparkSession, path: str) -> DataFrame:
+    """One row per Swiss-Prot / UniProtKB flat-text record (BioSeqPipe
+    filetype='swiss', reference pipes.py:33 via Bio.SeqIO).
+
+    Swiss-Prot records terminate with ``//`` exactly like EMBL/GenBank, so
+    the same splittable ``lineSep='\\n//'`` scan applies. Field mapping
+    mirrors SeqIO's swiss parser:
+
+    - names: the ID line's entry name (NAME_SPECIES)
+    - ids: the first AC accession (SeqIO's record.id), falling back to
+      the entry name when no AC line exists
+    - descriptions: DE lines folded to single spaces
+    - sequences: everything after the SQ header, letters only, uppercased
+    - dbxrefs: DR lines with the trailing period stripped (one
+      "DB; id; ..." string per line, the EMBL reader's convention)
+    """
+    raw = spark.read.text(path, lineSep="\n//")
+    rec = F.col("value")
+    entry = F.regexp_extract(rec, r"(?m)^ID\s+(\S+)", 1)
+    acc = F.regexp_extract(rec, r"(?m)^AC\s+([^;\s]+)", 1)
+
+    def _code_lines(code: str) -> F.Column:
+        return F.transform(
+            F.filter(
+                F.split(rec, "\n"), lambda l: l.rlike(f"^{code}\\s")
+            ),
+            lambda l: F.trim(F.regexp_replace(l, f"^{code}\\s+", "")),
+        )
+
+    descriptions = F.array_join(_code_lines("DE"), " ")
+    dbxrefs = F.transform(
+        _code_lines("DR"), lambda s: F.regexp_replace(s, r"\.$", "")
+    )
+    seq_tail = F.regexp_extract(rec, r"(?s)\nSQ[^\n]*\n(.*)", 1)
+    return (
+        raw.filter(rec.rlike(r"(?m)^ID\s"))
+        .select(
+            F.coalesce(F.nullif(acc, F.lit("")), entry).alias("ids"),
+            entry.alias("names"),
+            F.trim(descriptions).alias("descriptions"),
+            F.upper(
+                F.regexp_replace(seq_tail, r"[^A-Za-z]", "")
+            ).alias("sequences"),
+            dbxrefs.alias("dbxrefs"),
+        )
+    )
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
-    filetype=...) (pipes.py:33). Supported: fasta, fastq, genbank, embl;
-    other SeqIO formats (abi, sff, ...) need their own record-delimiter
-    parses and raise until someone needs them."""
+    filetype=...) (pipes.py:33). Supported: fasta, fastq, genbank, embl,
+    swiss; other SeqIO formats (abi, sff, ...) need their own
+    record-delimiter parses and raise until someone needs them."""
     ft = filetype.lower()
     if ft == "fasta":
         return read_fasta(spark, path)
@@ -222,8 +270,10 @@ def read_bioseq(
         return read_genbank(spark, path)
     if ft == "embl":
         return read_embl(spark, path)
+    if ft in ("swiss", "swissprot", "uniprot"):
+        return read_swiss(spark, path)
     raise NotImplementedError(
-        f"filetype {filetype!r}: only fasta, fastq, genbank and embl have "
-        "distributed parses (reference BioSeqPipe accepts any Bio.SeqIO "
-        "format)"
+        f"filetype {filetype!r}: only fasta, fastq, genbank, embl and "
+        "swiss have distributed parses (reference BioSeqPipe accepts any "
+        "Bio.SeqIO format)"
     )

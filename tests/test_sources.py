@@ -145,6 +145,58 @@ def test_embl_parse(spark, tmp_path):
     assert read_bioseq(spark, str(p), "embl").count() == 3
 
 
+SWISS_FIXTURE = """ID   001R_FRG3G              Reviewed;         256 AA.
+AC   Q6GZX4; A1A2B3;
+DT   28-JUN-2011, integrated into UniProtKB/Swiss-Prot.
+DE   RecName: Full=Putative transcription factor 001R;
+DE   Flags: Precursor;
+GN   ORFNames=FV3-001R;
+OS   Frog virus 3 (isolate Goorha) (FV-3).
+DR   EMBL; AY548484; AAT09660.1; -; Genomic_DNA.
+DR   RefSeq; YP_031579.1; NC_005946.1.
+SQ   SEQUENCE   60 AA;  29735 MW;  B4840739BF7D4121 CRC64;
+     MAFSAEDVLK EYDRRRRMEA LLLSLYYPND RKLLDYKEWS PPRVQVECPK APVEWNNPPS
+//
+ID   MINI_TEST               Unreviewed;        12 AA.
+DE   Tiny record.
+SQ   SEQUENCE   12 AA;  1000 MW;  0000000000000000 CRC64;
+     MKVLAAGITG LI
+//
+"""
+
+
+def test_swiss_parse(spark, tmp_path):
+    """Swiss-Prot flat-text records via the shared '\\n//' record scan:
+    entry name from ID, first AC accession as the id (entry-name fallback
+    when AC is absent), folded DE lines, DR dbxrefs, letters-only
+    uppercased sequence."""
+    from fireworks_spark.sources import read_bioseq, read_swiss
+
+    p = tmp_path / "t.dat"
+    p.write_text(SWISS_FIXTURE)
+    rows = {r.names: r for r in read_swiss(spark, str(p)).collect()}
+    assert set(rows) == {"001R_FRG3G", "MINI_TEST"}
+    r1 = rows["001R_FRG3G"]
+    assert r1.ids == "Q6GZX4"  # first accession, not A1A2B3
+    assert r1.descriptions == (
+        "RecName: Full=Putative transcription factor 001R; "
+        "Flags: Precursor;"
+    )
+    assert r1.sequences == (
+        "MAFSAEDVLKEYDRRRRMEALLLSLYYPNDRKLLDYKEWSPPRVQVECPKAPVEWNNPPS"
+    )
+    assert r1.dbxrefs == [
+        "EMBL; AY548484; AAT09660.1; -; Genomic_DNA",
+        "RefSeq; YP_031579.1; NC_005946.1",
+    ]
+    r2 = rows["MINI_TEST"]
+    assert r2.ids == "MINI_TEST"  # no AC line -> entry-name fallback
+    assert r2.sequences == "MKVLAAGITGLI"
+    assert r2.dbxrefs == []
+    assert read_bioseq(spark, str(p), "swiss").count() == 2
+    assert read_bioseq(spark, str(p), "uniprot").count() == 2
+
+
 GENBANK_FIXTURE = """LOCUS       SCU49845     5028 bp    DNA             PLN       21-JUN-1999
 DEFINITION  Saccharomyces cerevisiae TCP1-beta gene, partial cds, and Axl2p
             (AXL2) and Rev7p (REV7) genes, complete cds.
