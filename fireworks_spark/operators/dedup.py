@@ -1085,11 +1085,17 @@ def semdedup(
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in b["nv"]])
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            # 4-decimal cosines (the repo's cross-engine convention, q34):
+            # keeps the argmax — and hence every cluster id — reproducible
+            # by a SQL oracle rounding the same way, instead of hinging on
+            # a raw-double near-tie between centroids (the q149 r6 class)
             yield pd.DataFrame(
                 {
                     "nid": b["nid"],
                     "nv": b["nv"],
-                    "pt": np.argmax(Xn @ C.T, axis=1).astype(np.int32),
+                    "pt": np.argmax(
+                        np.round(Xn @ C.T, 4), axis=1
+                    ).astype(np.int32),
                 }
             )
 
@@ -1105,7 +1111,10 @@ def semdedup(
             colmax = np.full(je - js, -np.inf)
             for is_ in range(0, je, B):
                 ie = min(is_ + B, je)
-                G = Xn[is_:ie] @ Xn[js:je].T
+                # 4-decimal cosines before the eps compare (same rationale
+                # as the assignment rounding above): a raw cosine within
+                # 1e-15 of eps must prune identically in every engine
+                G = np.round(Xn[is_:ie] @ Xn[js:je].T, 4)
                 # mask pairs where row index >= column index (triangular)
                 i_idx = np.arange(is_, ie)[:, None]
                 j_idx = np.arange(js, je)[None, :]
@@ -1255,6 +1264,22 @@ def bloom_bitset(
     return dense
 
 
+_BLOOM_BROADCASTS: dict = {}
+
+
+def release_bloom_broadcasts() -> None:
+    """Destroy every bitset broadcast cached by :func:`bloom_might_contain`
+    above its literal threshold (the release path mirroring
+    :func:`release_caches`). Call once the probing queries are
+    materialized; subsequent probes simply re-broadcast."""
+    for bc in _BLOOM_BROADCASTS.values():
+        try:
+            bc.destroy()
+        except Exception:
+            pass
+    _BLOOM_BROADCASTS.clear()
+
+
 def bloom_might_contain(
     col: Column | str,
     bitset: list[int],
@@ -1292,13 +1317,23 @@ def bloom_might_contain(
             cond = cond & (word.bitwiseAND(mask) != 0)
         return cond
 
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import SparkSession
 
-    bc = SparkSession.getActiveSession().sparkContext.broadcast(
-        np.asarray(bitset, dtype=np.int64).view(np.uint64)
-    )
+    # one broadcast per (context, bitset content) — repeated probes of the
+    # same filter (threshold sweeps, interactive sessions) reuse it instead
+    # of accumulating executor copies; release_bloom_broadcasts() is the
+    # release handle, mirroring release_caches for persisted frames
+    arr = np.asarray(bitset, dtype=np.int64)
+    sc = SparkSession.getActiveSession().sparkContext
+    key = (sc.applicationId, hashlib.sha1(arr.tobytes()).digest())
+    bc = _BLOOM_BROADCASTS.get(key)
+    if bc is None:
+        bc = sc.broadcast(arr.view(np.uint64))
+        _BLOOM_BROADCASTS[key] = bc
 
     def _probe_fn(pos):
         if not len(pos):

@@ -159,11 +159,16 @@ def pca_project(
         comps, mean, _ = pca_fit(df, k, vec_col)
 
     def _proj(batches):
+        scale = 10.0**round_to
         for b in batches:
             if not len(b):
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in b["nv"]])
-            P = np.round((X - mean) @ comps.T, round_to) + 0.0
+            # explicit floor(x*s + 0.5)/s instead of np.round: half-even
+            # np.round vs SQL half-away ROUND diverge on exact half-way
+            # doubles; this formula is a single IEEE expression any oracle
+            # engine reproduces bit-identically (the q149 rounding class)
+            P = np.floor((X - mean) @ comps.T * scale + 0.5) / scale + 0.0
             yield pd.DataFrame({"nid": b["nid"], "pc": list(P)})
 
     return (

@@ -252,11 +252,17 @@ def media_blockhash(
         for b in batches:
             out = []
             for raw in b[bin_col]:
+                if raw is None:
+                    out.append(None)
+                    continue
                 a = np.frombuffer(bytes(raw), dtype=np.uint8).astype(
                     np.float64
                 )
                 if not len(a):
-                    out.append(0)
+                    # an empty stream has no perceptual content: NULL, not
+                    # hash 0 — hash 0 would pair every empty/flat stream
+                    # with every other at Hamming 0
+                    out.append(None)
                     continue
                 idx = (np.arange(len(a)) * num_bits) // len(a)
                 sums = np.bincount(idx, weights=a, minlength=num_bits)
@@ -287,7 +293,11 @@ def media_dup_pairs(
     within a small Hamming radius of the original."""
     from fireworks_spark.operators.dedup import hamming_pairs
 
-    sig = media_blockhash(df, bin_col, id_col, num_bits)
+    # empty/NULL media carries a NULL phash (see media_blockhash) and is
+    # excluded from pairing rather than colliding at Hamming 0
+    sig = media_blockhash(df, bin_col, id_col, num_bits).filter(
+        F.col("phash").isNotNull()
+    )
     return hamming_pairs(
         sig, max_hamming, id_col=id_col, sig_col="phash", num_bits=num_bits
     )

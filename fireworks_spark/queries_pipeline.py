@@ -1301,7 +1301,8 @@ PIPELINE_ORACLE = {
           SELECT vec_id, pt FROM (
             SELECT b.vec_id, c.pt,
                    row_number() OVER (PARTITION BY b.vec_id
-                     ORDER BY {_cos('b.embedding', 'c.cv')} DESC, c.pt) AS rr
+                     ORDER BY ROUND({_cos('b.embedding', 'c.cv')}, 4)
+                              DESC, c.pt) AS rr
             FROM embeddings b CROSS JOIN cvec c
           ) WHERE rr = 1
         ), dropped AS (
@@ -1310,7 +1311,7 @@ PIPELINE_ORACLE = {
           JOIN assign a2 ON a1.pt = a2.pt AND a1.vec_id < a2.vec_id
           JOIN embeddings e1 ON e1.vec_id = a1.vec_id
           JOIN embeddings e2 ON e2.vec_id = a2.vec_id
-          WHERE {_cos('e1.embedding', 'e2.embedding')} >= 0.9
+          WHERE ROUND({_cos('e1.embedding', 'e2.embedding')}, 4) >= 0.9
         )
         SELECT a.vec_id, CAST(a.pt AS BIGINT) AS cluster
         FROM assign a
@@ -1328,10 +1329,11 @@ PIPELINE_ORACLE = {
           SELECT d, AVG(x) AS mx FROM dims GROUP BY d
         ), proj AS (
           SELECT v.vec_id, t.k,
-                 ROUND(SUM((v.x - m.mx) *
+                 FLOOR(SUM((v.x - m.mx) *
                        (CASE WHEN bit_count(CAST(t.k AS BIGINT)
                                             & CAST(v.d AS BIGINT)) % 2 = 0
-                             THEN 1.0 ELSE -1.0 END) / 8.0), 4) + 0.0 AS p
+                             THEN 1.0 ELSE -1.0 END) / 8.0)
+                       * 10000 + 0.5) / 10000 + 0.0 AS p
           FROM dims v JOIN mn m USING (d)
           CROSS JOIN range(0, 8) t(k)
           GROUP BY v.vec_id, t.k

@@ -240,6 +240,32 @@ def test_bloom_broadcast_path_matches_literal_path(spark):
     assert set(range(500)) <= set(bc_hits)  # no false negatives
 
 
+def test_bloom_broadcast_cached_per_bitset_and_releasable(spark):
+    """Repeated probes of the SAME bitset above the literal threshold
+    must reuse ONE cached broadcast (no per-call executor copies), and
+    release_bloom_broadcasts() must clear the cache without breaking
+    later probes (they re-broadcast)."""
+    dedup.release_bloom_broadcasts()
+    vals = spark.createDataFrame([(i,) for i in range(100)], ["v"])
+    bits = dedup.bloom_bitset(vals, "v", num_bits=1 << 10, k=3)
+    probe = spark.createDataFrame([(i,) for i in range(200)], ["v"])
+    n1 = probe.where(
+        dedup.bloom_might_contain("v", bits, k=3, literal_max_bytes=0)
+    ).count()
+    assert len(dedup._BLOOM_BROADCASTS) == 1
+    n2 = probe.where(
+        dedup.bloom_might_contain("v", bits, k=3, literal_max_bytes=0)
+    ).count()
+    assert n1 == n2
+    assert len(dedup._BLOOM_BROADCASTS) == 1  # reused, not re-broadcast
+    dedup.release_bloom_broadcasts()
+    assert not dedup._BLOOM_BROADCASTS
+    n3 = probe.where(
+        dedup.bloom_might_contain("v", bits, k=3, literal_max_bytes=0)
+    ).count()
+    assert n3 == n1  # probes after release still work
+
+
 def test_bloom_decontaminate_equals_exact(spark):
     corpus = spark.createDataFrame(
         [
@@ -413,11 +439,12 @@ def test_semdedup_matches_python_reference(spark):
     X = np.array([v for _, v in vecs])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = _spherical_kmeans(X, k, seed)
-    assign = np.argmax(Xn @ C.T, axis=1)
+    # 4-decimal cosines, matching the operator's cross-engine convention
+    assign = np.argmax(np.round(Xn @ C.T, 4), axis=1)
     kept = []
     for c in set(assign.tolist()):
         ids = [i for i in range(len(vecs)) if assign[i] == c]
-        M = Xn[ids] @ Xn[ids].T
+        M = np.round(Xn[ids] @ Xn[ids].T, 4)
         for pos, i in enumerate(ids):
             if pos == 0 or M[:pos, pos].max() < eps:
                 kept.append(i)

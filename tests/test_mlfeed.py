@@ -226,6 +226,24 @@ def test_media_blockhash_and_dup_pairs(spark):
     assert (1, 3) not in got  # unrelated stream stays out
 
 
+def test_media_blockhash_empty_is_null_and_unpaired(spark):
+    """Empty (or NULL) media has no perceptual content: NULL phash, never
+    paired — two empty streams must NOT collide at Hamming 0."""
+    rows = [(1, b"abcdef" * 100), (2, b""), (3, b""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    sig = {
+        r.doc_id: r.phash
+        for r in multimodal.media_blockhash(df, "media", "doc_id").collect()
+    }
+    assert sig[2] is None and sig[3] is None and sig[4] is None
+    assert sig[1] is not None
+    pairs = multimodal.media_dup_pairs(
+        df, "media", "doc_id", max_hamming=47
+    ).collect()
+    ids = {i for r in pairs for i in (r.ida, r.idb)}
+    assert not ids & {2, 3, 4}, f"empty media paired: {pairs}"
+
+
 def test_tokens_udtf_matches_jvm_explode(spark):
     from fireworks_spark import mlfeed
 

@@ -132,3 +132,25 @@ def test_events_read_pins_utc(spark, sf_dir):
         assert dict(df.dtypes)["ts"] == "timestamp"
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_documents_text_nonempty_ascii(spark, sf_dir):
+    """Several oracles assume documents.text is non-empty ASCII (q147's
+    ord(char) byte model equals UTF-8 bytes only for ASCII; empty text
+    would produce an absent row on the oracle side but a NULL-phash drop
+    on the engine side). If the driver's fixture generation ever changes,
+    fail HERE naming the assumption instead of as a scattered hash
+    mismatch."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    bad = d.filter(
+        F.col("text").isNull()
+        | (F.length("text") == 0)
+        | F.col("text").rlike("[^\\x20-\\x7e]")
+    ).count()
+    assert bad == 0, (
+        f"{bad} documents.text rows are empty or non-ASCII — the q147 "
+        "oracle's ord()==UTF-8-byte model no longer holds; re-derive the "
+        "oracle byte stream (and the empty-media row handling) first"
+    )
