@@ -467,6 +467,135 @@ def repetition_stats(
     )
 
 
+def _rep_fold(grams_col):
+    """Fold a SORTED n-gram array into (top, dup) char totals in one pass:
+    top = max over distinct grams of count * gram length; dup = sum over
+    grams with count >= 2 of count * gram length. Run-length tracking over
+    the sorted array, the repetition_stats fold generalized."""
+
+    def _flush_top(acc):
+        # a gram occurring once is not repetition: without the run >= 2
+        # guard every short all-distinct document fails the top-2 bound
+        # (one 2-gram's chars already exceed 20% of a 5-word doc)
+        return F.greatest(
+            acc.top,
+            F.when(
+                acc.run >= 2, acc.run * F.length(acc.prev).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    def _flush_dup(acc):
+        return acc.dup + F.when(
+            acc.run >= 2, acc.run * F.length(acc.prev).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        grams_col,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(x == acc.prev, acc.top)
+            .otherwise(_flush_top(acc))
+            .alias("top"),
+            F.when(x == acc.prev, acc.dup)
+            .otherwise(_flush_dup(acc))
+            .alias("dup"),
+        ),
+        lambda acc: F.struct(
+            _flush_top(acc).alias("top"), _flush_dup(acc).alias("dup")
+        ),
+    )
+
+
+# Gopher repetition thresholds (Rae et al. 2021 Table A1): a document is
+# filtered when ANY fraction exceeds its bound
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full Gopher n-gram repetition rule set (Rae et al. 2021
+    §A.1.1): per document, the fraction of characters taken by the most
+    frequent {2,3,4}-gram (``top_ngram_frac_n``) and by all duplicated
+    {5..10}-grams (``dup_ngram_frac_n``), plus ``rep_pass`` — the
+    conjunction at the paper's thresholds. Conventions, stated because
+    implementations differ: an n-gram's character weight is
+    count * length(gram text incl. inner spaces); only grams occurring
+    at least TWICE count as repetition (a singleton is not a repeat, so
+    short all-distinct documents pass); ties for "most frequent" resolve
+    to the largest count*length (deterministic and monotone); the
+    denominator is the document's total character count;
+    fractions use the portable floor(x*1e4+0.5)/1e4 rounding and the
+    pass flag compares ROUNDED values — all engine-portable (q154's
+    oracle re-derives every column).
+
+    Entirely per-row: each n's counts come from one sorted-array
+    run-length fold (no explode, no shuffle) — the same scale shape as
+    repetition_stats; complements it (token-level dup/top-bigram) with
+    Gopher's character-weighted rules."""
+    w = tokens(text_col)
+    base = spread(df).select(
+        id_col,
+        F.length(text_col).cast("long").alias("_nc"),
+        w.alias("_w"),
+    )
+
+    def grams(n: int):
+        return F.when(
+            F.size("_w") >= n,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - n + 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("_w", i, F.lit(n))
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def r4(x):
+        return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+    cols = [F.col(id_col)]
+    for n in GOPHER_TOP_NGRAM_MAX:
+        cols.append(
+            F.when(
+                F.col("_nc") > 0,
+                r4(_rep_fold(grams(n)).top.cast("double") / F.col("_nc")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top_ngram_frac_{n}")
+        )
+    for n in GOPHER_DUP_NGRAM_MAX:
+        cols.append(
+            F.when(
+                F.col("_nc") > 0,
+                r4(_rep_fold(grams(n)).dup.cast("double") / F.col("_nc")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_ngram_frac_{n}")
+        )
+    out = base.select(*cols)
+    rep_pass = F.lit(True)
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        rep_pass = rep_pass & (F.col(f"top_ngram_frac_{n}") <= mx)
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        rep_pass = rep_pass & (F.col(f"dup_ngram_frac_{n}") <= mx)
+    return out.withColumn("rep_pass", rep_pass)
+
+
 # --------------------------------------------------------------------------
 # hashed n-gram linear scorer (fasttext-style quality classifier)
 # --------------------------------------------------------------------------

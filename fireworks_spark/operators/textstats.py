@@ -75,6 +75,183 @@ def with_quality_score(
     )
 
 
+# the 8 Gopher stop words (Rae et al. 2021, Table A1): a document must
+# contain at least GOPHER_MIN_STOP_HITS of them to pass the filter
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def _r4(x: Column) -> Column:
+    """floor(x*1e4+0.5)/1e4 — the repo's engine-portable 4-decimal rounding
+    (identical IEEE expression in Spark and any SQL oracle; see
+    embedstats.pca_project)."""
+    return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+
+def gopher_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher quality-rule statistics (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1 — the pre-training filter suite MassiveText
+    used, and the shape C4/RefinedWeb/Dolma filters share):
+
+    - word count, mean word length, fraction of words with an alphabetic
+      character, symbol-to-word ratio ('#' and '...'),
+    - count of the 8 Gopher stop words present,
+    - line-shape rules: fraction of bullet-started and ellipsis-ended
+      lines, duplicate-line fraction and duplicate-line CHARACTER fraction
+      (all occurrences beyond a line's first are duplicates),
+    - ``gopher_pass``: the conjunction at the paper's thresholds
+      (50 <= words <= 100k, 3 <= mean len <= 10, >= 80% alpha words,
+      symbol ratio <= 0.1, <= 90% bullet lines, <= 30% ellipsis lines,
+      >= 2 stop words, duplicate-line fraction <= 0.30).
+
+    Entirely per-row JVM expressions (split / filter / aggregate HOFs in
+    whole-stage codegen) — a pure map stage, zero shuffle at any scale.
+    Ratios use the floor(x*1e4+0.5)/1e4 portable rounding so the SQL
+    oracle reproduces every value bit-identically; the pass flag compares
+    the ROUNDED ratios, keeping the verdict engine-portable too."""
+    df = spread(df)
+    t = F.col(text_col)
+    W = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(W).cast("long")
+    sum_wlen = F.aggregate(
+        F.transform(W, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = F.when(
+        n_words > 0, _r4(sum_wlen.cast("double") / n_words)
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(W, lambda w: w.rlike("[A-Za-z]")))
+    frac_alpha = F.when(
+        n_words > 0, _r4(n_alpha.cast("double") / n_words)
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, _r4((n_hash + n_ellipsis).cast("double") / n_words)
+    ).otherwise(F.lit(0.0))
+    WL = F.transform(W, F.lower)
+    n_stop = sum(
+        (
+            F.when(F.array_contains(WL, s), 1).otherwise(0)
+            for s in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    ).cast("long")
+    L = F.filter(F.split(t, "\n"), lambda l: l != "")
+    n_lines = F.size(L)
+    frac_bullet = F.when(
+        n_lines > 0,
+        _r4(
+            F.size(
+                F.filter(L, lambda l: l.rlike(r"^\s*[-*•]"))
+            ).cast("double")
+            / n_lines
+        ),
+    ).otherwise(F.lit(0.0))
+    frac_ell_lines = F.when(
+        n_lines > 0,
+        _r4(
+            F.size(F.filter(L, lambda l: l.rlike(r"\.\.\.$"))).cast(
+                "double"
+            )
+            / n_lines
+        ),
+    ).otherwise(F.lit(0.0))
+    dup_lines = n_lines - F.size(F.array_distinct(L))
+    dup_line_frac = F.when(
+        n_lines > 0, _r4(dup_lines.cast("double") / n_lines)
+    ).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(
+        F.transform(L, F.length), F.lit(0), lambda a, x: a + x
+    )
+    distinct_chars = F.aggregate(
+        F.transform(F.array_distinct(L), F.length),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    dup_char_frac = F.when(
+        line_chars > 0,
+        _r4((line_chars - distinct_chars).cast("double") / line_chars),
+    ).otherwise(F.lit(0.0))
+    out = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        n_stop.alias("n_stop_hits"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ell_lines.alias("frac_ellipsis_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+    )
+    gpass = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("dup_line_frac") <= 0.3)
+    )
+    return out.withColumn("gopher_pass", gpass)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = False,
+    drop_patterns: list[str] | None = None,
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines with at least ``min_words_per_line`` words, optionally only
+    lines ending in terminal punctuation (. ! ? or closing quote), and
+    drop lines matching any of ``drop_patterns`` (case-insensitive regexp
+    — C4 used javascript/cookie/policy markers). Documents are
+    reassembled from surviving lines; documents left with fewer than
+    ``min_lines`` lines are dropped entirely (C4 dropped docs under 3
+    sentences). Returns (id_col, text, n_lines_kept, n_lines_dropped).
+
+    WITHIN-document line surgery only — pure per-row split/filter/join
+    HOFs in codegen, zero shuffle (the cross-corpus companion is
+    dedup.line_dedup, which dedups lines corpus-wide)."""
+    t = F.col(text_col)
+    L = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    # composed predicates must stay ONE-argument callables: F.filter
+    # inspects the lambda's arity, so closures capture via factories,
+    # never default args
+    def _and(p, q):
+        return lambda l: p(l) & q(l)
+
+    keep = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")
+    ) >= min_words_per_line
+    if require_terminal_punct:
+        keep = _and(keep, lambda l: l.rlike(r"[.!?\"']$"))
+    for pat in drop_patterns or []:
+        keep = _and(
+            keep,
+            (lambda _pat: lambda l: ~F.lower(l).rlike(_pat.lower()))(pat),
+        )
+    kept = F.filter(L, keep)
+    out = spread(df).select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(L) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+    )
+    return out.filter(F.col("n_lines_kept") >= min_lines)
+
+
 def with_lang_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

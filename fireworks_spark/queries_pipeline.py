@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fireworks_spark.operators import dedup, similarity, textstats
+from fireworks_spark.operators import dedup, ranking, similarity, textstats
 from fireworks_spark.operators.spread import spread
 from fireworks_spark.tables import table
 
@@ -579,6 +579,58 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q153_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule suite (Rae et al. 2021 §A.1.1) over documents
+    restructured into 8-word lines (the fixture is single-line, so the
+    newline injection — a deterministic regexp both engines apply — gives
+    the line-shape rules real material: bullets, ellipses, duplicate-line
+    and duplicate-character fractions). Every ratio uses the portable
+    floor(x*1e4+0.5)/1e4 rounding, so the oracle re-derives all ten
+    statistics AND the pass verdict bit-identically."""
+    d = table(spark, sf_dir, "documents")
+    structured = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return textstats.gopher_stats(structured).orderBy("doc_id")
+
+
+def q154_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition rules (ranking.ngram_repetition): per-doc
+    top-{2,3,4}-gram and duplicated-{5..10}-gram character fractions plus
+    the threshold verdict, each n computed by a per-row sorted-array
+    run-length fold (no explode, no shuffle). The oracle re-derives all
+    nine fractions from unnested n-gram counts — grouping in SQL where
+    the engine folds per row, so the comparison also cross-checks the
+    fold against an independent aggregation strategy."""
+    d = table(spark, sf_dir, "documents")
+    return ranking.ngram_repetition(d).orderBy("doc_id")
+
+
+def q155_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (textstats.c4_line_filter) over the 8-word-
+    line restructure: lines under 5 words drop (each doc's ragged final
+    line, plus short docs entirely), documents reassembled from the
+    survivors with kept/dropped counts — text, counts and the doc-level
+    min_lines gate all value-checked via the doc_id+md5(text) projection
+    the oracle re-derives with the same list pipeline."""
+    d = table(spark, sf_dir, "documents")
+    structured = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return (
+        textstats.c4_line_filter(structured, min_words_per_line=5)
+        .select(
+            "doc_id",
+            F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q37_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return textstats.with_token_stats(d).orderBy("doc_id")
@@ -807,6 +859,9 @@ PIPELINE_QUERIES = {
     "q107_bpe_merges": q107_bpe_merges,
     "q108_bpe_encode": q108_bpe_encode,
     "q109_ngram_novelty": q109_ngram_novelty,
+    "q153_gopher_stats": q153_gopher_stats,
+    "q154_ngram_repetition": q154_ngram_repetition,
+    "q155_c4_line_filter": q155_c4_line_filter,
     "q37_text_token_stats": q37_text_token_stats,
     "q38_text_quality": q38_text_quality,
     "q39_text_langid": q39_text_langid,
@@ -1190,7 +1245,167 @@ def _bpe_merges_sql(
     return "WITH " + ",\n".join(parts) + "\n" + selects + " ORDER BY rank"
 
 
+_GOPHER_STOP_SQL = " + ".join(
+    f"CASE WHEN list_contains(WL, '{s}') THEN 1 ELSE 0 END"
+    for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+# mirrors textstats.gopher_stats exactly: same tokenization, same
+# floor(x*1e4+0.5)/1e4 rounding, same (rounded-value) pass thresholds
+_GOPHER_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){{7}}\\S+) ',
+                        '\\1' || chr(10), 'g') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS W,
+         list_filter(string_split(t, chr(10)), l -> l <> '') AS L
+  FROM s
+), wl AS (
+  SELECT doc_id, t, W, L,
+         list_transform(W, w -> lower(w)) AS WL,
+         list_distinct(L) AS LD,
+         list_aggregate(list_transform(W, w -> length(w)), 'sum') AS swl,
+         list_aggregate(list_transform(L, l -> length(l)), 'sum') AS slc
+  FROM base
+), m AS (
+  SELECT doc_id,
+    CAST(len(W) AS BIGINT) AS n_words,
+    CASE WHEN len(W) > 0
+         THEN FLOOR(CAST(swl AS DOUBLE) / len(W) * 10000 + 0.5) / 10000
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(W) > 0
+         THEN FLOOR(CAST(len(list_filter(W,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / len(W) * 10000 + 0.5) / 10000
+         ELSE 0.0 END AS frac_alpha_words,
+    CASE WHEN len(W) > 0
+         THEN FLOOR(CAST(
+                (length(t) - length(replace(t, '#', '')))
+                + (length(t) - length(replace(t, '...', ''))) / 3
+              AS DOUBLE) / len(W) * 10000 + 0.5) / 10000
+         ELSE 0.0 END AS symbol_word_ratio,
+    CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop_hits,
+    CASE WHEN len(L) > 0
+         THEN FLOOR(CAST(len(list_filter(L,
+                l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+              / len(L) * 10000 + 0.5) / 10000
+         ELSE 0.0 END AS frac_bullet_lines,
+    CASE WHEN len(L) > 0
+         THEN FLOOR(CAST(len(list_filter(L,
+                l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)
+              / len(L) * 10000 + 0.5) / 10000
+         ELSE 0.0 END AS frac_ellipsis_lines,
+    CASE WHEN len(L) > 0
+         THEN FLOOR(CAST(len(L) - len(LD) AS DOUBLE)
+              / len(L) * 10000 + 0.5) / 10000
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN slc > 0
+         THEN FLOOR(CAST(slc - list_aggregate(
+                list_transform(LD, l -> length(l)), 'sum') AS DOUBLE)
+              / slc * 10000 + 0.5) / 10000
+         ELSE 0.0 END AS dup_line_char_frac
+  FROM wl
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND frac_alpha_words >= 0.8 AND symbol_word_ratio <= 0.1
+        AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+        AND n_stop_hits >= 2 AND dup_line_frac <= 0.3) AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+def _ngram_rep_sql() -> str:
+    """q154's oracle: per-n n-gram counts via unnest + GROUP BY (an
+    aggregation strategy independent of the engine's per-row fold), same
+    count>=2 repetition rule, char weights, rounding and thresholds as
+    ranking.ngram_repetition."""
+    tops = {2: 0.20, 3: 0.18, 4: 0.16}
+    dups = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    parts = [
+        f"""d0 AS MATERIALIZED (
+  SELECT doc_id, length(text) AS nc,
+         list_filter(string_split({_NORM}, ' '), w -> w <> '') AS W
+  FROM documents
+)"""
+    ]
+    for n in list(tops) + list(dups):
+        parts.append(
+            f"""g{n} AS (
+  SELECT doc_id,
+         MAX(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS top,
+         SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(W) - {n} + 2),
+             i -> array_to_string(list_slice(W, i, i + {n - 1}), ' ')))
+             AS g
+      FROM d0 WHERE len(W) >= {n}
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)"""
+        )
+
+    def frac(n: int, col: str) -> str:
+        return (
+            f"CASE WHEN d0.nc > 0 THEN FLOOR(CAST(COALESCE(g{n}.{col}, 0) "
+            f"AS DOUBLE) / d0.nc * 10000 + 0.5) / 10000 ELSE 0.0 END"
+        )
+
+    sels = ["d0.doc_id"]
+    conds = []
+    for n, mx in tops.items():
+        sels.append(f"{frac(n, 'top')} AS top_ngram_frac_{n}")
+        conds.append(f"top_ngram_frac_{n} <= {mx}")
+    for n, mx in dups.items():
+        sels.append(f"{frac(n, 'dup')} AS dup_ngram_frac_{n}")
+        conds.append(f"dup_ngram_frac_{n} <= {mx}")
+    joins = " ".join(
+        f"LEFT JOIN g{n} ON g{n}.doc_id = d0.doc_id"
+        for n in list(tops) + list(dups)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f", m AS (SELECT {', '.join(sels)} FROM d0 {joins})\n"
+        + "SELECT *, ("
+        + " AND ".join(conds)
+        + ") AS rep_pass FROM m ORDER BY doc_id"
+    )
+
+
 PIPELINE_ORACLE = {
+    # q155: same restructure, line filter, reassembly and min-doc gate
+    # via DuckDB's list pipeline; md5 of the reassembled UTF-8 text
+    "q155_c4_line_filter": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((\\S+ ){{7}}\\S+) ',
+                                '\\1' || chr(10), 'g') AS t
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 list_filter(string_split(t, chr(10)),
+                             l -> trim(l) <> '') AS L
+          FROM s
+        ), k AS (
+          SELECT doc_id, L,
+                 list_filter(L, l -> len(list_filter(
+                     string_split_regex(trim(l), '\\s+'),
+                     w -> w <> '')) >= 5) AS KL
+          FROM b
+        )
+        SELECT doc_id,
+               md5(array_to_string(KL, chr(10))) AS text_md5,
+               CAST(len(KL) AS BIGINT) AS n_lines_kept,
+               CAST(len(L) - len(KL) AS BIGINT) AS n_lines_dropped
+        FROM k WHERE len(KL) >= 1 ORDER BY doc_id
+    """,
+    "q154_ngram_repetition": _ngram_rep_sql(),
+    "q153_gopher_stats": _GOPHER_SQL,
     "q107_bpe_merges": _bpe_merges_sql(num_merges=30),
     "q115_leakage_safe_split": (
         f"WITH RECURSIVE {_SHINGLES_CTE}, {_CLOSURE_CTE} "

@@ -234,3 +234,85 @@ def test_fit_hashed_classifier_separates_planted_labels(spark):
     good = [scored[i] for i in range(40)]
     bad = [scored[100 + i] for i in range(40)]
     assert min(good) > max(bad)  # perfectly separable corpus separates
+
+
+def test_ngram_repetition_closed_form(spark):
+    """Hand-computed Gopher repetition fractions: top-2-gram char share,
+    duplicated-5-gram char share, empty-doc zeros, and the pass flag."""
+    import math
+
+    from fireworks_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),  # 'a b' x3, len 13 -> 9/13
+            (2, ""),
+            (3, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 tail"),
+            (4, "all distinct words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ranking.ngram_repetition(df).collect()}
+    assert got[1].top_ngram_frac_2 == math.floor(9 / 13 * 1e4 + 0.5) / 1e4
+    assert not got[1].rep_pass  # 0.69 > 0.20 top-2 bound
+    assert got[2].top_ngram_frac_2 == 0.0 and got[2].rep_pass
+    t3 = "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 tail"
+    toks = t3.split()
+    from collections import Counter
+
+    c5 = Counter(
+        " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+    )
+    dup = sum(n * len(g) for g, n in c5.items() if n >= 2)
+    assert got[3].dup_ngram_frac_5 == math.floor(
+        dup / len(t3) * 1e4 + 0.5
+    ) / 1e4
+    assert not got[3].rep_pass
+    assert got[4].rep_pass  # nothing repeats
+
+
+def test_ngram_repetition_matches_python_reference(spark):
+    """Differential check of the 9 run-length folds against a plain
+    Counter reference over random docs (short docs, empty docs, heavy
+    repeats) — same count>=2 rule, char weights, rounding."""
+    import math
+    import random
+    from collections import Counter
+
+    from fireworks_spark.operators import ranking
+
+    rng = random.Random(11)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    docs = [(0, ""), (1, "aa"), (2, "aa b aa b aa b")]
+    for i in range(3, 40):
+        n = rng.randrange(0, 60)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in ranking.ngram_repetition(df).collect()}
+
+    def r4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    for doc_id, text in docs:
+        toks = text.split()
+        nc = len(text)
+        for n in (2, 3, 4):
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            top = max(
+                (c * len(g) for g, c in grams.items() if c >= 2), default=0
+            )
+            want = r4(top / nc) if nc else 0.0
+            assert got[doc_id][f"top_ngram_frac_{n}"] == want, (
+                doc_id, n, text
+            )
+        for n in range(5, 11):
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            dup = sum(c * len(g) for g, c in grams.items() if c >= 2)
+            want = r4(dup / nc) if nc else 0.0
+            assert got[doc_id][f"dup_ngram_frac_{n}"] == want, (
+                doc_id, n, text
+            )

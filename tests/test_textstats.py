@@ -192,3 +192,76 @@ def test_domain_overlap_exact_jaccard(spark):
     # |a ∩ b| = {x,y} = 2; |a ∪ b| = {x,y,z,w,q} = 5
     assert got[("a", "b")] == 0.4
     assert ("a", "c") not in got and ("b", "c") not in got  # no shared tokens
+
+
+def test_gopher_stats_closed_form(spark):
+    """Hand-computed Gopher rule values on structured fixtures: word
+    stats, symbol ratio, stop-word hits, bullet/ellipsis lines, duplicate
+    line and duplicate-character fractions, and the pass verdict."""
+    fifty = " ".join(["the", "of", "and", "words"] * 13)[:-6]  # 51 words
+    doc_pass = fifty  # >=50 words, all alpha, 3 stop words, no lines
+    doc_lines = "dup line\nunique one\ndup line\n- bullet\nends..."
+    doc_symbols = "## tag " + "a " * 18 + "..."
+    rows = [(1, doc_pass), (2, doc_lines), (3, doc_symbols), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.gopher_stats(df).collect()}
+
+    r1 = got[1]
+    assert r1.n_words == 51
+    assert r1.n_stop_hits == 3  # the, of, and
+    assert r1.frac_alpha_words == 1.0
+    assert r1.gopher_pass  # only doc long enough with stop words
+
+    r2 = got[2]
+    # 5 lines: 'dup line' twice -> 1 duplicate occurrence
+    assert r2.dup_line_frac == 0.2
+    # dup chars = 8 of total 8+10+8+8+7=41
+    assert abs(r2.dup_line_char_frac - 8 / 41) < 1e-4
+    assert r2.frac_bullet_lines == 0.2
+    assert r2.frac_ellipsis_lines == 0.2
+    assert not r2.gopher_pass  # too short
+
+    r3 = got[3]
+    # words: '##', 'tag', 18x'a', '...' = 21; symbols: 2 hashes + 1 ellipsis
+    assert r3.n_words == 21
+    assert abs(r3.symbol_word_ratio - 3 / 21) < 1e-4
+    assert not r3.gopher_pass  # symbol ratio 0.143 > 0.1 and too short
+
+    r4 = got[4]
+    assert r4.n_words == 0 and not r4.gopher_pass
+
+
+def test_c4_line_filter_closed_form(spark):
+    """C4 line rules: word-count minimum, terminal punctuation, drop
+    patterns, doc-level minimum, reassembly order."""
+    rows = [
+        (1, "this line has five words.\nshort one\nenable javascript to view\n"
+            "another line with six good words!"),
+        (2, "tiny\nwee"),
+        (3, "no punctuation but has five words\nand a second long line here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textstats.c4_line_filter(
+            df, min_words_per_line=5, drop_patterns=["javascript"]
+        ).collect()
+    }
+    assert got[1].text == (
+        "this line has five words.\nanother line with six good words!"
+    )
+    assert got[1].n_lines_kept == 2 and got[1].n_lines_dropped == 2
+    assert 2 not in got  # every line under 5 words -> doc dropped
+    assert got[3].n_lines_kept == 2
+
+    strict = {
+        r.doc_id: r
+        for r in textstats.c4_line_filter(
+            df,
+            min_words_per_line=5,
+            require_terminal_punct=True,
+            drop_patterns=["javascript"],
+        ).collect()
+    }
+    assert strict[1].n_lines_kept == 2  # both survivors end in . / !
+    assert 3 not in strict  # no terminal punctuation anywhere

@@ -1,0 +1,53 @@
+"""Measured scaling probes for the round-7 operators: Gopher quality-rule
+suite and the full n-gram repetition rule set. Same replicated-documents
+method as scaling_probe_round6.py (sf0.1 docs replicated 1x/4x/16x with
+shifted ids). Both operators are pure per-row map stages, so the expected
+curve is linear with a flat per-row cost; results land in SCALE.md."""
+import time
+
+from pyspark.sql import functions as F
+
+from fireworks_spark.operators import ranking, textstats
+from fireworks_spark.session import get_spark
+from fireworks_spark.tables import table
+
+spark = get_spark(shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.1"
+
+
+def replicate(df, k):
+    r = spark.range(k).select(F.col("id").alias("_copy"))
+    return (
+        df.crossJoin(F.broadcast(r))
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.col("_copy") * F.lit(10_000_000)
+        )
+        .drop("_copy")
+    )
+
+
+base = table(spark, sf, "documents").select("doc_id", "text")
+# the q153 8-word-line restructure, so the line rules do real work
+structured = base.select(
+    "doc_id",
+    F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+)
+
+OPS = {
+    "gopher_stats (10 rules)": lambda d: textstats.gopher_stats(d),
+    "ngram_repetition (9 folds)": lambda d: ranking.ngram_repetition(d),
+}
+
+for k in (1, 4, 16):
+    d = replicate(structured, k).persist()
+    n = d.count()
+    for name, fn in OPS.items():
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(d).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{name} {k}x ({n} docs): {best:.2f}s")
+    d.unpersist()
