@@ -923,11 +923,114 @@ def read_msgpack(spark: SparkSession, path: str) -> DataFrame:
 # unified Message.read / Message.to dispatch
 # --------------------------------------------------------------------------
 
+def write_sparse(
+    df: DataFrame,
+    path: str,
+    row_col: str,
+    col_col: str,
+    val_col: str,
+    shape: tuple[int, int] | None = None,
+) -> None:
+    """Distributed sparse-matrix write: (row, col, value) triplets become
+    one scipy-compatible COO ``part-*.npz`` per partition (Message.to
+    'sparse', reference message.py:180-235 — pandas dropped its sparse
+    frames, so the survivable sparse interchange is scipy's save_npz
+    layout, which is plain numpy arrays in a zip: format/shape/row/col/
+    data — written here with numpy alone, loadable by scipy.sparse.
+    load_npz and by :func:`read_sparse`).
+
+    ``shape`` pins the global matrix dims in every part (scipy requires
+    it to stack parts); default = (max row + 1, max col + 1) computed in
+    one tiny aggregate. Each task writes only its own triplets — fully
+    parallel, no driver materialization."""
+    import numpy as np
+
+    if shape is None:
+        from pyspark.sql import functions as F
+
+        r = df.agg(
+            F.max(row_col).alias("r"), F.max(col_col).alias("c")
+        ).collect()[0]
+        shape = (int(r["r"]) + 1, int(r["c"]) + 1)
+    os.makedirs(path, exist_ok=True)
+    nr, nc = int(shape[0]), int(shape[1])
+
+    def _write(batches):
+        import uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        parts = [b for b in batches if len(b)]
+        rows = 0
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            pid = TaskContext.get().partitionId()
+            fname = os.path.join(
+                path, f"part-{pid:05d}-{uuid.uuid4().hex}.npz"
+            )
+            np.savez_compressed(
+                fname if fname.endswith(".npz") else fname,
+                format=np.array(b"coo"),
+                shape=np.array([nr, nc], dtype=np.int64),
+                row=pdf[row_col].to_numpy(dtype=np.int64),
+                col=pdf[col_col].to_numpy(dtype=np.int64),
+                data=pdf[val_col].to_numpy(dtype=np.float64),
+            )
+            rows = len(pdf)
+        yield pd.DataFrame({"rows": [rows]})
+
+    df.select(row_col, col_col, val_col).mapInPandas(
+        _write, "rows long"
+    ).write.mode("overwrite").format("noop").save()
+
+
+def read_sparse(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed sparse-matrix read: one COO .npz per task back to
+    (row, col, value) triplets (Message.read counterpart of
+    :func:`write_sparse`; also reads scipy.sparse.save_npz COO output
+    directly). CSR/CSC parts raise inside the task — convert with scipy
+    before handing them to a cluster."""
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.npz")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .npz files under {path}")
+
+    def _read(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                z = np.load(f)
+                fmt = bytes(z["format"]).decode()
+                if fmt != "coo":
+                    raise ValueError(
+                        f"{f}: sparse format {fmt!r}; only COO parts are "
+                        "readable without scipy — convert via "
+                        "scipy.sparse.coo_matrix first"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "row": z["row"].astype("int64"),
+                        "col": z["col"].astype("int64"),
+                        "value": z["data"].astype("float64"),
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read, "row long, col long, value double"
+    )
+
+
 UNSUPPORTED: dict[str, str] = {
     "hdf": "pytables not in the container; no distributed reader",
     "gbq": "external BigQuery service; out of scope for a local engine",
     "clipboard": "needs a desktop clipboard; meaningless on a cluster",
-    "sparse": "removed from pandas itself (>=1.0); arrays stay dense",
 }
 
 _SPARK_NATIVE = {"parquet", "csv", "json", "orc"}
@@ -959,6 +1062,8 @@ def message_read(
         return read_html_tables(spark, path, **kw)
     if fmt == "sql_table":
         return database.read_jdbc(spark, kw.pop("url"), kw.pop("table"), **kw)
+    if fmt == "sparse":
+        return read_sparse(spark, path)
     if fmt in UNSUPPORTED:
         raise NotImplementedError(f"read {fmt!r}: {UNSUPPORTED[fmt]}")
     raise ValueError(f"unknown read format {fmt!r}")
@@ -997,6 +1102,8 @@ def message_to(df: DataFrame, fmt: str, path: str = None, **kw):
         return to_string(df, **kw)
     if fmt == "latex":
         return to_latex(df, **kw)
+    if fmt == "sparse":
+        return write_sparse(df, path, **kw)
     if fmt == "dense":
         return df  # Messages are always dense here (reference to('dense'))
     if fmt in UNSUPPORTED:

@@ -662,7 +662,43 @@ def _zorder_sql(cols: list[str], bits: int = 16) -> str:
     return " | ".join(terms)
 
 
+def q156_sparse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse-matrix connector end-to-end (Message.read/to 'sparse',
+    reference message.py:180-235): orders as (orderkey, custkey, price)
+    COO triplets written as per-partition scipy-compatible .npz parts
+    (plain-numpy codec) and read back one file per task, then aggregated
+    against the original parquet — any codec loss (dtype downcast,
+    dropped triplets, shape truncation) surfaces as a value mismatch."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.edge_formats import read_sparse, write_sparse
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="fw_sparse_")
+    try:
+        write_sparse(
+            o.repartition(4), d, "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        back = read_sparse(spark, d)
+        return (
+            back.groupBy((F.col("col") % 7).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("price"),
+                F.sum("row").alias("key_sum"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
+    "q156_sparse_roundtrip": q156_sparse_roundtrip,
     "q151_bucketed_join": q151_bucketed_join,
     "q152_zorder_key": q152_zorder_key,
     "q118_transaction_semantics": q118_transaction_semantics,
@@ -684,6 +720,12 @@ DATABASE_QUERIES = {
 }
 
 DATABASE_ORACLE = {
+    "q156_sparse_roundtrip": (
+        "SELECT CAST(o_custkey % 7 AS BIGINT) AS bucket, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) + 0.0 AS price, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ),
     "q151_bucketed_join": (
         "SELECT c_mktsegment, COUNT(*) AS n, "
         "ROUND(SUM(o_totalprice), 2) + 0.0 AS rev "

@@ -149,7 +149,7 @@ def test_message_dispatch_full_surface(spark, small, tmp_path):
     ef.message_to(small, "msgpack", mp)
     assert ef.message_read(spark, "msgpack", mp).count() == 100
     # every reference to/read name is either routed or refused with a reason
-    for fmt in ("hdf", "gbq", "clipboard", "sparse"):
+    for fmt in ("hdf", "gbq", "clipboard"):
         with pytest.raises(NotImplementedError, match=fmt):
             ef.message_to(small, fmt, str(tmp_path / fmt))
     with pytest.raises(NotImplementedError):
@@ -320,3 +320,32 @@ def test_msgpack_nulls_arrays_unicode(spark, tmp_path):
     assert back[1] == ("héllo wörld", [1.0, 2.5], True)
     assert back[2] == (None, [], False)
     assert back[3] == ("plain", [0.0], None)
+
+
+def test_sparse_roundtrip_scipy_layout(spark, tmp_path):
+    """COO triplets -> per-partition scipy-compatible .npz -> triplets:
+    exact value roundtrip, scipy save_npz array layout (format/shape/
+    row/col/data readable with plain numpy), dispatch routing."""
+    import numpy as np
+
+    rows = [(0, 2, 1.5), (3, 1, -2.25), (7, 0, 0.125), (3, 4, 9.0)]
+    df = spark.createDataFrame(rows, "r long, c long, v double")
+    p = str(tmp_path / "coo")
+    ef.write_sparse(df.repartition(2), p, "r", "c", "v")
+    back = sorted(
+        (x.row, x.col, x.value) for x in ef.read_sparse(spark, p).collect()
+    )
+    assert back == sorted(rows)
+    # raw layout is scipy's: every part loads with numpy alone
+    import glob as g
+
+    f = g.glob(p + "/*.npz")
+    assert f
+    z = np.load(f[0])
+    assert set(z.files) >= {"format", "shape", "row", "col", "data"}
+    assert bytes(z["format"]).decode() == "coo"
+    assert list(z["shape"]) == [8, 5]  # max row+1, max col+1
+    # dispatch names route
+    p2 = str(tmp_path / "coo2")
+    ef.message_to(df, "sparse", p2, row_col="r", col_col="c", val_col="v")
+    assert ef.message_read(spark, "sparse", p2).count() == 4
