@@ -631,6 +631,47 @@ def q155_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_filtered_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality-filtered pretraining mix chaining the round-7
+    filter suite: 8-word-line restructure -> C4 line cleaning (drop ragged
+    short lines, reassemble) -> Gopher word/dup-line gate (n_words >= 50,
+    dup_line_frac <= 0.3) -> full n-gram repetition gate (rep_pass) ->
+    exact dedup on the cleaned text (keep min doc_id per md5) -> per-
+    bucket doc count + token sum. At sf0.001 the chain keeps 267 of 500
+    docs with every stage discriminating. One SQL oracle re-derives the
+    whole chain (the q138 composite pattern), so stage INTERACTIONS are
+    value-checked, not just stages in isolation."""
+    d = table(spark, sf_dir, "documents")
+    structured = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    c4 = textstats.c4_line_filter(structured, min_words_per_line=5)
+    g = textstats.gopher_stats(c4)
+    r = ranking.ngram_repetition(c4)
+    kept = (
+        c4.join(g.select("doc_id", "n_words", "dup_line_frac"), "doc_id")
+        .join(r.select("doc_id", "rep_pass"), "doc_id")
+        .filter(
+            (F.col("n_words") >= 50)
+            & (F.col("dup_line_frac") <= 0.3)
+            & F.col("rep_pass")
+        )
+    )
+    canon = kept.groupBy(
+        F.md5(F.encode("text", "UTF-8")).alias("h")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(canon.select("doc_id"), "doc_id")
+    return (
+        final.groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("tok_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q37_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return textstats.with_token_stats(d).orderBy("doc_id")
@@ -862,6 +903,7 @@ PIPELINE_QUERIES = {
     "q153_gopher_stats": q153_gopher_stats,
     "q154_ngram_repetition": q154_ngram_repetition,
     "q155_c4_line_filter": q155_c4_line_filter,
+    "q157_filtered_pretraining_mix": q157_filtered_pretraining_mix,
     "q37_text_token_stats": q37_text_token_stats,
     "q38_text_quality": q38_text_quality,
     "q39_text_langid": q39_text_langid,
@@ -1318,18 +1360,24 @@ SELECT *,
 FROM m ORDER BY doc_id
 """
 
-def _ngram_rep_sql() -> str:
+_REP_TOPS = {2: 0.20, 3: 0.18, 4: 0.16}
+_REP_DUPS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _ngram_rep_sql(src: str = "documents", text: str = "text") -> str:
     """q154's oracle: per-n n-gram counts via unnest + GROUP BY (an
     aggregation strategy independent of the engine's per-row fold), same
     count>=2 repetition rule, char weights, rounding and thresholds as
-    ranking.ngram_repetition."""
-    tops = {2: 0.20, 3: 0.18, 4: 0.16}
-    dups = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    ranking.ngram_repetition. ``src``/``text`` parameterize the input so
+    the composite q157 can run the identical rule block over its
+    C4-cleaned text."""
+    tops, dups = _REP_TOPS, _REP_DUPS
+    norm = f"regexp_replace(lower(trim({text})), '\\s+', ' ', 'g')"
     parts = [
         f"""d0 AS MATERIALIZED (
-  SELECT doc_id, length(text) AS nc,
-         list_filter(string_split({_NORM}, ' '), w -> w <> '') AS W
-  FROM documents
+  SELECT doc_id, length({text}) AS nc,
+         list_filter(string_split({norm}, ' '), w -> w <> '') AS W
+  FROM {src}
 )"""
     ]
     for n in list(tops) + list(dups):
@@ -1367,17 +1415,90 @@ def _ngram_rep_sql() -> str:
         f"LEFT JOIN g{n} ON g{n}.doc_id = d0.doc_id"
         for n in list(tops) + list(dups)
     )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f", m AS (SELECT {', '.join(sels)} FROM d0 {joins})\n"
-        + "SELECT *, ("
+    parts.append(f"m AS (SELECT {', '.join(sels)} FROM d0 {joins})")
+    parts.append(
+        "rep AS (SELECT *, ("
         + " AND ".join(conds)
-        + ") AS rep_pass FROM m ORDER BY doc_id"
+        + ") AS rep_pass FROM m)"
+    )
+    return _ctes(parts) + "\nSELECT * FROM rep ORDER BY doc_id"
+
+
+def _ctes(parts: list[str]) -> str:
+    return "WITH " + ",\n".join(parts)
+
+
+def _ngram_rep_ctes(src: str, text: str) -> list[str]:
+    """The q154 rule block as reusable CTE parts ending in ``rep``
+    (doc_id, 9 fractions, rep_pass) — extracted so q157's composite
+    oracle chains the IDENTICAL rules after its C4 stage."""
+    sql = _ngram_rep_sql(src, text)
+    body = sql[len("WITH ") : sql.rindex("\nSELECT")]
+    return [body]
+
+
+def _filtered_mix_sql() -> str:
+    """q157's oracle: the whole restructure -> C4 -> Gopher-gate ->
+    rep-gate -> exact-dedup -> bucket-aggregate chain as one WITH, built
+    from the same CTE blocks the per-stage oracles use (q155's line
+    pipeline, q153's dup-line rounding, q154's rule block via
+    _ngram_rep_ctes)."""
+    parts = [
+        """s AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){7}\\S+) ',
+                        '\\1' || chr(10), 'g') AS t
+  FROM documents
+)""",
+        """k AS (
+  SELECT doc_id,
+         list_filter(list_filter(string_split(t, chr(10)),
+                                 l -> trim(l) <> ''),
+                     l -> len(list_filter(
+                         string_split_regex(trim(l), '\\s+'),
+                         w -> w <> '')) >= 5) AS KL
+  FROM s
+)""",
+        """c4 AS MATERIALIZED (
+  SELECT doc_id, array_to_string(KL, chr(10)) AS t2
+  FROM k WHERE len(KL) >= 1
+)""",
+        """gp AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(t2, '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_words,
+         CASE WHEN len(L2) > 0
+              THEN FLOOR(CAST(len(L2) - len(list_distinct(L2)) AS DOUBLE)
+                   / len(L2) * 10000 + 0.5) / 10000
+              ELSE 0.0 END AS dup_line_frac
+  FROM (SELECT doc_id, t2,
+               list_filter(string_split(t2, chr(10)),
+                           l -> l <> '') AS L2
+        FROM c4)
+)""",
+    ]
+    parts += _ngram_rep_ctes("c4", "t2")
+    parts += [
+        """filt AS (
+  SELECT c4.doc_id, c4.t2, gp.n_words
+  FROM c4 JOIN gp USING (doc_id) JOIN rep USING (doc_id)
+  WHERE gp.n_words >= 50 AND gp.dup_line_frac <= 0.3 AND rep.rep_pass
+)""",
+        """canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY md5(t2)
+)""",
+    ]
+    return (
+        _ctes(parts)
+        + "\nSELECT CAST(f.doc_id % 10 AS BIGINT) AS bucket, "
+        "COUNT(*) AS n_docs, CAST(SUM(f.n_words) AS BIGINT) AS tok_sum "
+        "FROM filt f JOIN canon USING (doc_id) "
+        "GROUP BY 1 ORDER BY 1"
     )
 
 
 PIPELINE_ORACLE = {
+    "q157_filtered_pretraining_mix": _filtered_mix_sql(),
     # q155: same restructure, line filter, reassembly and min-doc gate
     # via DuckDB's list pipeline; md5 of the reassembled UTF-8 text
     "q155_c4_line_filter": f"""

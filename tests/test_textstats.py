@@ -265,3 +265,74 @@ def test_c4_line_filter_closed_form(spark):
     }
     assert strict[1].n_lines_kept == 2  # both survivors end in . / !
     assert 3 not in strict  # no terminal punctuation anywhere
+
+
+def test_gopher_stats_matches_python_reference(spark):
+    """Differential check of all ten Gopher statistics against a plain
+    Python reference over random structured docs (bullets, ellipses,
+    duplicate lines, blank lines, symbols, empty docs)."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    words_pool = ["the", "of", "ox", "#tag", "be", "longword", "a", "..."]
+    line_shapes = [
+        lambda ws: " ".join(ws),
+        lambda ws: "- " + " ".join(ws),
+        lambda ws: " ".join(ws) + "...",
+        lambda ws: "",
+        lambda ws: "   ",
+    ]
+    docs = [(0, ""), (1, "dup\ndup\ndup")]
+    for i in range(2, 30):
+        lines = []
+        for _ in range(rng.randrange(0, 8)):
+            ws = [rng.choice(words_pool) for _ in range(rng.randrange(0, 6))]
+            lines.append(rng.choice(line_shapes)(ws))
+        if rng.random() < 0.5 and lines:
+            lines.append(rng.choice(lines))  # force duplicate lines
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.gopher_stats(df).collect()}
+
+    def r4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    for doc_id, text in docs:
+        W = [w for w in text.split() if w]
+        L = [l for l in text.split("\n") if l != ""]
+        r = got[doc_id]
+        assert r.n_words == len(W)
+        assert r.mean_word_len == (
+            r4(sum(len(w) for w in W) / len(W)) if W else 0.0
+        )
+        assert r.frac_alpha_words == (
+            r4(sum(1 for w in W if any(c.isalpha() and c.isascii() for c in w)) / len(W))
+            if W
+            else 0.0
+        ), (doc_id, text)
+        n_sym = text.count("#") + (
+            (len(text) - len(text.replace("...", ""))) / 3
+        )
+        assert r.symbol_word_ratio == (r4(n_sym / len(W)) if W else 0.0)
+        assert r.n_stop_hits == sum(
+            1 for s in stops if s in [w.lower() for w in W]
+        )
+        if L:
+            import re as _re
+
+            assert r.frac_bullet_lines == r4(
+                sum(1 for l in L if _re.match(r"^\s*[-*•]", l)) / len(L)
+            )
+            assert r.frac_ellipsis_lines == r4(
+                sum(1 for l in L if l.endswith("...")) / len(L)
+            )
+            assert r.dup_line_frac == r4((len(L) - len(set(L))) / len(L))
+            tot = sum(len(l) for l in L)
+            dtot = sum(len(l) for l in set(L))
+            assert r.dup_line_char_frac == (
+                r4((tot - dtot) / tot) if tot else 0.0
+            ), (doc_id, text)
+        else:
+            assert r.dup_line_frac == 0.0 and r.frac_bullet_lines == 0.0
