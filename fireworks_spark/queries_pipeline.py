@@ -640,13 +640,21 @@ def q157_filtered_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame
     bucket doc count + token sum. At sf0.001 the chain keeps 267 of 500
     docs with every stage discriminating. One SQL oracle re-derives the
     whole chain (the q138 composite pattern), so stage INTERACTIONS are
-    value-checked, not just stages in isolation."""
+    value-checked, not just stages in isolation.
+
+    Unlike q138's linear chain, this DAG FANS OUT: c4 feeds three
+    branches and kept feeds both sides of the dedup self-join, so the
+    shared frames are persisted (measured 72.6s -> 2.7s at sf0.1 — the
+    interpreted HOF rule chains re-evaluated per branch otherwise) with
+    release handles attached per the repo's cache convention."""
+    from fireworks_spark.operators.dedup import _attach_caches
+
     d = table(spark, sf_dir, "documents")
     structured = d.select(
         "doc_id",
         F.regexp_replace("text", r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
     )
-    c4 = textstats.c4_line_filter(structured, min_words_per_line=5)
+    c4 = textstats.c4_line_filter(structured, min_words_per_line=5).persist()
     g = textstats.gopher_stats(c4)
     r = ranking.ngram_repetition(c4)
     kept = (
@@ -657,12 +665,13 @@ def q157_filtered_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("dup_line_frac") <= 0.3)
             & F.col("rep_pass")
         )
+        .persist()
     )
     canon = kept.groupBy(
         F.md5(F.encode("text", "UTF-8")).alias("h")
     ).agg(F.min("doc_id").alias("doc_id"))
     final = kept.join(canon.select("doc_id"), "doc_id")
-    return (
+    out = (
         final.groupBy((F.col("doc_id") % 10).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -670,6 +679,7 @@ def q157_filtered_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+    return _attach_caches(out, extra=[c4, kept])
 
 
 def q37_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
