@@ -30,8 +30,18 @@ def _python_parse(path):
     return recs
 
 
-@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture absent")
 def test_fasta_matches_python_parse(spark):
+    # runtime check with a short retry, NOT an import-time skipif: the
+    # read-only reference mount has shown transient exists()=False blips
+    # during long full-suite runs, silently skipping this test
+    import time
+
+    for _ in range(3):
+        if os.path.exists(FIXTURE):
+            break
+        time.sleep(1.0)
+    else:
+        pytest.skip("reference fixture unavailable after retries")
     want = _python_parse(FIXTURE)
     got = (
         read_fasta(spark, FIXTURE)
