@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from fireworks_spark.operators.spread import spread
 
-__all__ = ["covariance_matrix", "pca_fit", "pca_project"]
+__all__ = ["covariance_matrix", "pca_fit", "pca_project", "pca_whiten"]
 
 
 def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
@@ -177,3 +177,43 @@ def pca_project(
         .mapInPandas(_proj, "nid long, pc array<double>")
         .select(F.col("nid").alias(id_col), "pc")
     )
+
+
+def pca_whiten(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    components=None,
+    variances=None,
+    eps: float = 1e-8,
+) -> DataFrame:
+    """PCA whitening: mean-center, rotate onto the top-k components, and
+    scale each coordinate by 1/sqrt(variance + eps) so the output has
+    identity covariance — the standard embedding preprocessing before
+    cosine-threshold dedup (SemDeDup-style) or Mahalanobis-ish scoring,
+    composing pca_fit/pca_project's verified machinery. Returns
+    (id_col, wpc array<double> of length k).
+
+    ``components``/``variances`` inject a fixed basis + per-component
+    variances (the pca_project injection shape), making the whole
+    center->rotate->scale->round pass SQL-derivable for the driver; when
+    omitted both are learned from the covariance eig. The scale factors
+    fold INTO the projection matrix before the single Arrow matmul, so
+    whiten costs exactly what project costs; rounding stays the portable
+    floor(x*1e4+0.5)/1e4 convention."""
+    import numpy as np
+
+    if (components is None) != (variances is None):
+        raise ValueError("inject components and variances together")
+    if components is None:
+        comps, _mean, eig = pca_fit(df, k, vec_col)
+        variances = eig
+    else:
+        comps = np.asarray(components, dtype=np.float64)
+    w = np.asarray(variances, dtype=np.float64)
+    scaled = comps / np.sqrt(w + eps)[:, None]
+    return pca_project(
+        df, k, id_col, vec_col, round_to, components=scaled
+    ).withColumnRenamed("pc", "wpc")

@@ -470,6 +470,36 @@ def q106_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_Q158_VARS = [1.0, 4.0, 0.25, 16.0, 1.0, 0.0625, 4.0, 1.0]
+
+
+def q158_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening (embedstats.pca_whiten) with q106's INJECTED
+    Hadamard basis plus injected per-component variances: each projection
+    coordinate is scaled by 1/sqrt(var_k + 1e-8), the scale folded into
+    the matrix BEFORE the Arrow matmul (so the oracle multiplies each
+    per-dimension term by the same pre-divided entry — term-wise, not
+    post-sum, keeping the doubles identical). The LEARNED variance path
+    is covered by tests/test_similarity.py (identity covariance after
+    whitening)."""
+    from fireworks_spark.operators import embedstats
+
+    e = table(spark, sf_dir, "embeddings")
+    basis = [
+        [
+            (1.0 if bin(k & d).count("1") % 2 == 0 else -1.0) / 8.0
+            for d in range(64)
+        ]
+        for k in range(8)
+    ]
+    proj = embedstats.pca_whiten(
+        e, k=8, components=basis, variances=_Q158_VARS
+    )
+    return proj.select(
+        "vec_id", *[F.col("wpc")[i].alias(f"wpc{i}") for i in range(8)]
+    ).orderBy("vec_id")
+
+
 def q109_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level originality: fraction of each doc's distinct word
     trigrams with document frequency exactly 1 (boilerplate detector)."""
@@ -907,6 +937,7 @@ PIPELINE_QUERIES = {
     "q103_semdedup": q103_semdedup,
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_pca_project": q106_pca_project,
+    "q158_pca_whiten": q158_pca_whiten,
     "q107_bpe_merges": q107_bpe_merges,
     "q108_bpe_encode": q108_bpe_encode,
     "q109_ngram_novelty": q109_ngram_novelty,
@@ -1693,6 +1724,42 @@ PIPELINE_ORACLE = {
                MAX(CASE WHEN k = 5 THEN p END) AS pc5,
                MAX(CASE WHEN k = 6 THEN p END) AS pc6,
                MAX(CASE WHEN k = 7 THEN p END) AS pc7
+        FROM proj GROUP BY vec_id ORDER BY vec_id
+    """,
+    # q158: q106's projection with each matrix entry pre-divided by
+    # sqrt(var_k + 1e-8) — term-wise like the engine's scaled basis, so
+    # every per-dimension product is the identical double
+    "q158_pca_whiten": """
+        WITH dims AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings WHERE embedding IS NOT NULL
+        ), mn AS (
+          SELECT d, AVG(x) AS mx FROM dims GROUP BY d
+        ), proj AS (
+          SELECT v.vec_id, t.k,
+                 FLOOR(SUM((v.x - m.mx) *
+                       ((CASE WHEN bit_count(CAST(t.k AS BIGINT)
+                                             & CAST(v.d AS BIGINT)) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END) / 8.0
+                        / sqrt((CASE t.k WHEN 0 THEN 1.0 WHEN 1 THEN 4.0
+                                WHEN 2 THEN 0.25 WHEN 3 THEN 16.0
+                                WHEN 4 THEN 1.0 WHEN 5 THEN 0.0625
+                                WHEN 6 THEN 4.0 ELSE 1.0 END) + 1e-8)))
+                       * 10000 + 0.5) / 10000 + 0.0 AS p
+          FROM dims v JOIN mn m USING (d)
+          CROSS JOIN range(0, 8) t(k)
+          GROUP BY v.vec_id, t.k
+        )
+        SELECT vec_id,
+               MAX(CASE WHEN k = 0 THEN p END) AS wpc0,
+               MAX(CASE WHEN k = 1 THEN p END) AS wpc1,
+               MAX(CASE WHEN k = 2 THEN p END) AS wpc2,
+               MAX(CASE WHEN k = 3 THEN p END) AS wpc3,
+               MAX(CASE WHEN k = 4 THEN p END) AS wpc4,
+               MAX(CASE WHEN k = 5 THEN p END) AS wpc5,
+               MAX(CASE WHEN k = 6 THEN p END) AS wpc6,
+               MAX(CASE WHEN k = 7 THEN p END) AS wpc7
         FROM proj GROUP BY vec_id ORDER BY vec_id
     """,
     "q42_dup_clusters": _CLUSTERS_SQL,

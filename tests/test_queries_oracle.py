@@ -23,7 +23,12 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
 NO_ORACLE = [k for k in QUERIES if k not in ORACLES]
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_query_runs(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_no_oracle_bucket(spark, sf_dir):
+    """Rows-only fallback for queries without an oracle. The bucket has
+    been EMPTY since round 7 (every registry query is value-checked) —
+    one always-collected test instead of an empty parametrize, which
+    pytest would report as a mystery skip. (COVERAGE.md's oracle column
+    is cross-checked against ORACLES in test_registry_rotation, so a
+    silently dropped oracle still fails loudly there.)"""
+    for name in NO_ORACLE:
+        assert QUERIES[name](spark, sf_dir).count() >= 0

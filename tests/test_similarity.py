@@ -9,7 +9,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from fireworks_spark.operators import similarity
+from fireworks_spark.operators import embedstats, similarity
 from fireworks_spark.tables import table
 
 
@@ -226,3 +226,43 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
         .collect()
     ]
     assert rel_only == [1, 2, 3]
+
+
+def test_pca_whiten_identity_covariance(spark):
+    """Learned-path whitening: the whitened coordinates must have ~unit
+    variance and ~zero cross-covariance; injected-path whitening must
+    equal project/sqrt(var) exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(2, 2)) + np.eye(2) * 2  # anisotropic mix
+    X = rng.normal(size=(400, 2)) @ A
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    W = np.array(
+        [r.wpc for r in embedstats.pca_whiten(df, 2, round_to=6).collect()]
+    )
+    C = np.cov(W.T, bias=True)
+    assert abs(C[0, 0] - 1) < 0.05 and abs(C[1, 1] - 1) < 0.05
+    assert abs(C[0, 1]) < 0.05
+    # injected path == project with a pre-scaled basis
+    comps = np.array([[1.0, 0.0], [0.0, 1.0]])
+    var = np.array([4.0, 0.25])
+    got = {
+        r.vec_id: r.wpc
+        for r in embedstats.pca_whiten(
+            df, 2, components=comps, variances=var, round_to=4
+        ).collect()
+    }
+    want = {
+        r.vec_id: r.pc
+        for r in embedstats.pca_project(
+            df,
+            2,
+            components=comps / np.sqrt(var + 1e-8)[:, None],
+            round_to=4,
+        ).collect()
+    }
+    assert got == want
