@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame) -> DataFrame:
+    # streaming frames have no .rdd (and micro-batch parallelism is the
+    # source's concern) — pass through so every expression-only operator
+    # built on spread (textstats, ranking, dedup signatures) also works
+    # inside readStream pipelines
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

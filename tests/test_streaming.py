@@ -456,3 +456,35 @@ def test_dedup_stream_against_static_corpus(spark, tmp_path):
     assert got == [2, 3]
     # corpus-side persisted frames were released after the run
     # (baseline-relative: other module tests may hold their own caches)
+
+
+def test_quality_gates_run_on_streams(spark, tmp_path):
+    """The expression-only quality operators (gopher_stats, c4_line_filter,
+    ngram_repetition) must work unchanged inside a readStream pipeline
+    (spread() passes streaming frames through instead of touching .rdd),
+    and the streamed results must equal the batch results row for row."""
+    from fireworks_spark.operators import ranking, textstats
+
+    rows = [
+        (1, "the quick fox\nshort\nthe quick fox jumps high today"),
+        (2, "dup line one two three four\ndup line one two three four"),
+        (3, ""),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "qstream")
+    src.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+
+    for name, fn in [
+        ("g", textstats.gopher_stats),
+        ("c", lambda df: textstats.c4_line_filter(df, min_words_per_line=3)),
+        ("r", ranking.ngram_repetition),
+    ]:
+        out = fn(stream)
+        assert out.isStreaming
+        streaming.run_to_memory(out, f"qgate_{name}", output_mode="append")
+        got = sorted(
+            tuple(r) for r in spark.table(f"qgate_{name}").collect()
+        )
+        want = sorted(tuple(r) for r in fn(src).collect())
+        assert got == want, name
