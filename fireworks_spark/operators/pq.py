@@ -377,3 +377,47 @@ def ivfpq_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "dist", "rk")
     )
+
+
+def sq8_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar 8-bit quantization (the FAISS SQ8 shape, per-vector max-abs
+    scaling): scale = max|x_d| / 127, code_d = clamp(floor(x_d/scale +
+    0.5), -127, 127). Returns (id_col, scale double, codes array<int>).
+    4x the footprint cut of float32 with none of PQ's training — the
+    first rung of the memory-bound ANN ladder (PQ is the 32x rung).
+
+    Entirely JVM-side HOF expressions — no Python anywhere, the encode
+    IS the scan. floor(x+0.5) is the repo's portable rounding (COVERAGE
+    convention 2), so a SQL oracle re-derives every code and q159
+    value-checks encode AND reconstruction error end-to-end. The
+    all-zero vector has scale 0 and all-zero codes by definition."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
+    codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / scale + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        )
+    )
+    return df.select(
+        id_col, scale.alias("scale"), codes.alias("codes")
+    )
+
+
+def sq8_decode(
+    scale_col: str = "scale", codes_col: str = "codes"
+) -> F.Column:
+    """Reconstruction column for an sq8_encode frame: code_d * scale."""
+    return F.transform(
+        F.col(codes_col), lambda c: c.cast("double") * F.col(scale_col)
+    )

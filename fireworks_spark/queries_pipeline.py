@@ -500,6 +500,38 @@ def q158_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q159_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar 8-bit quantization of the embedding column (pq.sq8_encode —
+    the 4x memory rung below PQ's 32x): per-vector max-abs scale, clamped
+    half-up codes, all JVM HOF expressions. Emits per-vector scale,
+    code checksum/min/max and the max reconstruction error so the oracle
+    value-checks encode AND decode; the error bound itself (err <=
+    scale/2) is asserted in tests/test_pq.py."""
+    from fireworks_spark.operators import pq
+
+    e = table(spark, sf_dir, "embeddings")
+    enc = pq.sq8_encode(e)
+    joined = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(enc, "vec_id")
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"), pq.sq8_decode(), lambda x, y: F.abs(x - y)
+        )
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return joined.select(
+        "vec_id",
+        r4(F.col("scale")).alias("scale4"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+        r4(err).alias("err4"),
+    ).orderBy("vec_id")
+
+
 def q109_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level originality: fraction of each doc's distinct word
     trigrams with document frequency exactly 1 (boilerplate detector)."""
@@ -938,6 +970,7 @@ PIPELINE_QUERIES = {
     "q105_embedding_covariance": q105_embedding_covariance,
     "q106_pca_project": q106_pca_project,
     "q158_pca_whiten": q158_pca_whiten,
+    "q159_sq8_quantize": q159_sq8_quantize,
     "q107_bpe_merges": q107_bpe_merges,
     "q108_bpe_encode": q108_bpe_encode,
     "q109_ngram_novelty": q109_ngram_novelty,
@@ -1725,6 +1758,36 @@ PIPELINE_ORACLE = {
                MAX(CASE WHEN k = 6 THEN p END) AS pc6,
                MAX(CASE WHEN k = 7 THEN p END) AS pc7
         FROM proj GROUP BY vec_id ORDER BY vec_id
+    """,
+    # q159: SQ8 re-derived element-wise with the identical portable
+    # floor half-up rounding and clamp; err from the zipped difference
+    "q159_sq8_quantize": """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE embedding IS NOT NULL
+        ), s AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+          FROM v
+        ), c AS (
+          SELECT vec_id, e, sc,
+                 CASE WHEN sc = 0
+                      THEN list_transform(e, x -> 0)
+                      ELSE list_transform(e, x -> GREATEST(-127,
+                             LEAST(127, CAST(FLOOR(x / sc + 0.5) AS INT))))
+                 END AS codes
+          FROM s
+        )
+        SELECT vec_id,
+               FLOOR(sc * 10000 + 0.5) / 10000 AS scale4,
+               CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+               CAST(list_min(codes) AS BIGINT) AS code_min,
+               CAST(list_max(codes) AS BIGINT) AS code_max,
+               FLOOR(list_max(list_transform(range(1, len(e) + 1),
+                     i -> abs(e[i] - codes[i] * sc)))
+                     * 10000 + 0.5) / 10000 AS err4
+        FROM c ORDER BY vec_id
     """,
     # q158: q106's projection with each matrix entry pre-divided by
     # sqrt(var_k + 1e-8) — term-wise like the engine's scaled basis, so

@@ -128,3 +128,38 @@ def test_adc_scan_stays_jvm_side(spark):
     assert plan.count("MapInPandas") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast LUTs, big side streams
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    """SQ8: codes stay in [-127, 127], the max-abs element maps to +/-127,
+    reconstruction error is bounded by scale/2 per element, and the
+    all-zero vector encodes to zeros with scale 0."""
+    from fireworks_spark.operators import pq
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.54, 1.27, 0.01, 2.54]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r.vec_id: r for r in pq.sq8_encode(df).collect()}
+    assert enc[2].scale == 0.0 and enc[2].codes == [0, 0, 0, 0]
+    assert enc[1].codes[0] == 127  # max-abs element saturates
+    assert enc[3].codes[0] == -127 and enc[3].codes[3] == 127
+    for vid, vec in rows:
+        e = enc[vid]
+        assert all(-127 <= c <= 127 for c in e.codes)
+        for x, c in zip(vec, e.codes):
+            assert abs(x - c * e.scale) <= e.scale / 2 + 1e-12
+
+    dec = {
+        r.vec_id: r.rec
+        for r in pq.sq8_encode(df)
+        .select("vec_id", pq.sq8_decode().alias("rec"))
+        .collect()
+    }
+    for vid, vec in rows:
+        assert all(
+            abs(x - y) <= enc[vid].scale / 2 + 1e-12
+            for x, y in zip(vec, dec[vid])
+        )
