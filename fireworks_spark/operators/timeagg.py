@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup"]
+__all__ = ["time_rollup", "funnel_counts"]
 
 _GRAINS = ("hour", "day", "week", "month", "year")
 
@@ -68,4 +68,67 @@ def time_rollup(
         *keys,
         "cnt",
         "sum_val",
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel reach (the product-analytics staple): for each step
+    i, how many distinct keys performed steps[0..i] in order with STRICTLY
+    increasing timestamps (greedy earliest matching — taking each step's
+    first qualifying occurrence, which maximizes downstream reach, the
+    standard funnel semantics). Returns (step, step_name, users) with
+    step 1-based.
+
+    ONE shuffle: events are pre-filtered to the funnel's own types, then
+    each key's (ts, type) pairs collapse into a sorted array whose
+    run-through fold advances a (reached, last_ts) state — no k-level
+    self-join chain, no fan-out. Per-key array size is bounded by that
+    key's funnel-relevant events (heavy keys: pre-aggregate duplicates or
+    window-limit per type upstream). q160's oracle re-derives reach with
+    an INDEPENDENT k-CTE iterative-min strategy, cross-checking the fold."""
+    k = len(steps)
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key_col).alias("_k"),
+        F.struct(
+            F.col(ts_col).alias("t"), F.col(type_col).alias("y")
+        ).alias("_e"),
+    )
+    per_key = ev.groupBy("_k").agg(
+        F.array_sort(F.collect_list("_e")).alias("_es")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    reached = F.aggregate(
+        "_es",
+        F.struct(
+            F.lit(0).alias("r"),
+            F.lit(None).cast("timestamp").alias("lt"),
+        ),
+        lambda acc, e: F.when(
+            (acc.r < k)
+            & (e.y == F.element_at(step_arr, acc.r + 1))
+            & (acc.lt.isNull() | (e.t > acc.lt)),
+            F.struct((acc.r + 1).alias("r"), e.t.alias("lt")),
+        ).otherwise(acc),
+        lambda acc: acc.r,
+    )
+    levels = (
+        per_key.select(reached.alias("reached"))
+        .groupBy("reached")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    steps_df = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step long, step_name string",
+    )
+    return (
+        steps_df.join(levels, F.col("reached") >= F.col("step"), "left")
+        .groupBy("step", "step_name")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users"))
+        .orderBy("step")
     )

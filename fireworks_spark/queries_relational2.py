@@ -356,7 +356,22 @@ def q111_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grain", "bucket", "event_type")
 
 
+def q160_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel view -> click -> purchase over the events
+    table (timeagg.funnel_counts): per-step distinct-user reach with
+    strictly-increasing timestamps and greedy earliest matching, computed
+    in ONE shuffle by a per-user sorted-array fold. The oracle re-derives
+    reach with an independent k-CTE iterative-min strategy (min qualifying
+    ts per step, strictly after the previous step's), so the fold's greedy
+    semantics are cross-checked, not just re-run."""
+    from fireworks_spark.operators.timeagg import funnel_counts
+
+    e = table(spark, sf_dir, "events")
+    return funnel_counts(e, ["view", "click", "purchase"])
+
+
 RELATIONAL2_QUERIES = {
+    "q160_event_funnel": q160_event_funnel,
     "q111_time_rollup": q111_time_rollup,
     "q91_rolling_time_window": q91_rolling_time_window,
     "q92_approx_percentile": q92_approx_percentile,
@@ -378,6 +393,27 @@ RELATIONAL2_QUERIES = {
 }
 
 RELATIONAL2_ORACLE = {
+    "q160_event_funnel": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+               COUNT(*) AS users FROM s1
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+        ORDER BY step
+    """,
     "q111_time_rollup": (
         "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, "
         "event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val "

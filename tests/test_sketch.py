@@ -194,3 +194,32 @@ def test_rebalance_strata_equalizes(spark):
     got1 = sorted(r.k for r in out1.collect())
     got2 = sorted(r.k for r in rebalance_strata(df, "s", "k").collect())
     assert got1 == got2
+
+
+def test_funnel_counts_closed_form(spark):
+    """Hand funnel A -> B -> C: ordered strictly-increasing matching,
+    greedy earliest occurrence, same-timestamp events never advance,
+    out-of-order prefixes don't count."""
+    import datetime as dt
+
+    from fireworks_spark.operators.timeagg import funnel_counts
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 completes A(1) B(2) C(3)
+        (1, t(1), "A"), (1, t(2), "B"), (1, t(3), "C"),
+        # u2: B before A; then A(5) B(6) -> reaches 2, no C
+        (2, t(4), "B"), (2, t(5), "A"), (2, t(6), "B"),
+        # u3: A and B at the SAME ts -> strict > blocks B; reach 1
+        (3, t(7), "A"), (3, t(7), "B"),
+        # u4: only C -> reach 0 (no row contribution)
+        (4, t(8), "C"),
+        # u5: A(9) C(10) B(11) C(12) -> A,B,C in order via later C
+        (5, t(9), "A"), (5, t(10), "C"), (5, t(11), "B"), (5, t(12), "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: (r.step_name, r.users)
+        for r in funnel_counts(df, ["A", "B", "C"]).collect()
+    }
+    assert got == {1: ("A", 4), 2: ("B", 3), 3: ("C", 2)}
