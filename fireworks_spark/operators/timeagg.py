@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "funnel_counts"]
+__all__ = ["time_rollup", "funnel_counts", "retention_cohorts"]
 
 _GRAINS = ("hour", "day", "week", "month", "year")
 
@@ -131,4 +131,47 @@ def funnel_counts(
         .groupBy("step", "step_name")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users"))
         .orderBy("step")
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix (the product-analytics sibling of
+    funnel_counts): keys are cohorted by the ``period``-truncated
+    timestamp of their FIRST event; for every (cohort, offset) the count
+    of distinct keys active ``offset`` periods after their cohort start.
+    Returns (cohort date, offset long, users long); offset 0 is the
+    cohort's own size.
+
+    Two aggregations and one equi-join on the key — the first-seen table
+    is one row per key and joins distributed (no broadcast assumption at
+    100 TB); activity collapses to distinct (key, period) BEFORE the join
+    so a key's duplicate events within a period never amplify it."""
+    trunc = F.date_trunc(period, F.col(ts_col))
+    first = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min(trunc).cast("date").alias("_cohort")
+    )
+    active = (
+        df.select(
+            F.col(key_col).alias("_k"), trunc.cast("date").alias("_p")
+        )
+        .distinct()
+    )
+    days = {"day": 1, "week": 7}[period]
+    return (
+        active.join(first, "_k")
+        .select(
+            "_k",
+            "_cohort",
+            (F.datediff("_p", "_cohort") / days).cast("long").alias(
+                "offset"
+            ),
+        )
+        .groupBy(F.col("_cohort").alias("cohort"), "offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort", "offset")
     )

@@ -370,8 +370,23 @@ def q160_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(e, ["view", "click", "purchase"])
 
 
+def q161_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (timeagg.retention_cohorts):
+    users cohorted by the week of their first event; distinct-user counts
+    per (cohort, week offset). Within-period duplicates collapse BEFORE
+    the join, so the oracle's straightforward re-derivation doubles as a
+    no-amplification check."""
+    from fireworks_spark.operators.timeagg import retention_cohorts
+
+    e = table(spark, sf_dir, "events")
+    return retention_cohorts(e, "user_id", "ts", "week").withColumn(
+        "cohort", F.col("cohort").cast("string")
+    )
+
+
 RELATIONAL2_QUERIES = {
     "q160_event_funnel": q160_event_funnel,
+    "q161_retention_cohorts": q161_retention_cohorts,
     "q111_time_rollup": q111_time_rollup,
     "q91_rolling_time_window": q91_rolling_time_window,
     "q92_approx_percentile": q92_approx_percentile,
@@ -413,6 +428,23 @@ RELATIONAL2_ORACLE = {
         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
         ORDER BY step
+    """,
+    "q161_retention_cohorts": """
+        WITH f AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+          FROM events GROUP BY user_id
+        ), a AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS p
+          FROM events
+        )
+        SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+               CAST(datediff('day', f.cohort, a.p) / 7 AS BIGINT)
+                 AS "offset",
+               COUNT(*) AS users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, "offset"
     """,
     "q111_time_rollup": (
         "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, "

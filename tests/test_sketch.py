@@ -223,3 +223,34 @@ def test_funnel_counts_closed_form(spark):
         for r in funnel_counts(df, ["A", "B", "C"]).collect()
     }
     assert got == {1: ("A", 4), 2: ("B", 3), 3: ("C", 2)}
+
+
+def test_retention_cohorts_closed_form(spark):
+    """Two weekly cohorts with hand-placed activity: offset 0 equals
+    cohort size, within-period duplicates never double-count, later
+    activity lands at the right offset."""
+    import datetime as dt
+
+    from fireworks_spark.operators.timeagg import retention_cohorts
+
+    # 2024-01-01 is a Monday (week start)
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # cohort W0 (Jan 1): users 1, 2
+        (1, d(1)), (1, d(2)), (1, d(9)),   # active W0 (x2 -> counts once), W1
+        (2, d(3)), (2, d(17)),             # active W0, W2
+        # cohort W1 (Jan 8): user 3
+        (3, d(10)), (3, d(16)),            # active W1, W2 (offset 1)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort), r.offset): r.users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
