@@ -268,6 +268,68 @@ class Pipe:
 
         return Pipe(textstats.with_quality_score(self.df, text_col=text_col))
 
+    def gopher(
+        self, id_col: str = "doc_id", text_col: str = "text"
+    ) -> "Pipe":
+        """Gopher quality-rule statistics + pass verdict
+        (textstats.gopher_stats)."""
+        from fireworks_spark.operators import textstats
+
+        return Pipe(textstats.gopher_stats(self.df, id_col, text_col))
+
+    def clean_lines(
+        self,
+        min_words_per_line: int = 5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kw,
+    ) -> "Pipe":
+        """C4-style line-level cleaning (textstats.c4_line_filter)."""
+        from fireworks_spark.operators import textstats
+
+        return Pipe(
+            textstats.c4_line_filter(
+                self.df,
+                id_col,
+                text_col,
+                min_words_per_line=min_words_per_line,
+                **kw,
+            )
+        )
+
+    def repetition(
+        self, id_col: str = "doc_id", text_col: str = "text"
+    ) -> "Pipe":
+        """Full Gopher n-gram repetition rules (ranking.ngram_repetition)."""
+        from fireworks_spark.operators import ranking
+
+        return Pipe(ranking.ngram_repetition(self.df, id_col, text_col))
+
+    def funnel(
+        self,
+        steps: list[str],
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> "Pipe":
+        """Ordered event-funnel reach (timeagg.funnel_counts)."""
+        from fireworks_spark.operators.timeagg import funnel_counts
+
+        return Pipe(
+            funnel_counts(self.df, steps, key_col, ts_col, type_col)
+        )
+
+    def retention(
+        self,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        period: str = "week",
+    ) -> "Pipe":
+        """Cohort retention matrix (timeagg.retention_cohorts)."""
+        from fireworks_spark.operators.timeagg import retention_cohorts
+
+        return Pipe(retention_cohorts(self.df, key_col, ts_col, period))
+
     def similar_join(
         self,
         other: "Pipe | DataFrame",

@@ -205,3 +205,33 @@ def test_pipe_round6_operators(spark):
         for r in Pipe(dup).media_dups(max_hamming=0).collect()
     }
     assert (1, 11) in got and (2, 12) in got
+
+
+def test_pipe_quality_and_analytics_facade(spark):
+    """Round-7 facade methods route to the right operators."""
+    import datetime as dt
+
+    from fireworks_spark.pipeline import Pipe
+
+    docs = spark.createDataFrame(
+        [(1, "the of and words here\nshort")],
+        "doc_id long, text string",
+    )
+    g = Pipe(docs).gopher().df
+    assert "gopher_pass" in g.columns and g.count() == 1
+    c = Pipe(docs).clean_lines(min_words_per_line=3).df
+    assert c.collect()[0].n_lines_kept == 1
+    r = Pipe(docs).repetition().df
+    assert "rep_pass" in r.columns
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 1), "A"),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 2), "B"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    f = {r.step: r.users for r in Pipe(ev).funnel(["A", "B"]).df.collect()}
+    assert f == {1: 1, 2: 1}
+    ret = Pipe(ev).retention().df.collect()
+    assert len(ret) == 1 and ret[0].users == 1
