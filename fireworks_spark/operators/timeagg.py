@@ -1,8 +1,8 @@
-"""Hypertable-style multi-granularity time rollup (continuous-aggregate
-shape). The reference has no time layer at all (its pipes are positional,
+"""Time/event analytics: hypertable-style multi-granularity rollup plus
+the product-analytics staples (ordered funnels, cohort retention, top
+paths). The reference has no time layer at all (its pipes are positional,
 reference fireworks/toolbox/pipes.py:48-63); this is the Spark-first
-expression of the hour/day/week rollup a time-series store maintains as
-materialized continuous aggregates.
+expression of what a time-series / product-analytics store maintains.
 
 Scale: ONE pass over the input. GROUPING SETS plans as Expand (xG rows,
 map-side, inside codegen) -> partial HashAggregate -> one Exchange keyed by
@@ -15,10 +15,10 @@ batch/backfill face.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "funnel_counts", "retention_cohorts"]
+__all__ = ["time_rollup", "funnel_counts", "retention_cohorts", "top_paths"]
 
 _GRAINS = ("hour", "day", "week", "month", "year")
 
@@ -174,4 +174,56 @@ def retention_cohorts(
         .groupBy(F.col("_cohort").alias("cohort"), "offset")
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy("cohort", "offset")
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    depth: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> DataFrame:
+    """Top user paths (sequence-mining lite): each key's FIRST ``depth``
+    event types in (ts, type) order joined with ``sep``, counted across
+    keys. Returns (path, users) — the "how do sessions start" view next
+    to funnel_counts (which asks about one fixed order) and
+    retention_cohorts.
+
+    One window rank + one per-key aggregation: the rank keeps only
+    ``depth`` rows per key before anything groups, so the shuffle carries
+    at most depth x |keys| narrow rows; path assembly is a sorted-struct
+    fold, never an ordered collect_list (whose order is
+    partition-dependent). Ties at equal ts break on the type string for
+    determinism."""
+    firsts = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_t"),
+            F.col(type_col).alias("_y"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_k").orderBy("_t", "_y")
+            ),
+        )
+        .filter(F.col("_rn") <= depth)
+    )
+    paths = firsts.groupBy("_k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_rn", "_y"))
+                ),
+                lambda s: s._y,
+            ),
+            sep,
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy(F.desc("users"), "path")
     )

@@ -384,9 +384,22 @@ def q161_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths (timeagg.top_paths): each user's first 3 event
+    types in (ts, type) order joined '>' and counted — the
+    how-do-sessions-start view. Rank-limits to depth rows per user
+    BEFORE grouping; path assembly is a sorted-struct fold, never an
+    order-dependent collect_list."""
+    from fireworks_spark.operators.timeagg import top_paths
+
+    e = table(spark, sf_dir, "events")
+    return top_paths(e, depth=3)
+
+
 RELATIONAL2_QUERIES = {
     "q160_event_funnel": q160_event_funnel,
     "q161_retention_cohorts": q161_retention_cohorts,
+    "q162_top_paths": q162_top_paths,
     "q111_time_rollup": q111_time_rollup,
     "q91_rolling_time_window": q91_rolling_time_window,
     "q92_approx_percentile": q92_approx_percentile,
@@ -445,6 +458,20 @@ RELATIONAL2_ORACLE = {
                COUNT(*) AS users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort, "offset"
+    """,
+    "q162_top_paths": """
+        WITH r AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_type) AS rn
+          FROM events
+        ), p AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id
+        )
+        SELECT path, COUNT(*) AS users FROM p
+        GROUP BY path ORDER BY users DESC, path
     """,
     "q111_time_rollup": (
         "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, "

@@ -254,3 +254,27 @@ def test_retention_cohorts_closed_form(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_top_paths_closed_form(spark):
+    """First-3 event-type paths per user, counted: ts order, same-ts ties
+    break on the type string, short histories yield short paths."""
+    import datetime as dt
+
+    from fireworks_spark.operators.timeagg import top_paths
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "buy"),
+        (2, t(1), "view"), (2, t(2), "click"), (2, t(3), "buy"),
+        (3, t(1), "view"), (3, t(2), "buy"),
+        # same-ts tie: 'click' sorts before 'view'
+        (4, t(5), "view"), (4, t(5), "click"), (4, t(6), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = [(r.path, r.users) for r in top_paths(df, depth=3).collect()]
+    assert got == [
+        ("view>click>buy", 2),
+        ("click>view>buy", 1),
+        ("view>buy", 1),
+    ]
