@@ -278,3 +278,58 @@ def test_top_paths_closed_form(spark):
         ("click>view>buy", 1),
         ("view>buy", 1),
     ]
+
+
+def test_funnel_counts_matches_python_reference(spark):
+    """Differential check of the funnel fold against a plain Python
+    greedy-earliest reference over random event streams (duplicate
+    timestamps, repeated types, partial reach)."""
+    import datetime as dt
+    import random
+
+    from fireworks_spark.operators.timeagg import funnel_counts
+
+    rng = random.Random(23)
+    steps = ["A", "B", "C"]
+    types = ["A", "B", "C", "X"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randrange(0, 12)):
+            rows.append(
+                (
+                    u,
+                    dt.datetime(2024, 1, 1, 0, 0, rng.randrange(0, 30)),
+                    rng.choice(types),
+                )
+            )
+    if not rows:
+        rows = [(0, dt.datetime(2024, 1, 1), "A")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.step: r.users for r in funnel_counts(df, steps).collect()
+    }
+
+    # reference: iterative earliest-qualifying-min per step (the q160
+    # oracle's strategy, in Python)
+    want = {i + 1: 0 for i in range(len(steps))}
+    by_user: dict = {}
+    for u, ts, y in rows:
+        by_user.setdefault(u, []).append((ts, y))
+    for evs in by_user.values():
+        last = None
+        reach = 0
+        for s in steps:
+            cand = [
+                ts
+                for ts, y in evs
+                if y == s and (last is None or ts > last)
+            ]
+            if not cand:
+                break
+            last = min(cand)
+            reach += 1
+        for i in range(reach):
+            want[i + 1] += 1
+    assert got == want
