@@ -152,3 +152,55 @@ class Factory:
     def best(self, metric: str, minimize: bool = True) -> tuple[dict, dict]:
         key = lambda pm: pm[1][metric]  # noqa: E731
         return (min if minimize else max)(self.trials, key=key)
+
+
+def ab_metrics(
+    df,
+    bucket_col: str,
+    metric_col: str,
+    group_col: str | None = None,
+    round_to: int = 4,
+):
+    """A/B experiment readout at corpus scale: per ``group_col`` (or one
+    global row), sample sizes, means, the mean lift (B - A) and Welch's
+    t statistic between bucket 0 (control) and bucket 1 (treatment) of
+    ``bucket_col``. The deterministic assignment itself is the caller's
+    (toolbox.hash_split / key mod 2 — never randomSplit, whose buckets
+    depend on partition layout).
+
+    ONE conditional aggregation pass — count/avg/var_samp over
+    when(bucket=...) — so no pivot and no second scan; the shuffle is
+    bounded by |groups|. Floats round to ``round_to`` on both engines
+    (COVERAGE rounding convention 1: raw aggregate values)."""
+    from pyspark.sql import functions as F
+
+    b = F.col(bucket_col)
+    x = F.col(metric_col).cast("double")
+    ca = F.when(b == 0, x)
+    cb = F.when(b == 1, x)
+    aggs = [
+        F.count(ca).alias("n_a"),
+        F.count(cb).alias("n_b"),
+        F.avg(ca).alias("_ma"),
+        F.avg(cb).alias("_mb"),
+        F.var_samp(ca).alias("_va"),
+        F.var_samp(cb).alias("_vb"),
+    ]
+    base = (
+        df.groupBy(group_col).agg(*aggs)
+        if group_col
+        else df.groupBy().agg(*aggs)
+    )
+    t_stat = (F.col("_mb") - F.col("_ma")) / F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    out = base.select(
+        *([group_col] if group_col else []),
+        "n_a",
+        "n_b",
+        F.round("_ma", round_to).alias("mean_a"),
+        F.round("_mb", round_to).alias("mean_b"),
+        F.round(F.col("_mb") - F.col("_ma"), round_to).alias("lift"),
+        F.round(t_stat, round_to).alias("t_welch"),
+    )
+    return out.orderBy(group_col) if group_col else out

@@ -396,10 +396,24 @@ def q162_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(e, depth=3)
 
 
+def q163_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout (experiment.ab_metrics): users deterministically
+    bucketed by user_id parity, per-event-type sample sizes, means, mean
+    lift and Welch's t in ONE conditional-aggregation pass (no pivot).
+    Floats follow rounding convention 1 (raw aggregates, F.round/ROUND)."""
+    from fireworks_spark.experiment import ab_metrics
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 2).cast("int")
+    )
+    return ab_metrics(e, "bucket", "value", group_col="event_type")
+
+
 RELATIONAL2_QUERIES = {
     "q160_event_funnel": q160_event_funnel,
     "q161_retention_cohorts": q161_retention_cohorts,
     "q162_top_paths": q162_top_paths,
+    "q163_ab_metrics": q163_ab_metrics,
     "q111_time_rollup": q111_time_rollup,
     "q91_rolling_time_window": q91_rolling_time_window,
     "q92_approx_percentile": q92_approx_percentile,
@@ -472,6 +486,23 @@ RELATIONAL2_ORACLE = {
         )
         SELECT path, COUNT(*) AS users FROM p
         GROUP BY path ORDER BY users DESC, path
+    """,
+    "q163_ab_metrics": """
+        WITH m AS (
+          SELECT event_type,
+                 COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+                 COUNT(CASE WHEN user_id % 2 = 1 THEN value END) AS n_b,
+                 AVG(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+                 AVG(CASE WHEN user_id % 2 = 1 THEN value END) AS mb,
+                 VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
+                 VAR_SAMP(CASE WHEN user_id % 2 = 1 THEN value END) AS vb
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+               ROUND(mb - ma, 4) AS lift,
+               ROUND((mb - ma) / sqrt(va / n_a + vb / n_b), 4) AS t_welch
+        FROM m ORDER BY event_type
     """,
     "q111_time_rollup": (
         "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, "

@@ -124,3 +124,31 @@ def test_attribution_completeness(vecs):
         fx = float(x @ np.array(w) + 3.0)
         f0 = 3.0
         assert sum(att) == pytest.approx(fx - f0)
+
+
+def test_ab_metrics_closed_form(spark):
+    """Hand-computed Welch t: control [1,2,3], treatment [2,4,6] ->
+    lift 2.0, t = 2 / sqrt(1/3 + 4/3)."""
+    import math
+
+    from fireworks_spark.experiment import ab_metrics
+
+    rows = [(0, 1.0), (0, 2.0), (0, 3.0), (1, 2.0), (1, 4.0), (1, 6.0)]
+    df = spark.createDataFrame(rows, "bucket int, value double")
+    r = ab_metrics(df, "bucket", "value").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.mean_a == 2.0 and r.mean_b == 4.0 and r.lift == 2.0
+    want_t = 2.0 / math.sqrt(1.0 / 3 + 4.0 / 3)
+    assert abs(r.t_welch - want_t) < 1e-4
+
+    grouped = ab_metrics(
+        spark.createDataFrame(
+            [("g1", 0, 1.0), ("g1", 1, 5.0), ("g2", 0, 2.0), ("g2", 1, 2.0)],
+            "g string, bucket int, value double",
+        ),
+        "bucket",
+        "value",
+        group_col="g",
+    ).collect()
+    got = {r.g: (r.n_a, r.n_b, r.lift) for r in grouped}
+    assert got == {"g1": (1, 1, 4.0), "g2": (1, 1, 0.0)}
