@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "funnel_counts", "retention_cohorts", "top_paths"]
+__all__ = ["time_rollup", "funnel_counts", "retention_cohorts", "top_paths", "funnel_gaps"]
 
 _GRAINS = ("hour", "day", "week", "month", "year")
 
@@ -226,4 +226,92 @@ def top_paths(
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy(F.desc("users"), "path")
+    )
+
+
+def funnel_gaps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel velocity: for each consecutive step pair, exact p50/p90 of
+    the seconds between the two matched events across keys that reached
+    the later step — the how-fast companion of funnel_counts' how-many.
+    Matching is the SAME greedy earliest fold (the matched timestamps are
+    accumulated in the fold state), so reach here always agrees with
+    funnel_counts. Returns (step, from_step, to_step, n, p50_s, p90_s).
+
+    Same one-shuffle shape as funnel_counts; the percentile aggregation
+    adds one more bounded-key exchange (step pairs x quantiles)."""
+    k = len(steps)
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key_col).alias("_k"),
+        F.struct(
+            F.col(ts_col).alias("t"), F.col(type_col).alias("y")
+        ).alias("_e"),
+    )
+    per_key = ev.groupBy("_k").agg(
+        F.array_sort(F.collect_list("_e")).alias("_es")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    matched = F.aggregate(
+        "_es",
+        F.struct(
+            F.lit(0).alias("r"),
+            F.array().cast("array<timestamp>").alias("mt"),
+        ),
+        lambda acc, e: F.when(
+            (acc.r < k)
+            & (e.y == F.element_at(step_arr, acc.r + 1))
+            & (
+                (F.size(acc.mt) == 0)
+                | (e.t > F.element_at(acc.mt, -1))
+            ),
+            F.struct(
+                (acc.r + 1).alias("r"),
+                F.concat(acc.mt, F.array(e.t)).alias("mt"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc.mt,
+    )
+    ts_rows = per_key.select(matched.alias("mt")).select(
+        F.posexplode(
+            F.when(
+                F.size("mt") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("mt")),
+                    lambda i: (
+                        F.element_at("mt", i).cast("double")
+                        - F.element_at("mt", i - 1).cast("double")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<double>"))
+        ).alias("pos", "gap_s")
+    )
+    pairs = df.sparkSession.createDataFrame(
+        [(i + 2, steps[i], steps[i + 1]) for i in range(k - 1)],
+        "step long, from_step string, to_step string",
+    )
+    agg = (
+        ts_rows.select((F.col("pos") + 2).cast("long").alias("step"), "gap_s")
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_s"),
+        )
+    )
+    return (
+        pairs.join(agg, "step", "left")
+        .select(
+            "step",
+            "from_step",
+            "to_step",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "p50_s",
+            "p90_s",
+        )
+        .orderBy("step")
     )

@@ -409,7 +409,20 @@ def q163_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_metrics(e, "bucket", "value", group_col="event_type")
 
 
+def q164_funnel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel velocity (timeagg.funnel_gaps): p50/p90 seconds between
+    consecutive matched steps of view->click->purchase, timestamps taken
+    from the SAME greedy fold as q160's reach. Oracle re-derives the
+    matched times with the independent iterative-min CTEs and aggregates
+    with quantile_cont (the q72-established percentile parity)."""
+    from fireworks_spark.operators.timeagg import funnel_gaps
+
+    e = table(spark, sf_dir, "events")
+    return funnel_gaps(e, ["view", "click", "purchase"])
+
+
 RELATIONAL2_QUERIES = {
+    "q164_funnel_gaps": q164_funnel_gaps,
     "q160_event_funnel": q160_event_funnel,
     "q161_retention_cohorts": q161_retention_cohorts,
     "q162_top_paths": q162_top_paths,
@@ -503,6 +516,38 @@ RELATIONAL2_ORACLE = {
                ROUND(mb - ma, 4) AS lift,
                ROUND((mb - ma) / sqrt(va / n_a + vb / n_b), 4) AS t_welch
         FROM m ORDER BY event_type
+    """,
+    "q164_funnel_gaps": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          GROUP BY e.user_id
+        ), g2 AS (
+          SELECT epoch(s2.t) - epoch(s1.t) AS gap
+          FROM s2 JOIN s1 USING (user_id)
+        ), g3 AS (
+          SELECT epoch(s3.t) - epoch(s2.t) AS gap
+          FROM s3 JOIN s2 USING (user_id)
+        )
+        SELECT CAST(2 AS BIGINT) AS step, 'view' AS from_step,
+               'click' AS to_step, COUNT(*) AS n,
+               ROUND(quantile_cont(gap, 0.5), 2) AS p50_s,
+               ROUND(quantile_cont(gap, 0.9), 2) AS p90_s
+        FROM g2
+        UNION ALL
+        SELECT 3, 'click', 'purchase', COUNT(*),
+               ROUND(quantile_cont(gap, 0.5), 2),
+               ROUND(quantile_cont(gap, 0.9), 2)
+        FROM g3 ORDER BY step
     """,
     "q111_time_rollup": (
         "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, "

@@ -333,3 +333,30 @@ def test_funnel_counts_matches_python_reference(spark):
         for i in range(reach):
             want[i + 1] += 1
     assert got == want
+
+
+def test_funnel_gaps_closed_form(spark):
+    """Step gaps from the same greedy matching as funnel_counts: u1
+    A(1)->B(3)->C(6) gives gaps 2 and 3; u2 reaches only B with gap 10;
+    u3 never converts (no contribution)."""
+    import datetime as dt
+
+    from fireworks_spark.operators.timeagg import funnel_gaps
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), "A"), (1, t(3), "B"), (1, t(6), "C"),
+        (2, t(0), "A"), (2, t(10), "B"),
+        (3, t(2), "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: (r.from_step, r.to_step, r.n, r.p50_s, r.p90_s)
+        for r in funnel_gaps(df, ["A", "B", "C"]).collect()
+    }
+    # A->B gaps: [2.0, 10.0] -> p50 6.0 (interpolated), p90 9.2
+    assert got[2][:3] == ("A", "B", 2)
+    assert got[2][3] == 6.0
+    assert abs(got[2][4] - 9.2) < 1e-9
+    # B->C gaps: [3.0]
+    assert got[3] == ("B", "C", 1, 3.0, 3.0)
