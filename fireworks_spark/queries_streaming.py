@@ -96,10 +96,91 @@ def q150_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel (streaming.stateful_funnel): events replayed as 3
+    TIME-SLICED micro-batches; the per-user (reached, last_ts) state
+    carried across batches must reproduce the batch funnel reach exactly
+    under event-time-ordered arrival. Output is q160's (step, step_name,
+    users) shape and the oracle is q160's iterative-min SQL — the
+    streaming path is held to the batch ground truth, not its own echo."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    steps = ["view", "click", "purchase"]
+    src = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    qs = src.select(
+        F.col("ts").cast("double").alias("tsd")
+    ).approxQuantile("tsd", [0.33, 0.66], 0.001)
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q165_{uuid.uuid4().hex[:8]}"
+    try:
+        tsd = F.col("ts").cast("double")
+        slices = [
+            src.filter(tsd <= qs[0]),
+            src.filter((tsd > qs[0]) & (tsd <= qs[1])),
+            src.filter(tsd > qs[1]),
+        ]
+        stage = os.path.join(d, "staged")
+        os.makedirs(stage)
+        # sequential single-file writes -> ascending modification times,
+        # so the file source replays slices in event-time order
+        i = 0
+        for s in slices:
+            sd = os.path.join(d, f"slice{i}")
+            s.coalesce(1).write.parquet(sd)
+            for n in sorted(os.listdir(sd)):
+                if n.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(sd, n),
+                        os.path.join(stage, f"part-{i:03d}.parquet"),
+                    )
+            i += 1
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage)
+        )
+        streaming.run_to_memory(
+            streaming.stateful_funnel(stream, steps), name, "update"
+        )
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("reached").alias("reached"))
+        )
+        steps_df = spark.createDataFrame(
+            [(j + 1, s) for j, s in enumerate(steps)],
+            "step long, step_name string",
+        )
+        return (
+            steps_df.join(
+                final, F.col("reached") >= F.col("step"), "left"
+            )
+            .groupBy("step", "step_name")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("reached").isNotNull(), 1)),
+                    F.lit(0),
+                ).alias("users")
+            )
+            .orderBy("step")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 STREAMING_QUERIES = {
     "q68_stream_tumbling": q68_stream_tumbling,
     "q69_stream_sliding": q69_stream_sliding,
     "q150_stateful_topk": q150_stateful_topk,
+    "q165_stream_funnel": q165_stream_funnel,
 }
 
 STREAMING_ORACLE = {
@@ -115,6 +196,28 @@ STREAMING_ORACLE = {
         "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) "
         "GROUP BY 1, 2 ORDER BY ws, event_type"
     ),
+    # streaming funnel must reproduce the batch reach (q160's oracle)
+    "q165_stream_funnel": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+               COUNT(*) AS users FROM s1
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+        ORDER BY step
+    """,
     # final streaming state must equal the batch per-user top-3
     "q150_stateful_topk": (
         "SELECT user_id, rk, v FROM ("

@@ -255,6 +255,66 @@ def stateful_running_totals(
     )
 
 
+def stateful_funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming funnel reach: per-key (reached, last_ts) state advanced
+    by the SAME greedy earliest-match rule as timeagg.funnel_counts, one
+    micro-batch at a time (update mode; applyInPandasWithState). Events
+    inside a batch are sorted by (ts, type) before folding, so the result
+    equals the batch funnel EXACTLY whenever arrival order respects event
+    time per key (replays, time-sliced backfills — asserted stream==batch
+    in tests and q165). Under genuinely out-of-order arrival the greedy
+    state cannot rewind and may under-count a step; that is the
+    processing-time semantics every incremental funnel has — re-run the
+    batch operator for the exact answer.
+
+    State is two scalars per key; emits (key, reached) each update."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(steps)
+
+    def fn(key, pdfs, state: GroupState):
+        reached, last_ts = (
+            (state.get[0], state.get[1]) if state.exists else (0, None)
+        )
+        rows = [p for p in pdfs if len(p)]
+        if rows:
+            pdf = (
+                pd.concat(rows, ignore_index=True)
+                .sort_values([ts_col, type_col])
+            )
+            for ts, y in zip(pdf[ts_col], pdf[type_col]):
+                if (
+                    reached < k
+                    and y == steps[reached]
+                    and (last_ts is None or ts > last_ts)
+                ):
+                    reached += 1
+                    last_ts = ts
+        state.update((int(reached), last_ts))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "reached": [int(reached)]}
+        )
+
+    return (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{key_col} long, reached int",
+            stateStructType="reached int, last_ts timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_topk(
     events: DataFrame,
     key_col: str = "user_id",

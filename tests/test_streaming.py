@@ -488,3 +488,76 @@ def test_quality_gates_run_on_streams(spark, tmp_path):
         )
         want = sorted(tuple(r) for r in fn(src).collect())
         assert got == want, name
+
+
+def test_stateful_funnel_matches_batch_under_ordered_arrival(
+    spark, sf_dir, tmp_path
+):
+    """Events split into 3 TIME-SLICED files streamed one per trigger:
+    the per-key funnel state carried across micro-batches must equal the
+    batch funnel reach exactly (arrival order respects event time)."""
+    from fireworks_spark.operators.timeagg import funnel_counts
+
+    steps = ["view", "click", "purchase"]
+    src = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    qs = src.select(
+        F.col("ts").cast("double").alias("tsd")
+    ).approxQuantile("tsd", [0.33, 0.66], 0.001)
+    d = str(tmp_path / "fstream")
+    import os
+
+    os.makedirs(d)
+    # three sequential single-file writes -> ascending modification times,
+    # so the file source replays them in event-time order
+    tsd = F.col("ts").cast("double")
+    slices = [
+        src.filter(tsd <= qs[0]),
+        src.filter((tsd > qs[0]) & (tsd <= qs[1])),
+        src.filter(tsd > qs[1]),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(f"{d}/slice={i}")
+    files = sorted(
+        f"{d}/slice={i}/{n}"
+        for i in range(3)
+        for n in os.listdir(f"{d}/slice={i}")
+        if n.endswith(".parquet")
+    )
+    stage = str(tmp_path / "staged")
+    os.makedirs(stage)
+    import shutil as sh
+
+    for i, f in enumerate(files):
+        sh.copy(f, f"{stage}/part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    out = streaming.stateful_funnel(stream, steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("t_funnel")
+    # reached is monotone per key: the max update IS the final state
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max("reached").alias("reached"))
+    )
+    got = {
+        i: final.filter(F.col("reached") >= i).count()
+        for i in (1, 2, 3)
+    }
+    want = {
+        r.step: r.users for r in funnel_counts(src, steps).collect()
+    }
+    assert got == want
