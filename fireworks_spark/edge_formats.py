@@ -951,8 +951,18 @@ def write_sparse(
         r = df.agg(
             F.max(row_col).alias("r"), F.max(col_col).alias("c")
         ).collect()[0]
+        if r["r"] is None or r["c"] is None:
+            raise ValueError(
+                "write_sparse: input has no triplets and shape was not "
+                "given — pass shape=(rows, cols) to write an empty matrix"
+            )
         shape = (int(r["r"]) + 1, int(r["c"]) + 1)
     os.makedirs(path, exist_ok=True)
+    # a re-write must not leave prior uuid-named parts behind: read_sparse
+    # globs *.npz, so stale triplets from a previous write would silently
+    # merge into the new matrix
+    for stale in glob.glob(os.path.join(path, "*.npz")):
+        os.remove(stale)
     nr, nc = int(shape[0]), int(shape[1])
 
     def _write(batches):
@@ -970,7 +980,7 @@ def write_sparse(
                 path, f"part-{pid:05d}-{uuid.uuid4().hex}.npz"
             )
             np.savez_compressed(
-                fname if fname.endswith(".npz") else fname,
+                fname,
                 format=np.array(b"coo"),
                 shape=np.array([nr, nc], dtype=np.int64),
                 row=pdf[row_col].to_numpy(dtype=np.int64),
@@ -983,6 +993,17 @@ def write_sparse(
     df.select(row_col, col_col, val_col).mapInPandas(
         _write, "rows long"
     ).write.mode("overwrite").format("noop").save()
+    if not glob.glob(os.path.join(path, "*.npz")):
+        # all partitions were empty (legal when shape pins the dims):
+        # write one zero-nnz part so read_sparse round-trips the shape
+        np.savez_compressed(
+            os.path.join(path, "part-00000-empty.npz"),
+            format=np.array(b"coo"),
+            shape=np.array([nr, nc], dtype=np.int64),
+            row=np.array([], dtype=np.int64),
+            col=np.array([], dtype=np.int64),
+            data=np.array([], dtype=np.float64),
+        )
 
 
 def read_sparse(spark: SparkSession, path: str) -> DataFrame:

@@ -544,8 +544,16 @@ def ngram_repetition(
     Entirely per-row: each n's counts come from one sorted-array
     run-length fold (no explode, no shuffle) — the same scale shape as
     repetition_stats; complements it (token-level dup/top-bigram) with
-    Gopher's character-weighted rules."""
-    w = tokens(text_col)
+    Gopher's character-weighted rules.
+
+    Tokenization is the NORMALIZING one (lower + trim + split on \\s+,
+    empties dropped) — the same convention the q154 oracle uses — so text
+    containing newlines/tabs/mixed case (e.g. q157's C4-reassembled docs)
+    computes identical fractions in both engines; the denominator stays
+    the RAW character count."""
+    from fireworks_spark.functions.text import words
+
+    w = F.filter(words(text_col), lambda t: t != "")
     base = spread(df).select(
         id_col,
         F.length(text_col).cast("long").alias("_nc"),

@@ -150,7 +150,16 @@ def retention_cohorts(
     Two aggregations and one equi-join on the key — the first-seen table
     is one row per key and joins distributed (no broadcast assumption at
     100 TB); activity collapses to distinct (key, period) BEFORE the join
-    so a key's duplicate events within a period never amplify it."""
+    so a key's duplicate events within a period never amplify it.
+
+    ``period``: day/week offsets are day-difference quotients; month/year
+    offsets use months_between (a fixed day divisor cannot express
+    calendar months). Anything else raises up front."""
+    if period not in ("day", "week", "month", "year"):
+        raise ValueError(
+            f"unknown retention period {period!r}; "
+            "pick from ('day', 'week', 'month', 'year')"
+        )
     trunc = F.date_trunc(period, F.col(ts_col))
     first = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.min(trunc).cast("date").alias("_cohort")
@@ -161,16 +170,23 @@ def retention_cohorts(
         )
         .distinct()
     )
-    days = {"day": 1, "week": 7}[period]
+    if period in ("month", "year"):
+        # truncated bucket starts are exact month boundaries, so
+        # months_between is integral by construction
+        months = F.months_between("_p", "_cohort")
+        offset = (
+            (months / (12 if period == "year" else 1))
+            .cast("long")
+            .alias("offset")
+        )
+    else:
+        days = {"day": 1, "week": 7}[period]
+        offset = (
+            (F.datediff("_p", "_cohort") / days).cast("long").alias("offset")
+        )
     return (
         active.join(first, "_k")
-        .select(
-            "_k",
-            "_cohort",
-            (F.datediff("_p", "_cohort") / days).cast("long").alias(
-                "offset"
-            ),
-        )
+        .select("_k", "_cohort", offset)
         .groupBy(F.col("_cohort").alias("cohort"), "offset")
         .agg(F.count(F.lit(1)).alias("users"))
         .orderBy("cohort", "offset")
@@ -256,21 +272,24 @@ def funnel_gaps(
         F.array_sort(F.collect_list("_e")).alias("_es")
     )
     step_arr = F.array(*[F.lit(s) for s in steps])
+    # last matched ts carried as a scalar (NULL before the first match):
+    # under ANSI mode (the Spark 4 default) element_at(mt, -1) on an empty
+    # array THROWS rather than returning NULL, so the guard must never
+    # index the array — same acc.lt.isNull() shape as funnel_counts
     matched = F.aggregate(
         "_es",
         F.struct(
             F.lit(0).alias("r"),
+            F.lit(None).cast("timestamp").alias("lt"),
             F.array().cast("array<timestamp>").alias("mt"),
         ),
         lambda acc, e: F.when(
             (acc.r < k)
             & (e.y == F.element_at(step_arr, acc.r + 1))
-            & (
-                (F.size(acc.mt) == 0)
-                | (e.t > F.element_at(acc.mt, -1))
-            ),
+            & (acc.lt.isNull() | (e.t > acc.lt)),
             F.struct(
                 (acc.r + 1).alias("r"),
+                e.t.alias("lt"),
                 F.concat(acc.mt, F.array(e.t)).alias("mt"),
             ),
         ).otherwise(acc),

@@ -125,18 +125,20 @@ def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         stage = os.path.join(d, "staged")
         os.makedirs(stage)
-        # sequential single-file writes -> ascending modification times,
-        # so the file source replays slices in event-time order
+        # FileStreamSource orders files by modification time; copy latency
+        # alone can produce EQUAL mtimes on coarse-timestamp filesystems,
+        # which would batch/reorder slices and silently under-count a
+        # rewind-free state. Pin strictly increasing mtimes explicitly.
         i = 0
+        base_mtime = os.stat(stage).st_mtime
         for s in slices:
             sd = os.path.join(d, f"slice{i}")
             s.coalesce(1).write.parquet(sd)
             for n in sorted(os.listdir(sd)):
                 if n.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(sd, n),
-                        os.path.join(stage, f"part-{i:03d}.parquet"),
-                    )
+                    dst = os.path.join(stage, f"part-{i:03d}.parquet")
+                    shutil.copy(os.path.join(sd, n), dst)
+                    os.utime(dst, (base_mtime + i + 1, base_mtime + i + 1))
             i += 1
         stream = (
             spark.readStream.schema(

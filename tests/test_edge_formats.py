@@ -349,3 +349,36 @@ def test_sparse_roundtrip_scipy_layout(spark, tmp_path):
     p2 = str(tmp_path / "coo2")
     ef.message_to(df, "sparse", p2, row_col="r", col_col="c", val_col="v")
     assert ef.message_read(spark, "sparse", p2).count() == 4
+
+
+def test_sparse_empty_frame_contract(spark, tmp_path):
+    """Empty triplets + omitted shape raise a clear error (F.max is NULL);
+    empty triplets + pinned shape round-trip a zero-nnz matrix; re-writing
+    a directory clears the previous write's uuid-named parts."""
+    import glob as g
+
+    import numpy as np
+    import pytest
+
+    from fireworks_spark import edge_formats as ef
+
+    empty = spark.createDataFrame([], "r long, c long, v double")
+    with pytest.raises(ValueError, match="shape"):
+        ef.write_sparse(empty, str(tmp_path / "bad"), "r", "c", "v")
+
+    p = str(tmp_path / "zero")
+    ef.write_sparse(empty, p, "r", "c", "v", shape=(4, 3))
+    z = np.load(g.glob(p + "/*.npz")[0])
+    assert list(z["shape"]) == [4, 3] and len(z["row"]) == 0
+    assert ef.read_sparse(spark, p).count() == 0
+
+    # overwrite must not merge with the prior write's parts
+    p2 = str(tmp_path / "rw")
+    df1 = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 1, 2.0)], "r long, c long, v double"
+    ).repartition(2)
+    ef.write_sparse(df1, p2, "r", "c", "v")
+    df2 = spark.createDataFrame([(2, 2, 9.0)], "r long, c long, v double")
+    ef.write_sparse(df2, p2, "r", "c", "v")
+    out = [(x.row, x.col, x.value) for x in ef.read_sparse(spark, p2).collect()]
+    assert out == [(2, 2, 9.0)]

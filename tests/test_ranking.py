@@ -316,3 +316,33 @@ def test_ngram_repetition_matches_python_reference(spark):
             assert got[doc_id][f"dup_ngram_frac_{n}"] == want, (
                 doc_id, n, text
             )
+
+
+def test_ngram_repetition_normalizes_whitespace_and_case(spark):
+    """Newlines/tabs/mixed case tokenize exactly like the q154 oracle
+    (lower + trim + split on \\s+): 'W1 w2\\nw1 w2 x' repeats the
+    bigram 'w1 w2' across the line join, and the denominator stays the
+    RAW character count (13, newline included)."""
+    import math
+    from collections import Counter
+
+    from fireworks_spark.operators import ranking
+
+    text = "W1 w2\nw1 w2 x"
+    df = spark.createDataFrame(
+        [(1, text), (2, "  \n\t "), (3, "A\t a\na  A")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ranking.ngram_repetition(df).collect()}
+
+    def r4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    toks = text.lower().split()
+    c2 = Counter(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    top2 = max(c * len(g) for g, c in c2.items() if c >= 2)
+    assert got[1].top_ngram_frac_2 == r4(top2 / len(text))
+    # whitespace-only doc: zero tokens, zero fractions, passes
+    assert got[2].top_ngram_frac_2 == 0.0 and got[2].rep_pass
+    # case folding: bigram 'a a' x3 -> top-2 chars 3*3 over raw len 9
+    assert got[3].top_ngram_frac_2 == r4(9 / len("A\t a\na  A"))

@@ -360,3 +360,34 @@ def test_funnel_gaps_closed_form(spark):
     assert abs(got[2][4] - 9.2) < 1e-9
     # B->C gaps: [3.0]
     assert got[3] == ("B", "C", 1, 3.0, 3.0)
+
+
+def test_retention_cohorts_month_period(spark):
+    """Calendar-month offsets via months_between: Jan 31 -> Feb 1 is
+    offset 1 (a fixed 30/31-day divisor cannot express this), Jan -> Mar
+    is offset 2; an unknown period raises up front."""
+    import datetime as dt
+
+    import pytest
+
+    from fireworks_spark.operators.timeagg import retention_cohorts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 31)),
+        (1, dt.datetime(2024, 2, 1)),
+        (1, dt.datetime(2024, 3, 15)),
+        (2, dt.datetime(2024, 2, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort), r.offset): r.users
+        for r in retention_cohorts(df, period="month").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-02-01", 0): 1,
+    }
+    with pytest.raises(ValueError, match="unknown retention period"):
+        retention_cohorts(df, period="fortnight")
