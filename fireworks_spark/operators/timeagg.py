@@ -71,12 +71,89 @@ def time_rollup(
     )
 
 
+def _funnel_event_arrays(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    max_events_per_key: int | None,
+) -> DataFrame:
+    """Shared funnel pre-pass: filter to the funnel's own types and fold
+    each key's events into one sorted (t, y) array — the input of the
+    greedy fold in funnel_counts / funnel_gaps.
+
+    ``max_events_per_key`` is the HEAVY-KEY GUARD (off by default = exact,
+    zero extra cost). When set, two bounds apply before the fold, both
+    computed inside ONE window over the same key partitioning the groupBy
+    needs (no extra shuffle, one sort):
+
+    1. EXACT run-collapse (only when the step types are distinct): an
+       event can only ever be greedy-matched if it is the first of its
+       type at/after some different-type event — greedy thresholds are
+       matched different-type event times, and "first of type y after
+       threshold t" always lands on such an event. Dropping the rest is
+       therefore reach- and gap-neutral; ties are kept conservatively
+       (other-type ts == previous same-type ts keeps the event). The
+       classic bot key (millions of identical page-views in a row)
+       collapses to its type-alternation count.
+    2. Per-(key, type) cap at ``max_events_per_key`` surviving events (in
+       ts order). EXACT whenever no (key, type) pair exceeds the cap
+       after the collapse; a truncated key yields a LOWER BOUND on reach
+       — greedy reach is the longest ordered sub-match, monotone under
+       adding events. NOTE: no first-N cap can be exact in general (a
+       late first step can force an arbitrarily late occurrence of the
+       next type to be the match), so size the cap for the keys you are
+       willing to under-count: bots. Real keys need cap >= the count of
+       each type among their collapsed events.
+    """
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.col(type_col).alias("_y"),
+    )
+    if max_events_per_key is not None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_y")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        uniq = sorted(set(steps))
+        prev_max = {
+            s: F.max(F.when(F.col("_y") == s, F.col("_t"))).over(w)
+            for s in uniq
+        }
+        own = F.lit(None).cast("timestamp")
+        for s in uniq:
+            own = F.when(F.col("_y") == s, prev_max[s]).otherwise(own)
+        if len(uniq) == len(steps) and len(uniq) > 1:
+            # greatest skips NULLs, so masking out the row's own type
+            # leaves the latest different-type predecessor ts
+            other = F.greatest(
+                *[F.when(F.col("_y") != s, prev_max[s]) for s in uniq]
+            )
+            keep = own.isNull() | (other >= own)
+        else:
+            keep = F.lit(True)  # repeated step types: collapse is unsafe
+        ev = ev.withColumn("_keep", keep).filter(F.col("_keep"))
+        w2 = Window.partitionBy("_k", "_y").orderBy("_t")
+        ev = (
+            ev.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= max_events_per_key)
+            .drop("_keep", "_rn")
+        )
+    return ev.select(
+        "_k", F.struct(F.col("_t").alias("t"), F.col("_y").alias("y")).alias("_e")
+    ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_es"))
+
+
 def funnel_counts(
     df: DataFrame,
     steps: list[str],
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered funnel reach (the product-analytics staple): for each step
     i, how many distinct keys performed steps[0..i] in order with STRICTLY
@@ -88,19 +165,15 @@ def funnel_counts(
     ONE shuffle: events are pre-filtered to the funnel's own types, then
     each key's (ts, type) pairs collapse into a sorted array whose
     run-through fold advances a (reached, last_ts) state — no k-level
-    self-join chain, no fan-out. Per-key array size is bounded by that
-    key's funnel-relevant events (heavy keys: pre-aggregate duplicates or
-    window-limit per type upstream). q160's oracle re-derives reach with
-    an INDEPENDENT k-CTE iterative-min strategy, cross-checking the fold."""
+    self-join chain, no fan-out. ``max_events_per_key`` bounds the
+    per-key array against heavy keys (bots): an EXACT same-type
+    run-collapse plus a per-(key, type) cap — see
+    :func:`_funnel_event_arrays` for the exactness contract. q160's
+    oracle re-derives reach with an INDEPENDENT k-CTE iterative-min
+    strategy, cross-checking the fold."""
     k = len(steps)
-    ev = df.filter(F.col(type_col).isin(list(steps))).select(
-        F.col(key_col).alias("_k"),
-        F.struct(
-            F.col(ts_col).alias("t"), F.col(type_col).alias("y")
-        ).alias("_e"),
-    )
-    per_key = ev.groupBy("_k").agg(
-        F.array_sort(F.collect_list("_e")).alias("_es")
+    per_key = _funnel_event_arrays(
+        df, steps, key_col, ts_col, type_col, max_events_per_key
     )
     step_arr = F.array(*[F.lit(s) for s in steps])
     reached = F.aggregate(
@@ -251,6 +324,7 @@ def funnel_gaps(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Funnel velocity: for each consecutive step pair, exact p50/p90 of
     the seconds between the two matched events across keys that reached
@@ -259,17 +333,14 @@ def funnel_gaps(
     accumulated in the fold state), so reach here always agrees with
     funnel_counts. Returns (step, from_step, to_step, n, p50_s, p90_s).
 
-    Same one-shuffle shape as funnel_counts; the percentile aggregation
-    adds one more bounded-key exchange (step pairs x quantiles)."""
+    Same one-shuffle shape as funnel_counts, same heavy-key guard
+    (``max_events_per_key``, see :func:`_funnel_event_arrays` — the
+    run-collapse preserves the matched events themselves, so gaps are
+    unchanged, not just reach); the percentile aggregation adds one more
+    bounded-key exchange (step pairs x quantiles)."""
     k = len(steps)
-    ev = df.filter(F.col(type_col).isin(list(steps))).select(
-        F.col(key_col).alias("_k"),
-        F.struct(
-            F.col(ts_col).alias("t"), F.col(type_col).alias("y")
-        ).alias("_e"),
-    )
-    per_key = ev.groupBy("_k").agg(
-        F.array_sort(F.collect_list("_e")).alias("_es")
+    per_key = _funnel_event_arrays(
+        df, steps, key_col, ts_col, type_col, max_events_per_key
     )
     step_arr = F.array(*[F.lit(s) for s in steps])
     # last matched ts carried as a scalar (NULL before the first match):

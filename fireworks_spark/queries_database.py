@@ -537,6 +537,60 @@ def q144_embl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q171_swiss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Swiss-Prot source end-to-end (the 5th BioSeqPipe filetype,
+    matching its q121/q122/q125/q144 siblings): flat-text records
+    synthesized from documents (ID/AC/DE/DR/SQ line codes), written as
+    text parts, re-read with the '\\n//' record scan. Accession-first id
+    precedence, entry name, folded DE lines, DR dbxrefs (trailing period
+    stripped) and letters-only sequence reassembly are all
+    oracle-checked."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_swiss
+
+    d = table(spark, sf_dir, "documents")
+    seq = F.translate(
+        F.md5(F.col("text").cast("binary")), "0123456789", "ghijklmnop"
+    )
+    rec = F.concat(
+        F.lit("ID   DOC"),
+        F.col("doc_id").cast("string"),
+        F.lit("_SPEC        Reviewed;        32 AA.\nAC   A"),
+        F.col("doc_id").cast("string"),
+        F.lit(";\nDE   synthetic record\nDE   "),
+        F.col("doc_id").cast("string"),
+        F.lit(".\nDR   MD5; "),
+        F.md5(F.col("text").cast("binary")),
+        F.lit(".\nSQ   SEQUENCE   32 AA;  2048 MW;  0 CRC64;\n     "),
+        F.substring(seq, 1, 16),
+        F.lit(" "),
+        F.substring(seq, 17, 16),
+        F.lit("\n//"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_swiss_")
+    path = f"{tmp}/swiss"
+    try:
+        d.select(rec.alias("value")).repartition(8).write.text(path)
+        back = read_swiss(spark, path)
+        return (
+            back.select(
+                F.regexp_replace("ids", r"^A", "")
+                .cast("long")
+                .alias("doc_id"),
+                F.col("names").alias("entry"),
+                F.col("descriptions").alias("descr"),
+                F.col("sequences").alias("seq"),
+                F.element_at("dbxrefs", 1).alias("xref"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q126_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink with declared schema on re-read: unicode and
     quote-bearing strings survive the JSON escaping loop; aggregated
@@ -704,6 +758,7 @@ DATABASE_QUERIES = {
     "q118_transaction_semantics": q118_transaction_semantics,
     "q125_genbank_roundtrip": q125_genbank_roundtrip,
     "q144_embl_roundtrip": q144_embl_roundtrip,
+    "q171_swiss_roundtrip": q171_swiss_roundtrip,
     "q126_json_roundtrip": q126_json_roundtrip,
     "q123_orc_roundtrip": q123_orc_roundtrip,
     "q124_csv_roundtrip": q124_csv_roundtrip,
@@ -745,6 +800,13 @@ DATABASE_ORACLE = {
     ),
     "q144_embl_roundtrip": (
         "SELECT doc_id, 'DOC' || doc_id AS entry, "
+        "'synthetic record ' || doc_id || '.' AS descr, "
+        "upper(translate(md5(text), '0123456789', 'ghijklmnop')) AS seq, "
+        "'MD5; ' || md5(text) AS xref "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q171_swiss_roundtrip": (
+        "SELECT doc_id, 'DOC' || doc_id || '_SPEC' AS entry, "
         "'synthetic record ' || doc_id || '.' AS descr, "
         "upper(translate(md5(text), '0123456789', 'ghijklmnop')) AS seq, "
         "'MD5; ' || md5(text) AS xref "

@@ -96,6 +96,40 @@ def q150_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _stage_time_slices(src: DataFrame, d: str, n: int = 3, ts_col: str = "ts") -> str:
+    """Write ``src`` as ``n`` event-time-ordered single-file parquet slices
+    under ``d``/staged with STRICTLY INCREASING mtimes (FileStreamSource
+    replays by mtime; copy latency alone can tie on coarse-timestamp
+    filesystems). Returns the staged directory; replay it with
+    maxFilesPerTrigger=1 for one micro-batch per slice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    qs = (
+        src.select(F.col(ts_col).cast("double").alias("_tsd"))
+        .approxQuantile("_tsd", [i / n for i in range(1, n)], 0.001)
+    )
+    stage = os.path.join(d, "staged")
+    os.makedirs(stage)
+    tsd = F.col(ts_col).cast("double")
+    base_mtime = os.stat(stage).st_mtime
+    for i in range(n):
+        s = src
+        if i > 0:
+            s = s.filter(tsd > qs[i - 1])
+        if i < n - 1:
+            s = s.filter(tsd <= qs[i])
+        sd = os.path.join(d, f"slice{i}")
+        s.coalesce(1).write.parquet(sd)
+        for nm in sorted(os.listdir(sd)):
+            if nm.endswith(".parquet"):
+                dst = os.path.join(stage, f"part-{i:03d}.parquet")
+                shutil.copy(os.path.join(sd, nm), dst)
+                os.utime(dst, (base_mtime + i + 1, base_mtime + i + 1))
+    return stage
+
+
 def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming funnel (streaming.stateful_funnel): events replayed as 3
     TIME-SLICED micro-batches; the per-user (reached, last_ts) state
@@ -103,43 +137,16 @@ def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     under event-time-ordered arrival. Output is q160's (step, step_name,
     users) shape and the oracle is q160's iterative-min SQL — the
     streaming path is held to the batch ground truth, not its own echo."""
-    import os
-
     from pyspark.sql import functions as F
 
     steps = ["view", "click", "purchase"]
     src = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
-    qs = src.select(
-        F.col("ts").cast("double").alias("tsd")
-    ).approxQuantile("tsd", [0.33, 0.66], 0.001)
     d = tempfile.mkdtemp(prefix="fw_stream_")
     name = f"q165_{uuid.uuid4().hex[:8]}"
     try:
-        tsd = F.col("ts").cast("double")
-        slices = [
-            src.filter(tsd <= qs[0]),
-            src.filter((tsd > qs[0]) & (tsd <= qs[1])),
-            src.filter(tsd > qs[1]),
-        ]
-        stage = os.path.join(d, "staged")
-        os.makedirs(stage)
-        # FileStreamSource orders files by modification time; copy latency
-        # alone can produce EQUAL mtimes on coarse-timestamp filesystems,
-        # which would batch/reorder slices and silently under-count a
-        # rewind-free state. Pin strictly increasing mtimes explicitly.
-        i = 0
-        base_mtime = os.stat(stage).st_mtime
-        for s in slices:
-            sd = os.path.join(d, f"slice{i}")
-            s.coalesce(1).write.parquet(sd)
-            for n in sorted(os.listdir(sd)):
-                if n.endswith(".parquet"):
-                    dst = os.path.join(stage, f"part-{i:03d}.parquet")
-                    shutil.copy(os.path.join(sd, n), dst)
-                    os.utime(dst, (base_mtime + i + 1, base_mtime + i + 1))
-            i += 1
+        stage = _stage_time_slices(src, d, n=3)
         stream = (
             spark.readStream.schema(
                 "user_id long, ts timestamp, event_type string"
@@ -178,11 +185,192 @@ def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q166_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup == batch identity: the events file staged
+    TWICE (the at-least-once re-delivery case) as two micro-batches;
+    dedup_stream (dropDuplicatesWithinWatermark on event_id, horizon
+    covering the fixture) must emit every event exactly once — the
+    second delivery of each id is inside the watermark and is dropped
+    from state carried ACROSS batches, so the output equals the batch
+    table."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q166_{uuid.uuid4().hex[:8]}"
+    try:
+        stage = os.path.join(d, "staged")
+        os.makedirs(stage)
+        base_mtime = os.stat(stage).st_mtime
+        for i in range(2):
+            dst = os.path.join(stage, f"part-{i:03d}.parquet")
+            shutil.copy(f"{sf_dir}/events.parquet", dst)
+            os.utime(dst, (base_mtime + i + 1, base_mtime + i + 1))
+        stream = streaming.read_event_stream(
+            spark, stage, max_files_per_trigger=1
+        )
+        streaming.run_to_memory(
+            streaming.dedup_stream(stream, watermark="365 days"),
+            name,
+            "append",
+        )
+        return (
+            spark.table(name)
+            .select("event_id", "event_type", "value")
+            .orderBy("event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q167_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join == batch range join: events
+    replayed as two time-sliced micro-batches on BOTH sides; pairs that
+    straddle the slice boundary only exist if batch-1 rows are still in
+    the join state when batch 2 arrives, so the batch-SQL equality checks
+    cross-batch state retention, not just the per-batch join."""
+    src = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q167_{uuid.uuid4().hex[:8]}"
+    try:
+        stage = _stage_time_slices(src, d, n=2)
+        left = streaming.read_event_stream(
+            spark, stage, max_files_per_trigger=1
+        )
+        right = streaming.read_event_stream(
+            spark, stage, max_files_per_trigger=1
+        )
+        streaming.run_to_memory(
+            streaming.interval_join_stream(
+                left, right, "user_id", watermark="365 days"
+            ),
+            name,
+            "append",
+        )
+        return (
+            spark.table(name)
+            .orderBy("k", "l_event", "r_event")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q168_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dedup against a static corpus (dedup_stream_against):
+    odd-doc_id documents stream in two micro-batches against the even-id
+    corpus; survivors (appended to parquet by foreachBatch) must equal
+    the batch answer — odd docs with no >= 0.8 exact word-3-gram Jaccard
+    partner among even docs. Same 16x2-band recall argument as q135: at
+    J >= 0.8 a band collision is ~certain, and the verify step is exact
+    Jaccard, so the exact cross-Jaccard SQL is the value oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    try:
+        staged = os.path.join(d, "staged")
+        docs.filter(F.col("doc_id") % 2 == 1).repartition(2).write.parquet(
+            staged
+        )
+        stream = spark.readStream.schema(
+            spark.read.parquet(staged).schema
+        ).option("maxFilesPerTrigger", "1").parquet(staged)
+        out = os.path.join(d, "out")
+        streaming.dedup_stream_against(
+            stream, corpus, out, threshold=0.8
+        )
+        return (
+            spark.read.parquet(out)
+            .select("doc_id")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q169_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance == batch rollup: events replayed
+    as three time-sliced micro-batches through maintain_rollup_table
+    (update-mode windowed agg -> foreachBatch upsert into a parquet
+    table); the final table must equal the one-shot batch hour rollup.
+    Windows split by a slice cut are upserted twice — the equality
+    proves the merge keeps the LATEST running total per (bucket, key)."""
+    import os
+
+    src = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    try:
+        stage = _stage_time_slices(src, d, n=3)
+        stream = streaming.read_event_stream(
+            spark, stage, max_files_per_trigger=1
+        )
+        tbl = os.path.join(d, "rollup")
+        streaming.maintain_rollup_table(
+            stream, tbl, window="1 hour", watermark="365 days"
+        )
+        return (
+            spark.read.parquet(tbl)
+            .orderBy("bucket", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q170_stream_normalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingNormalizer (the reference's signature streaming op,
+    Normalizer.update per batch) == batch standardize: per-batch
+    (n, sum, sumsq) folded from three micro-batches via foreachBatch,
+    then forward() standardizes the batch table with the compiled stats
+    — z-scores must equal the one-pass SQL population z-score."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = table(spark, sf_dir, "events").select("event_id", "value")
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    try:
+        staged = os.path.join(d, "staged")
+        src.repartition(3).write.parquet(staged)
+        stream = spark.readStream.schema("event_id long, value double").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(staged)
+        sn = streaming.StreamingNormalizer(["value"])
+        q = (
+            stream.writeStream.foreachBatch(sn.foreach_batch())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            sn.forward(src)
+            .select(
+                "event_id",
+                (F.round(F.col("value_std"), 3) + F.lit(0.0)).alias("z"),
+            )
+            .orderBy("event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 STREAMING_QUERIES = {
     "q68_stream_tumbling": q68_stream_tumbling,
     "q69_stream_sliding": q69_stream_sliding,
     "q150_stateful_topk": q150_stateful_topk,
     "q165_stream_funnel": q165_stream_funnel,
+    "q166_stream_dedup": q166_stream_dedup,
+    "q167_stream_interval_join": q167_stream_interval_join,
+    "q168_stream_dedup_against": q168_stream_dedup_against,
+    "q169_stream_rollup_maintenance": q169_stream_rollup_maintenance,
+    "q170_stream_normalizer": q170_stream_normalizer,
 }
 
 STREAMING_ORACLE = {
@@ -227,4 +415,52 @@ STREAMING_ORACLE = {
         "    PARTITION BY user_id ORDER BY value DESC) AS rk"
         "  FROM events) WHERE rk <= 3 ORDER BY user_id, rk"
     ),
+    # double-delivered stream deduped == the batch table
+    "q166_stream_dedup": (
+        "SELECT event_id, event_type, value FROM events ORDER BY event_id"
+    ),
+    # stream-stream interval join == batch range self-join
+    "q167_stream_interval_join": (
+        "SELECT l.user_id AS k, l.event_id AS l_event, r.event_id AS r_event, "
+        "l.ts AS l_ts, r.ts AS r_ts "
+        "FROM events l JOIN events r ON l.user_id = r.user_id "
+        "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR "
+        "AND l.event_id <> r.event_id "
+        "ORDER BY k, l_event, r_event"
+    ),
+    # streamed odd docs surviving the corpus near-dedup == odd docs with
+    # no >= 0.8 exact 3-gram Jaccard partner among even docs (q135's
+    # cross-Jaccard as the taint set)
+    "q168_stream_dedup_against": None,  # filled below (needs q135's CTE)
+    # maintained rollup table == one-shot batch hour rollup (q25's oracle
+    # with the rollup's column names)
+    "q169_stream_rollup_maintenance": (
+        "SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, "
+        "COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_val FROM events "
+        "GROUP BY 1, 2 ORDER BY bucket, event_type"
+    ),
+    # stream-learned stats standardizing the batch == SQL population z
+    "q170_stream_normalizer": (
+        "WITH s AS (SELECT AVG(value) AS mu, sqrt(VAR_POP(value)) AS sd "
+        "FROM events) "
+        "SELECT event_id, ROUND((value - mu) / sd, 3) + 0.0 AS z "
+        "FROM events, s ORDER BY event_id"
+    ),
 }
+
+
+def _dedup_against_sql() -> str:
+    """q168's oracle: odd docs minus those tainted by q135's exact
+    cross-corpus Jaccard at 0.8 (imported so both queries share ONE
+    definition of the shingle/Jaccard rules)."""
+    from fireworks_spark.queries_pipeline import _JACCARD_JOIN_SQL_08
+
+    inner = _JACCARD_JOIN_SQL_08.replace("ORDER BY lid, rid", "")
+    return (
+        "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 "
+        f"AND doc_id NOT IN (SELECT rid FROM ({inner})) "
+        "ORDER BY doc_id"
+    )
+
+
+STREAMING_ORACLE["q168_stream_dedup_against"] = _dedup_against_sql()

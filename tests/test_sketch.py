@@ -391,3 +391,103 @@ def test_retention_cohorts_month_period(spark):
     }
     with pytest.raises(ValueError, match="unknown retention period"):
         retention_cohorts(df, period="fortnight")
+
+
+def _funnel_reach(spark, rows, steps, **kw):
+    from fireworks_spark.operators.timeagg import funnel_counts
+
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    return {r.step: r.users for r in funnel_counts(df, steps, **kw).collect()}
+
+
+def test_funnel_guard_is_exact_when_nothing_truncates(spark):
+    """max_events_per_key large enough never changes the answer: the
+    run-collapse is reach-neutral by construction (only events that can
+    never be greedy-matched are dropped) and the cap bites nothing.
+    Randomized differential guard-vs-exact, including ts ties."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    types = ["A", "B", "C", "X"]
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randrange(0, 30)):
+            # coarse second grid forces same-user ts collisions
+            rows.append(
+                (u, dt.datetime(2024, 1, 1, 0, 0, rng.randrange(0, 20)),
+                 rng.choice(types))
+            )
+    steps = ["A", "B", "C"]
+    exact = _funnel_reach(spark, rows, steps)
+    guarded = _funnel_reach(spark, rows, steps, max_events_per_key=1000)
+    assert guarded == exact
+
+
+def test_funnel_guard_collapses_bot_runs_exactly(spark):
+    """A bot key with a huge same-type run: the run-collapse keeps only
+    run heads, and the reach (and gaps) stay EXACT — the matched events
+    themselves are always run heads."""
+    import datetime as dt
+
+    from fireworks_spark.operators.timeagg import funnel_gaps
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [(1, t(i), "A") for i in range(500)]  # bot run: 500 A's
+    rows += [(1, t(600), "B"), (1, t(700), "C")]
+    rows += [(2, t(0), "A"), (2, t(5), "B")]
+    steps = ["A", "B", "C"]
+    exact = _funnel_reach(spark, rows, steps)
+    # cap=2 < the 500-event run, but the collapse fires first: per type
+    # only run heads remain (A: 1 head for user 1), so nothing truncates
+    guarded = _funnel_reach(spark, rows, steps, max_events_per_key=2)
+    assert guarded == exact == {1: 2, 2: 2, 3: 1}
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    g_exact = [tuple(r) for r in funnel_gaps(df, steps).collect()]
+    g_guard = [
+        tuple(r)
+        for r in funnel_gaps(df, steps, max_events_per_key=2).collect()
+    ]
+    assert g_guard == g_exact  # matched ts (hence gaps) survive collapse
+
+
+def test_funnel_guard_truncation_is_a_lower_bound(spark):
+    """The documented approximation: when the cap truncates surviving
+    events, reach can only DROP (greedy reach is monotone under adding
+    events) — and no first-N cap can be exact in general, even at
+    N == len(steps): interleaved A/C runs make the matched C the 4th
+    surviving C, past the cap."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, t(0), "A"), (1, t(1), "C"), (1, t(2), "A"), (1, t(3), "C"),
+        (1, t(4), "A"), (1, t(5), "C"), (1, t(6), "B"), (1, t(7), "C"),
+    ]
+    steps = ["A", "B", "C"]
+    exact = _funnel_reach(spark, rows, steps)
+    assert exact == {1: 1, 2: 1, 3: 1}
+    # every event survives the collapse (all are run heads), so the
+    # cap=3 == len(steps) drops C@7 — the actual match for step 3
+    capped = _funnel_reach(spark, rows, steps, max_events_per_key=3)
+    assert capped == {1: 1, 2: 1, 3: 0}
+    for st in (1, 2, 3):
+        assert capped[st] <= exact[st]
+
+
+def test_funnel_guard_keeps_tie_boundary_events(spark):
+    """Tie conservativeness: when a different-type event shares the ts of
+    the previous same-type event, the follower must be KEPT (it can be
+    the greedy match)."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+    # sorted order: (t1,A), (t1,B), (t3,B) — B@3 follows B@1 (same type)
+    # but A@1 ties with B@1; exact match: A@1 then B@3 (needs ts > 1)
+    rows = [(1, t(1), "A"), (1, t(1), "B"), (1, t(3), "B")]
+    steps = ["A", "B"]
+    exact = _funnel_reach(spark, rows, steps)
+    guarded = _funnel_reach(spark, rows, steps, max_events_per_key=10)
+    assert guarded == exact == {1: 1, 2: 1}

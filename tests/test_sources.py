@@ -92,8 +92,15 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     assert read_bioseq(spark, str(p), "fastq").count() == 3
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # the refusal must NAME the five supported formats and the reason
+    # (reference BioSeqPipe accepts any SeqIO filetype; ours documents
+    # exactly which have distributed parses)
+    with _pytest.raises(NotImplementedError) as ei:
         read_bioseq(spark, str(p), "abi")
+    msg = str(ei.value)
+    for fmt in ("fasta", "fastq", "genbank", "embl", "swiss"):
+        assert fmt in msg
+    assert "Bio.SeqIO" in msg
 
 
 EMBL_FIXTURE = """ID   X56734; SV 1; linear; mRNA; STD; PLN; 1859 BP.
