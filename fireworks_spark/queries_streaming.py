@@ -361,6 +361,136 @@ def q170_stream_normalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q172_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dedup within a stream (near_dedup_stream, portable
+    signatures): documents replayed as two micro-batches; state keeps one
+    doc per 8-hash MinHash signature across batches. Natural signature
+    collisions make the SURVIVOR of a within-batch group arbitrary, so
+    the checked output is signature-level — (sig, kept-count) — which is
+    invariant to survivor choice: the oracle re-derives every signature
+    from raw text with the md5-based portable hash and asserts exactly
+    ONE kept row per signature."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q172_{uuid.uuid4().hex[:8]}"
+    try:
+        stage = os.path.join(d, "staged")
+        os.makedirs(stage)
+        base_mtime = os.stat(stage).st_mtime
+        med = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+        for i, part in enumerate(
+            [docs.filter(F.col("doc_id") <= med),
+             docs.filter(F.col("doc_id") > med)]
+        ):
+            sd = os.path.join(d, f"slice{i}")
+            part.coalesce(1).write.parquet(sd)
+            for nm in sorted(os.listdir(sd)):
+                if nm.endswith(".parquet"):
+                    dst = os.path.join(stage, f"part-{i:03d}.parquet")
+                    shutil.copy(os.path.join(sd, nm), dst)
+                    os.utime(dst, (base_mtime + i + 1, base_mtime + i + 1))
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(stage)
+        streaming.run_to_memory(
+            streaming.near_dedup_stream(
+                stream, watermark="365 days", portable=True, sig_col="sig"
+            ),
+            name,
+            "append",
+        )
+        return (
+            spark.table(name)
+            .groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("sig")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q173_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination (decontaminate_stream, exact
+    mode): docs with doc_id % 93 == 0 play the eval set; the rest stream
+    through in two micro-batches and every doc sharing a word 3-gram with
+    the benchmark is dropped by the stateless row-local filter. Oracle:
+    q88's exact-overlap SQL at modulus 93."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 93 == 0)
+    corpus = docs.filter(F.col("doc_id") % 93 != 0)
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q173_{uuid.uuid4().hex[:8]}"
+    try:
+        staged = os.path.join(d, "staged")
+        corpus.repartition(2).write.parquet(staged)
+        stream = spark.readStream.schema(
+            spark.read.parquet(staged).schema
+        ).option("maxFilesPerTrigger", "1").parquet(staged)
+        streaming.run_to_memory(
+            streaming.decontaminate_stream(stream, bench),
+            name,
+            "append",
+        )
+        return (
+            spark.table(name)
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _near_dedup_sig_sql() -> str:
+    """q172's oracle: per-doc 8-hash MinHash signatures re-derived from
+    raw text with the portable md5 hash (seed-prefixed gram text, min per
+    seed), short docs falling back to the exact-text hash; exactly one
+    kept row per distinct signature."""
+    mins = ", ".join(
+        "MIN(('0x' || substring(md5('%d|' || g), 1, 15))::BIGINT)"
+        "::VARCHAR AS m%d" % (k, k) for k in range(8)
+    )
+    sig_cat = " || '|' || ".join(f"m{k}" for k in range(8))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w,
+                 text
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, array_length(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE array_length(w) >= 3
+        ),
+        persig AS (SELECT doc_id, {mins} FROM g GROUP BY doc_id),
+        sigs AS (
+          SELECT t.doc_id,
+                 COALESCE({sig_cat},
+                          'exact|' || ('0x' || substring(md5(t.text), 1, 15)
+                          )::BIGINT::VARCHAR) AS sig
+          FROM toks t LEFT JOIN persig p ON p.doc_id = t.doc_id
+        )
+        SELECT sig, CAST(1 AS BIGINT) AS n
+        FROM (SELECT DISTINCT sig FROM sigs) ORDER BY sig
+    """
+
+
 STREAMING_QUERIES = {
     "q68_stream_tumbling": q68_stream_tumbling,
     "q69_stream_sliding": q69_stream_sliding,
@@ -371,6 +501,8 @@ STREAMING_QUERIES = {
     "q168_stream_dedup_against": q168_stream_dedup_against,
     "q169_stream_rollup_maintenance": q169_stream_rollup_maintenance,
     "q170_stream_normalizer": q170_stream_normalizer,
+    "q172_stream_near_dedup": q172_stream_near_dedup,
+    "q173_stream_decontaminate": q173_stream_decontaminate,
 }
 
 STREAMING_ORACLE = {
@@ -464,3 +596,29 @@ def _dedup_against_sql() -> str:
 
 
 STREAMING_ORACLE["q168_stream_dedup_against"] = _dedup_against_sql()
+STREAMING_ORACLE["q172_stream_near_dedup"] = _near_dedup_sig_sql()
+# stateless exact decontamination == q88's exact-overlap SQL at mod 93
+STREAMING_ORACLE["q173_stream_decontaminate"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+                                         '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, array_length(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                 AS shingle
+      FROM toks WHERE array_length(w) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 93 = 0),
+    tainted AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 93 <> 0 AND shingle IN (SELECT shingle FROM bench)
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id % 93 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM tainted)
+    ORDER BY doc_id
+"""

@@ -412,6 +412,7 @@ def near_dedup_stream(
     num_hashes: int = 8,
     n: int = 3,
     sig_col: str = "_sig",
+    portable: bool = False,
 ) -> DataFrame:
     """Streaming NEAR-duplicate dedup: a row-wise (shuffle-free, so
     streaming-legal) minhash signature per document, then
@@ -431,28 +432,66 @@ def near_dedup_stream(
     The signature projection mirrors minhash_signatures_rowwise; the
     batch/stream parity is asserted in tests (same signatures => stream
     keep-set == batch dropDuplicates keep-set per micro-batch replay).
+
+    ``portable=True`` swaps xxhash64 for the md5-based 60-bit portable
+    hash (dedup.portable_token_hash60 over the seed-prefixed gram text),
+    so an ANSI-ish SQL engine derives bit-identical signatures from the
+    raw text — the q33/q102 convention that turns a rows-only check into
+    a value oracle (q172). Default stays on xxhash64: one fused JVM hash
+    per (seed, gram) vs md5+substring+conv.
     """
     from fireworks_spark.functions.text import words
-    from fireworks_spark.operators.dedup import ngrams_of
+    from fireworks_spark.operators.dedup import ngrams_of, portable_token_hash60
 
-    d = docs.withColumn("_w", words(text_col)).withColumn(
-        "_sh",
-        F.array_distinct(
-            F.transform(ngrams_of(F.col("_w"), n), lambda s: F.xxhash64(s))
-        ),
-    )
+    if portable:
+        d = docs.withColumn("_w", words(text_col)).withColumn(
+            "_shg", F.array_distinct(ngrams_of(F.col("_w"), n))
+        )
+        def _pmin(k: int):
+            # NOTE: not `lambda g, k=k` — a two-parameter lambda makes
+            # transform() pass the ELEMENT INDEX as the second argument
+            return F.array_min(
+                F.transform(
+                    "_shg",
+                    lambda g: portable_token_hash60(
+                        F.concat(F.lit(f"{k}|"), g)
+                    ),
+                )
+            ).cast("string")
 
-    def _hash_k(k: int):
-        return lambda s: F.xxhash64(F.lit(k), s)
+        mins = [_pmin(k) for k in range(num_hashes)]
+        sig = F.when(F.size("_shg") > 0, F.concat_ws("|", *mins)).otherwise(
+            F.concat(
+                F.lit("exact|"),
+                portable_token_hash60(F.col(text_col)).cast("string"),
+            )
+        )
+        d = d.withColumn(sig_col, sig).drop("_w", "_shg")
+    else:
+        d = docs.withColumn("_w", words(text_col)).withColumn(
+            "_sh",
+            F.array_distinct(
+                F.transform(
+                    ngrams_of(F.col("_w"), n), lambda s: F.xxhash64(s)
+                )
+            ),
+        )
 
-    mins = [
-        F.array_min(F.transform("_sh", _hash_k(k))).cast("string")
-        for k in range(num_hashes)
-    ]
-    sig = F.when(
-        F.size("_sh") > 0, F.concat_ws("|", *mins)
-    ).otherwise(F.concat(F.lit("exact|"), F.xxhash64(F.col(text_col)).cast("string")))
-    d = d.withColumn(sig_col, sig).drop("_w", "_sh")
+        def _hash_k(k: int):
+            return lambda s: F.xxhash64(F.lit(k), s)
+
+        mins = [
+            F.array_min(F.transform("_sh", _hash_k(k))).cast("string")
+            for k in range(num_hashes)
+        ]
+        sig = F.when(
+            F.size("_sh") > 0, F.concat_ws("|", *mins)
+        ).otherwise(
+            F.concat(
+                F.lit("exact|"), F.xxhash64(F.col(text_col)).cast("string")
+            )
+        )
+        d = d.withColumn(sig_col, sig).drop("_w", "_sh")
     return d.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         [sig_col]
     )

@@ -36,7 +36,7 @@ structured = base.select(
 
 OPS = {
     "gopher_stats (10 rules)": lambda d: textstats.gopher_stats(d),
-    "ngram_repetition (9 folds)": lambda d: ranking.ngram_repetition(d),
+    "ngram_repetition (one Arrow pass, round 8)": lambda d: ranking.ngram_repetition(d),
 }
 
 for k in (1, 4, 16):
