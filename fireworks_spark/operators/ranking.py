@@ -467,54 +467,6 @@ def repetition_stats(
     )
 
 
-def _rep_fold(grams_col):
-    """Fold a SORTED n-gram array into (top, dup) char totals in one pass:
-    top = max over distinct grams of count * gram length; dup = sum over
-    grams with count >= 2 of count * gram length. Run-length tracking over
-    the sorted array, the repetition_stats fold generalized."""
-
-    def _flush_top(acc):
-        # a gram occurring once is not repetition: without the run >= 2
-        # guard every short all-distinct document fails the top-2 bound
-        # (one 2-gram's chars already exceed 20% of a 5-word doc)
-        return F.greatest(
-            acc.top,
-            F.when(
-                acc.run >= 2, acc.run * F.length(acc.prev).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        )
-
-    def _flush_dup(acc):
-        return acc.dup + F.when(
-            acc.run >= 2, acc.run * F.length(acc.prev).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-
-    return F.aggregate(
-        grams_col,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("top"),
-            F.lit(0).cast("long").alias("dup"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.when(x == acc.prev, acc.top)
-            .otherwise(_flush_top(acc))
-            .alias("top"),
-            F.when(x == acc.prev, acc.dup)
-            .otherwise(_flush_dup(acc))
-            .alias("dup"),
-        ),
-        lambda acc: F.struct(
-            _flush_top(acc).alias("top"), _flush_dup(acc).alias("dup")
-        ),
-    )
-
-
 # Gopher repetition thresholds (Rae et al. 2021 Table A1): a document is
 # filtered when ANY fraction exceeds its bound
 GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}

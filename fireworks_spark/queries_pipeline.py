@@ -660,11 +660,11 @@ def q153_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q154_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher n-gram repetition rules (ranking.ngram_repetition): per-doc
     top-{2,3,4}-gram and duplicated-{5..10}-gram character fractions plus
-    the threshold verdict, each n computed by a per-row sorted-array
-    run-length fold (no explode, no shuffle). The oracle re-derives all
-    nine fractions from unnested n-gram counts — grouping in SQL where
-    the engine folds per row, so the comparison also cross-checks the
-    fold against an independent aggregation strategy."""
+    the threshold verdict, all nine computed in one per-row Arrow pass
+    (no explode, no shuffle). The oracle re-derives all nine fractions
+    from unnested n-gram counts — grouping in SQL where the engine
+    counts per row, so the comparison also cross-checks the pass against
+    an independent aggregation strategy."""
     d = table(spark, sf_dir, "documents")
     return ranking.ngram_repetition(d).orderBy("doc_id")
 

@@ -529,24 +529,68 @@ def decontaminate_stream(
         .select("shingle")
         .distinct()
     )
-    sh = F.array_distinct(
-        F.transform(
-            dd.ngrams_of(words(text_col), n), lambda s: F.xxhash64(s)
-        )
-    )
-    staged = docs.withColumn("_sh", sh)
+    # materialize the words array BEFORE ngrams_of: the tokenizer
+    # expression inside the gram lambda would re-run per element_at — 3n
+    # tokenizations per gram (measured 9.5s vs 0.9s on 5k docs)
+    spark = docs.sparkSession
+    # Tokenize ONCE into a materialized array before ngrams_of (the
+    # words()-inside-the-gram-lambda trap re-runs the regex tokenizer 3n
+    # times per gram; ngrams_of docstring).
+    staged = docs.withColumn("_w", words(text_col)).withColumn(
+        "_sh",
+        F.array_distinct(
+            F.transform(
+                dd.ngrams_of(F.col("_w"), n), lambda s: F.xxhash64(s)
+            )
+        ),
+    ).drop("_w")
+    # The bench set rides along as DATA in a broadcast 1-row stream-static
+    # crossJoin, NOT as a plan literal: streaming micro-batch planning
+    # does not constant-fold a |bench|-element array literal the way batch
+    # does — every trigger re-materialized it (measured 10.4s vs 2.9s for
+    # the whole 2-batch replay at 2.6k shingles). The join row is data, so
+    # nothing re-evaluates.
     n_bench = bench_sh.count()
-    if n_bench == 0:
-        tainted = F.lit(False)
-    elif n_bench <= exact_max_shingles:
+    if n_bench <= exact_max_shingles:
         bench = [r["shingle"] for r in bench_sh.collect()]
-        tainted = F.arrays_overlap("_sh", F.lit(bench))
+        bdf = spark.createDataFrame([(bench,)], "_bench array<bigint>")
+        staged = staged.crossJoin(F.broadcast(bdf))
+        tainted = F.arrays_overlap("_sh", F.col("_bench"))
+        aux = ["_bench"]
     else:
         bits = dd.bloom_bitset(bench_sh, "shingle")
-        tainted = F.exists(
-            "_sh", lambda s: dd.bloom_might_contain(s, bits)
+        num_bits = len(bits) * 64
+        bdf = spark.createDataFrame([(bits,)], "_bits array<bigint>")
+        staged = staged.crossJoin(F.broadcast(bdf))
+
+        def _probe(s):
+            cond = F.lit(True)
+            for seed in range(5):
+                pos = F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(num_bits))
+                word = F.element_at("_bits", (pos / 64).cast("int") + 1)
+                mask = F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                )
+                cond = cond & (word.bitwiseAND(mask) != 0)
+            return cond
+
+        tainted = F.exists("_sh", _probe)
+        aux = ["_bits"]
+    # The verdict is materialized as a column TAINTED with an always-true
+    # nondeterministic conjunct: a plain filter on the derived value gets
+    # pushdown-SUBSTITUTED through the projection, re-inlining the whole
+    # shingle pipeline (no CSE in lambda bodies) — measured 9.5s vs 0.6s
+    # on 5k docs. Nondeterministic predicates are never pushed. (rand,
+    # not monotonically_increasing_id: the latter is rejected in
+    # streaming plans; rand is nondeterministic AND streaming-legal.)
+    guard = F.rand(7) > F.lit(-1.0)
+    return (
+        staged.withColumn(
+            "_t", F.coalesce(tainted, F.lit(False)) & guard
         )
-    return staged.filter(~F.coalesce(tainted, F.lit(False))).drop("_sh")
+        .filter(~F.col("_t"))
+        .drop("_sh", "_t", *aux)
+    )
 
 
 def dedup_stream_against(

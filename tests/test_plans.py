@@ -188,3 +188,31 @@ def test_fuzzy_join_plans_equi_join_only(spark, sf_dir):
         plan = _plan(QUERIES[q](spark, sf_dir))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_decontaminate_stream_filter_is_not_resubstituted(spark, sf_dir):
+    """The decontamination verdict must filter on the materialized _t
+    column, never on a pushdown-substituted copy of the shingle pipeline:
+    substitution re-inlines the regex tokenizer inside the gram lambda
+    (no CSE in lambda bodies — measured 9.5s vs 0.6s on 5k docs). The
+    nondeterministic guard in streaming.decontaminate_stream pins this;
+    here the Filter node must carry no tokenizer/hash expressions."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fireworks_spark import streaming
+    from fireworks_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 93 == 0)
+    out = streaming.decontaminate_stream(
+        docs.filter(F.col("doc_id") % 93 != 0), bench
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    filter_lines = [
+        ln for ln in plan.splitlines() if re.match(r"[+:\-\s]*Filter", ln)
+    ]
+    assert filter_lines, "expected a Filter node"
+    for ln in filter_lines:
+        assert "regexp_replace" not in ln and "xxhash64" not in ln, ln
