@@ -486,6 +486,82 @@ def q173_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q174_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store durability across QUERY RESTARTS (not just
+    micro-batches): stateful_topk drains two slices under an explicit
+    checkpointLocation, the query STOPS, a third slice lands, and a NEW
+    query on the same checkpoint resumes — offsets skip the processed
+    files and the per-key state is restored from the state store. The
+    final answer must equal the batch per-user top-3 over ALL slices;
+    if state were lost on restart, the resumed query would emit top-3
+    of the last slice only, and the update-max reconstruction would
+    produce a provably different array wherever the true top-3 mixes
+    slices (the fixture does, pervasively)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = table(spark, sf_dir, "events").select("user_id", "value")
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    try:
+        allp = os.path.join(d, "all")
+        src.repartition(3).write.parquet(allp)
+        parts = sorted(
+            nm for nm in os.listdir(allp) if nm.endswith(".parquet")
+        )
+        stage = os.path.join(d, "staged")
+        os.makedirs(stage)
+        ck = os.path.join(d, "ck")
+        out = os.path.join(d, "out")
+        base = os.stat(stage).st_mtime
+
+        def _add(i: int, nm: str) -> None:
+            dst = os.path.join(stage, f"part-{i:03d}.parquet")
+            shutil.copy(os.path.join(allp, nm), dst)
+            os.utime(dst, (base + i + 1, base + i + 1))
+
+        def _drain() -> None:
+            stream = (
+                spark.readStream.schema("user_id long, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stage)
+            )
+            q = (
+                streaming.stateful_topk(stream, k=3)
+                .writeStream.foreachBatch(
+                    lambda b, _i: b.write.mode("append").parquet(out)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        for i, nm in enumerate(parts[:-1]):
+            _add(i, nm)
+        _drain()  # first query: every slice but the last
+        _add(len(parts) - 1, parts[-1])
+        _drain()  # RESTART: same checkpoint, new query object
+        updates = spark.read.parquet(out)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc(F.size("topk")), F.desc("topk")
+        )
+        return (
+            updates.withColumn("upd_rk", F.row_number().over(w))
+            .filter(F.col("upd_rk") == 1)
+            .select("user_id", F.posexplode("topk").alias("pos", "v"))
+            .select(
+                "user_id", (F.col("pos") + 1).cast("long").alias("rk"), "v"
+            )
+            .orderBy("user_id", "rk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _near_dedup_sig_sql() -> str:
     """q172's oracle: per-doc 8-hash MinHash signatures re-derived from
     raw text with the portable md5 hash (seed-prefixed gram text, min per
@@ -535,6 +611,7 @@ STREAMING_QUERIES = {
     "q170_stream_normalizer": q170_stream_normalizer,
     "q172_stream_near_dedup": q172_stream_near_dedup,
     "q173_stream_decontaminate": q173_stream_decontaminate,
+    "q174_stream_restart": q174_stream_restart,
 }
 
 STREAMING_ORACLE = {
@@ -629,6 +706,13 @@ def _dedup_against_sql() -> str:
 
 STREAMING_ORACLE["q168_stream_dedup_against"] = _dedup_against_sql()
 STREAMING_ORACLE["q172_stream_near_dedup"] = _near_dedup_sig_sql()
+# restart durability: final state across two queries == batch top-3
+STREAMING_ORACLE["q174_stream_restart"] = (
+    "SELECT user_id, rk, v FROM ("
+    "  SELECT user_id, value AS v, row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY value DESC) AS rk"
+    "  FROM events) WHERE rk <= 3 ORDER BY user_id, rk"
+)
 # stateless exact decontamination == q88's exact-overlap SQL at mod 93
 STREAMING_ORACLE["q173_stream_decontaminate"] = """
     WITH toks AS (

@@ -254,15 +254,40 @@ def read_swiss(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_tab(spark: SparkSession, path: str) -> DataFrame:
+    """One row per tab-delimited record (Bio.SeqIO filetype='tab': each
+    line is ``id<TAB>sequence``). Line-splittable — the cheapest possible
+    distributed parse; blank lines are skipped like SeqIO does. Columns
+    mirror read_fasta; tab records carry no description (SeqIO leaves it
+    empty)."""
+    raw = spark.read.text(path)
+    rec = F.col("value")
+    ids = F.trim(F.substring_index(rec, "\t", 1))
+    seq = F.upper(
+        F.regexp_replace(F.substring_index(rec, "\t", -1), r"\s+", "")
+    )
+    return (
+        raw.filter(F.trim(rec) != "")
+        .select(
+            ids.alias("ids"),
+            ids.alias("names"),
+            F.lit("").alias("descriptions"),
+            seq.alias("sequences"),
+            F.array().cast("array<string>").alias("dbxrefs"),
+        )
+    )
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
-    filetype=...) (pipes.py:33). Supported: fasta, fastq, genbank, embl,
-    swiss; other SeqIO formats (abi, sff, ...) need their own
+    filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
+    syntactic subset the same record scan parses), fastq, genbank, embl,
+    swiss, tab; other SeqIO formats (abi, sff, ...) need their own
     record-delimiter parses and raise until someone needs them."""
     ft = filetype.lower()
-    if ft == "fasta":
+    if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
     if ft == "fastq":
         return read_fastq(spark, path)
@@ -272,8 +297,10 @@ def read_bioseq(
         return read_embl(spark, path)
     if ft in ("swiss", "swissprot", "uniprot"):
         return read_swiss(spark, path)
+    if ft == "tab":
+        return read_tab(spark, path)
     raise NotImplementedError(
-        f"filetype {filetype!r}: only fasta, fastq, genbank, embl and "
-        "swiss have distributed parses (reference BioSeqPipe accepts any "
-        "Bio.SeqIO format)"
+        f"filetype {filetype!r}: only fasta, fasta-2line, fastq, genbank, "
+        "embl, swiss and tab have distributed parses (reference "
+        "BioSeqPipe accepts any Bio.SeqIO format)"
     )

@@ -98,7 +98,8 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     with _pytest.raises(NotImplementedError) as ei:
         read_bioseq(spark, str(p), "abi")
     msg = str(ei.value)
-    for fmt in ("fasta", "fastq", "genbank", "embl", "swiss"):
+    for fmt in ("fasta", "fasta-2line", "fastq", "genbank", "embl",
+                "swiss", "tab"):
         assert fmt in msg
     assert "Bio.SeqIO" in msg
 
@@ -266,3 +267,24 @@ def test_genbank_parse(spark, tmp_path):
     assert r2.sequences == "ACGTACGTACGTACGTACGTACGT"
     assert r2.dbxrefs == []
     assert read_bioseq(spark, str(p), "genbank").count() == 2
+
+
+def test_tab_and_fasta_2line_dispatch(spark, tmp_path):
+    """The two line-trivial SeqIO formats: tab (id<TAB>seq per line) and
+    fasta-2line (strict 2-line records — a syntactic subset the fasta
+    record scan parses identically)."""
+    from fireworks_spark.sources import read_bioseq, read_tab
+
+    p = tmp_path / "recs.tab"
+    p.write_text("r1\tacgt\n\nr2\tTT gg\n")
+    rows = {r.ids: r for r in read_tab(spark, str(p)).collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert rows["r1"].sequences == "ACGT"
+    assert rows["r2"].sequences == "TTGG"  # internal whitespace stripped
+    assert rows["r1"].descriptions == "" and rows["r1"].dbxrefs == []
+    assert read_bioseq(spark, str(p), "tab").count() == 2
+
+    p2 = tmp_path / "recs.fa"
+    p2.write_text(">a desc\nACGT\n>b\nGGTT\n")
+    rows2 = {r.ids: r for r in read_bioseq(spark, str(p2), "fasta-2line").collect()}
+    assert rows2["a"].sequences == "ACGT" and rows2["b"].sequences == "GGTT"
