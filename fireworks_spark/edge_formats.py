@@ -957,13 +957,18 @@ def write_sparse(
                 "given — pass shape=(rows, cols) to write an empty matrix"
             )
         shape = (int(r["r"]) + 1, int(r["c"]) + 1)
-    os.makedirs(path, exist_ok=True)
-    # a re-write must not leave prior uuid-named parts behind: read_sparse
-    # globs *.npz, so stale triplets from a previous write would silently
-    # merge into the new matrix
-    for stale in glob.glob(os.path.join(path, "*.npz")):
-        os.remove(stale)
     nr, nc = int(shape[0]), int(shape[1])
+    # Atomic overwrite (the maintain_rollup_table two-rename swap): tasks
+    # write into a tmp directory and the swap happens only after the job
+    # succeeds, so a mid-write failure leaves the previous matrix intact
+    # — deleting stale parts in place would let a crashed job destroy the
+    # old data AND leave a partial new matrix that read_sparse silently
+    # accepts.
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
 
     def _write(batches):
         import uuid
@@ -977,7 +982,7 @@ def write_sparse(
             pdf = pd.concat(parts, ignore_index=True)
             pid = TaskContext.get().partitionId()
             fname = os.path.join(
-                path, f"part-{pid:05d}-{uuid.uuid4().hex}.npz"
+                tmp, f"part-{pid:05d}-{uuid.uuid4().hex}.npz"
             )
             np.savez_compressed(
                 fname,
@@ -990,20 +995,29 @@ def write_sparse(
             rows = len(pdf)
         yield pd.DataFrame({"rows": [rows]})
 
-    df.select(row_col, col_col, val_col).mapInPandas(
-        _write, "rows long"
-    ).write.mode("overwrite").format("noop").save()
-    if not glob.glob(os.path.join(path, "*.npz")):
-        # all partitions were empty (legal when shape pins the dims):
-        # write one zero-nnz part so read_sparse round-trips the shape
-        np.savez_compressed(
-            os.path.join(path, "part-00000-empty.npz"),
-            format=np.array(b"coo"),
-            shape=np.array([nr, nc], dtype=np.int64),
-            row=np.array([], dtype=np.int64),
-            col=np.array([], dtype=np.int64),
-            data=np.array([], dtype=np.float64),
-        )
+    try:
+        df.select(row_col, col_col, val_col).mapInPandas(
+            _write, "rows long"
+        ).write.mode("overwrite").format("noop").save()
+        if not glob.glob(os.path.join(tmp, "*.npz")):
+            # all partitions were empty (legal when shape pins the dims):
+            # write one zero-nnz part so read_sparse round-trips the shape
+            np.savez_compressed(
+                os.path.join(tmp, "part-00000-empty.npz"),
+                format=np.array(b"coo"),
+                shape=np.array([nr, nc], dtype=np.int64),
+                row=np.array([], dtype=np.int64),
+                col=np.array([], dtype=np.int64),
+                data=np.array([], dtype=np.float64),
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{path}.old-{_uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_sparse(spark: SparkSession, path: str) -> DataFrame:

@@ -1280,6 +1280,27 @@ def release_bloom_broadcasts() -> None:
     _BLOOM_BROADCASTS.clear()
 
 
+def bloom_probe_expr(
+    col: Column, words_arr: Column, num_bits: int, k: int = 5
+) -> Column:
+    """The Bloom bit-test itself, over a bitset that is ALREADY a Column
+    of array<bigint> — a folded literal (bloom_might_contain's small
+    path) or an attribute (streaming decontamination joins the bitset in
+    as a broadcast 1-row frame, since micro-batch planning does not
+    constant-fold large literals). ONE definition of the seed count and
+    word/mask layout, shared with bloom_bitset's build side — keep k and
+    the layout in lockstep or probes silently return false negatives."""
+    cond = F.lit(True)
+    for s in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
+        word = F.element_at(words_arr, (pos / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
 def bloom_might_contain(
     col: Column | str,
     bitset: list[int],
@@ -1306,16 +1327,7 @@ def bloom_might_contain(
     if len(bitset) * 8 <= literal_max_bytes:
         # F.lit(list) -> one array Literal, evaluated once; F.array(*lits)
         # would re-CreateArray 2048 elements per row per seed (measured 9x).
-        arr = F.lit(list(bitset))
-        cond = F.lit(True)
-        for s in range(k):
-            pos = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
-            word = F.element_at(arr, (pos / 64).cast("int") + 1)
-            mask = F.call_function(
-                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
-            )
-            cond = cond & (word.bitwiseAND(mask) != 0)
-        return cond
+        return bloom_probe_expr(col, F.lit(list(bitset)), num_bits, k)
 
     import hashlib
 

@@ -510,7 +510,6 @@ def ngram_repetition(
     Counter pass per row over all n does the same exact arithmetic at a
     fraction of both."""
     from fireworks_spark.functions.text import words
-    from fireworks_spark.functions.text import words
 
     w = F.filter(words(text_col), lambda t: t != "")
     base = spread(df).select(
@@ -542,36 +541,26 @@ def ngram_repetition(
                 toks = list(toks) if toks is not None else []
                 nc = int(nc) if nc is not None and not pd.isna(nc) else 0
                 rows[id_col].append(rid)
-                lens = [len(t) for t in toks]
                 for n, kind in [(n, "top") for n in tops] + [
                     (n, "dup") for n in dups
                 ]:
-                    val = 0
+                    val = 0.0
                     if nc > 0 and len(toks) >= n:
-                        # gram char weight = token lens + inner spaces
-                        c = Counter(
-                            zip(*(toks[i:] for i in range(n)))
-                        )
-                        gl = [
-                            sum(lens[i : i + n]) + n - 1
-                            for i in range(len(toks) - n + 1)
-                        ]
+                        c = Counter(zip(*(toks[i:] for i in range(n))))
+                        # gram char weight = token lens + inner spaces,
+                        # derivable from the tuple itself — one pass.
                         # counts >= 2 only: a singleton is not a repeat
-                        weights = {}
-                        for i, g in enumerate(
-                            zip(*(toks[i:] for i in range(n)))
-                        ):
-                            weights[g] = gl[i]
                         vals = [
-                            cnt * weights[g]
+                            cnt * (sum(map(len, g)) + n - 1)
                             for g, cnt in c.items()
                             if cnt >= 2
                         ]
-                        if kind == "top":
-                            total = max(vals, default=0)
-                        else:
-                            total = sum(vals)
-                        val = r4(total / nc) if nc else 0.0
+                        total = (
+                            max(vals, default=0)
+                            if kind == "top"
+                            else sum(vals)
+                        )
+                        val = r4(total / nc)
                     rows[f"{kind}_ngram_frac_{n}"].append(float(val))
             yield pd.DataFrame(rows)
 

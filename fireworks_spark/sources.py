@@ -259,10 +259,24 @@ def read_tab(spark: SparkSession, path: str) -> DataFrame:
     line is ``id<TAB>sequence``). Line-splittable — the cheapest possible
     distributed parse; blank lines are skipped like SeqIO does. Columns
     mirror read_fasta; tab records carry no description (SeqIO leaves it
-    empty)."""
+    empty).
+
+    A non-blank line without EXACTLY one tab raises at scan time
+    (raise_error inside the task), matching SeqIO's ValueError — corrupt
+    input must not flow through as plausible-looking records."""
     raw = spark.read.text(path)
     rec = F.col("value")
-    ids = F.trim(F.substring_index(rec, "\t", 1))
+    n_fields = F.size(F.split(rec, "\t", -1))
+    ids = F.when(
+        n_fields == 2, F.trim(F.substring_index(rec, "\t", 1))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("read_tab: malformed line (need exactly one tab): "),
+                rec,
+            )
+        )
+    )
     seq = F.upper(
         F.regexp_replace(F.substring_index(rec, "\t", -1), r"\s+", "")
     )

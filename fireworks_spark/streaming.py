@@ -533,9 +533,6 @@ def decontaminate_stream(
     # expression inside the gram lambda would re-run per element_at — 3n
     # tokenizations per gram (measured 9.5s vs 0.9s on 5k docs)
     spark = docs.sparkSession
-    # Tokenize ONCE into a materialized array before ngrams_of (the
-    # words()-inside-the-gram-lambda trap re-runs the regex tokenizer 3n
-    # times per gram; ngrams_of docstring).
     staged = docs.withColumn("_w", words(text_col)).withColumn(
         "_sh",
         F.array_distinct(
@@ -558,23 +555,17 @@ def decontaminate_stream(
         tainted = F.arrays_overlap("_sh", F.col("_bench"))
         aux = ["_bench"]
     else:
+        # k stays at bloom_bitset's/bloom_probe_expr's shared default so
+        # build and probe agree; the probe expression is the ONE shared
+        # definition (dedup.bloom_probe_expr), not a copy
         bits = dd.bloom_bitset(bench_sh, "shingle")
         num_bits = len(bits) * 64
         bdf = spark.createDataFrame([(bits,)], "_bits array<bigint>")
         staged = staged.crossJoin(F.broadcast(bdf))
-
-        def _probe(s):
-            cond = F.lit(True)
-            for seed in range(5):
-                pos = F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(num_bits))
-                word = F.element_at("_bits", (pos / 64).cast("int") + 1)
-                mask = F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
-                )
-                cond = cond & (word.bitwiseAND(mask) != 0)
-            return cond
-
-        tainted = F.exists("_sh", _probe)
+        tainted = F.exists(
+            "_sh",
+            lambda s: dd.bloom_probe_expr(s, F.col("_bits"), num_bits),
+        )
         aux = ["_bits"]
     # The verdict is materialized as a column TAINTED with an always-true
     # nondeterministic conjunct: a plain filter on the derived value gets

@@ -288,3 +288,23 @@ def test_tab_and_fasta_2line_dispatch(spark, tmp_path):
     p2.write_text(">a desc\nACGT\n>b\nGGTT\n")
     rows2 = {r.ids: r for r in read_bioseq(spark, str(p2), "fasta-2line").collect()}
     assert rows2["a"].sequences == "ACGT" and rows2["b"].sequences == "GGTT"
+
+
+def test_tab_malformed_lines_raise(spark, tmp_path):
+    """SeqIO parity: a non-blank line without exactly one tab must raise,
+    not flow through as a fabricated record."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from fireworks_spark.sources import read_tab
+
+    p = tmp_path / "bad.tab"
+    p.write_text("r1\tacgt\njunk-without-tab\n")
+    with _pytest.raises(Exception) as ei:
+        read_tab(spark, str(p)).collect()
+    assert "malformed line" in str(ei.value)
+    p2 = tmp_path / "bad2.tab"
+    p2.write_text("id\tseq\textra\n")
+    with _pytest.raises(Exception) as ei2:
+        read_tab(spark, str(p2)).collect()
+    assert "malformed line" in str(ei2.value)

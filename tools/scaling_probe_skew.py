@@ -31,7 +31,9 @@ for k in (1, 4, 16):
         .drop("_c")
     )
     # the bot: a copy of EVERY event reassigned to one key (key -1 holds
-    # 50% of the union), event types cycled so the funnel sees it
+    # 50% of the union); types keep the fixture's natural mix, which
+    # random-interleaves view/click/purchase — the hardest case for the
+    # run-collapse (few same-type runs), so the cap does the bounding
     bot = base.withColumn("user_id", F.lit(-1))
     d = base.unionByName(bot).persist()
     n = d.count()
