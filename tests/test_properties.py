@@ -154,3 +154,60 @@ def test_line_dedup_matches_python_reference(spark, doc_lines):
                 seen.add(line)
                 kept.append(line)
         assert got[i] == ("\n".join(kept), len(kept))
+
+
+# ---- funnel run-collapse neutrality (timeagg._funnel_event_arrays) --------
+
+
+def _greedy_reach(events, steps):
+    """Reference greedy funnel over (ts, type)-sorted events (strictly
+    increasing matched timestamps)."""
+    r, last = 0, None
+    for t, y in sorted(events):
+        if r < len(steps) and y == steps[r] and (last is None or t > last):
+            r += 1
+            last = t
+    return r
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 6),          # coarse ts -> forced ties
+            st.sampled_from(["A", "B", "C", "X"]),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_funnel_run_collapse_is_reach_neutral(spark, events):
+    """Random event sets WITH timestamp ties: the guard's exact
+    run-collapse (cap set high enough never to truncate) must reproduce
+    the plain greedy reach for every key — the tie-conservative keep rule
+    (other >= own) is the part no closed-form test pins as hard as random
+    search does."""
+    import datetime as dt
+
+    from fireworks_spark.operators.timeagg import funnel_counts
+
+    steps = ["A", "B", "C"]
+    rows = [
+        (u, dt.datetime(2024, 1, 1, 0, 0, t), y) for u, t, y in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.step: r.users
+        for r in funnel_counts(
+            df, steps, max_events_per_key=1000
+        ).collect()
+    }
+    per_key: dict = {}
+    for u, t, y in events:
+        per_key.setdefault(u, []).append((t, y))
+    reach = {u: _greedy_reach(evs, steps) for u, evs in per_key.items()}
+    for step in (1, 2, 3):
+        assert got[step] == sum(1 for r in reach.values() if r >= step)
