@@ -562,6 +562,39 @@ def q174_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q175_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows across micro-batches: events replayed as
+    two time-sliced batches through session_agg (complete mode) — the
+    quantile cut lands mid-session for many users, so sessions OPEN in
+    batch 1 must MERGE with their batch-2 continuation in the session
+    state store. Oracle: q79's gap-and-islands SQL (independent strategy,
+    same 30-minute gap)."""
+    src = table(spark, sf_dir, "events").select("user_id", "ts")
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q175_{uuid.uuid4().hex[:8]}"
+    try:
+        stage = _stage_time_slices(src, d, n=2)
+        with _stream_shuffle(spark):
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp"
+            ).option("maxFilesPerTrigger", "1").parquet(stage)
+            streaming.run_to_memory(
+                streaming.session_agg(
+                    stream, gap="30 minutes", watermark="365 days"
+                ),
+                name,
+                "complete",
+            )
+        return (
+            spark.table(name)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .orderBy("user_id", "session_start")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _near_dedup_sig_sql() -> str:
     """q172's oracle: per-doc 8-hash MinHash signatures re-derived from
     raw text with the portable md5 hash (seed-prefixed gram text, min per
@@ -612,6 +645,7 @@ STREAMING_QUERIES = {
     "q172_stream_near_dedup": q172_stream_near_dedup,
     "q173_stream_decontaminate": q173_stream_decontaminate,
     "q174_stream_restart": q174_stream_restart,
+    "q175_stream_session": q175_stream_session,
 }
 
 STREAMING_ORACLE = {
@@ -706,6 +740,18 @@ def _dedup_against_sql() -> str:
 
 STREAMING_ORACLE["q168_stream_dedup_against"] = _dedup_against_sql()
 STREAMING_ORACLE["q172_stream_near_dedup"] = _near_dedup_sig_sql()
+# streaming session merge == q79's batch gap-and-islands oracle
+STREAMING_ORACLE["q175_stream_session"] = (
+    "WITH d AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE THEN 0 "
+    "ELSE 1 END AS brk FROM events), "
+    "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+    "COUNT(*) AS n_events FROM s GROUP BY user_id, sid "
+    "ORDER BY user_id, session_start"
+)
 # restart durability: final state across two queries == batch top-3
 STREAMING_ORACLE["q174_stream_restart"] = (
     "SELECT user_id, rk, v FROM ("
