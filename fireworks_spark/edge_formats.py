@@ -942,7 +942,24 @@ def write_sparse(
     ``shape`` pins the global matrix dims in every part (scipy requires
     it to stack parts); default = (max row + 1, max col + 1) computed in
     one tiny aggregate. Each task writes only its own triplets — fully
-    parallel, no driver materialization."""
+    parallel, no driver materialization.
+
+    Durability contract: the two-rename swap is atomic against JOB
+    failure only (a failed Spark job leaves the previous matrix intact).
+    It is NOT atomic against a hard process crash in the instant between
+    the two renames (readers would see no ``path``; the old data survives
+    in a ``.old-*`` sibling) and offers no isolation between CONCURRENT
+    writers to the same path — serialize writers externally. Stale
+    ``.tmp-*`` / ``.old-*`` siblings left by a crashed writer are swept
+    on the next successful write to the same path.
+
+    Filesystem contract: tasks write into a directory created by the
+    driver and the driver renames it, so ``path`` must be on a
+    filesystem shared by driver and executors (always true on local
+    master; on a cluster use NFS/fuse mounts — object stores have no
+    rename). A remote executor writing into its own local disk is
+    detected after the job: the part-file count must equal the number
+    of tasks that reported rows, else this raises RuntimeError."""
     import numpy as np
 
     if shape is None:
@@ -966,6 +983,11 @@ def write_sparse(
     # accepts.
     import shutil
     import uuid as _uuid
+
+    # sweep siblings stranded by a hard-crashed earlier writer (they are
+    # invisible to readers of `path` but leak disk forever otherwise)
+    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
     os.makedirs(tmp)
@@ -996,9 +1018,25 @@ def write_sparse(
         yield pd.DataFrame({"rows": [rows]})
 
     try:
-        df.select(row_col, col_col, val_col).mapInPandas(
-            _write, "rows long"
-        ).write.mode("overwrite").format("noop").save()
+        # collect is bounded: one 1-row frame per task. The counts double
+        # as the shared-filesystem check — a remote executor writing to
+        # its own local disk leaves fewer parts in `tmp` than tasks that
+        # reported rows, which must fail loudly, not lose data silently.
+        task_rows = [
+            r["rows"]
+            for r in df.select(row_col, col_col, val_col)
+            .mapInPandas(_write, "rows long")
+            .collect()
+        ]
+        writers = sum(1 for n in task_rows if n > 0)
+        parts = len(glob.glob(os.path.join(tmp, "*.npz")))
+        if parts != writers:
+            raise RuntimeError(
+                f"write_sparse: {writers} tasks reported triplets but "
+                f"{parts} part files landed in {tmp} — driver and "
+                "executors do not share this filesystem (see the "
+                "filesystem contract in the docstring)"
+            )
         if not glob.glob(os.path.join(tmp, "*.npz")):
             # all partitions were empty (legal when shape pins the dims):
             # write one zero-nnz part so read_sparse round-trips the shape

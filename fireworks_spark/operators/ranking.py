@@ -541,17 +541,26 @@ def ngram_repetition(
                 toks = list(toks) if toks is not None else []
                 nc = int(nc) if nc is not None and not pd.isna(nc) else 0
                 rows[id_col].append(rid)
+                # per-DOC preprocessing shared by all nine n: intern each
+                # distinct token to a small int (gram tuples then hash/
+                # compare ints, not strings) and measure each id once —
+                # the doc's token list is walked once, not once per n
+                interned: dict = {}
+                ids = [interned.setdefault(t, len(interned)) for t in toks]
+                idlen = [0] * len(interned)
+                for t, j in interned.items():
+                    idlen[j] = len(t)
                 for n, kind in [(n, "top") for n in tops] + [
                     (n, "dup") for n in dups
                 ]:
                     val = 0.0
-                    if nc > 0 and len(toks) >= n:
-                        c = Counter(zip(*(toks[i:] for i in range(n))))
+                    if nc > 0 and len(ids) >= n:
+                        c = Counter(zip(*(ids[i:] for i in range(n))))
                         # gram char weight = token lens + inner spaces,
-                        # derivable from the tuple itself — one pass.
+                        # summed per DISTINCT gram from the id lengths.
                         # counts >= 2 only: a singleton is not a repeat
                         vals = [
-                            cnt * (sum(map(len, g)) + n - 1)
+                            cnt * (sum(idlen[j] for j in g) + n - 1)
                             for g, cnt in c.items()
                             if cnt >= 2
                         ]

@@ -134,6 +134,23 @@ def _funnel_event_arrays(
             )
             keep = own.isNull() | (other >= own)
         else:
+            # repeated step types: the run-collapse is unsafe, so the
+            # per-(key, type) cap below is the ONLY bound — and without
+            # the collapse pre-shrinking heavy keys it can truncate
+            # ordinary keys too, silently turning reach into a lower
+            # bound. Say so where the user can see it.
+            import warnings
+
+            warnings.warn(
+                "funnel: max_events_per_key is set but the funnel has "
+                "repeated step types, so the exact run-collapse is "
+                "skipped and the per-(key, type) cap may truncate "
+                "ordinary (non-bot) keys — reach becomes a lower bound "
+                "for any key with more than max_events_per_key events "
+                "of one type. Either drop the cap or make the step "
+                "types distinct.",
+                stacklevel=3,
+            )
             keep = F.lit(True)  # repeated step types: collapse is unsafe
         ev = ev.withColumn("_keep", keep).filter(F.col("_keep"))
         w2 = Window.partitionBy("_k", "_y").orderBy("_t")
