@@ -310,6 +310,11 @@ def q168_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming.dedup_stream_against(
             stream, corpus, out, threshold=0.8
         )
+        if not os.path.exists(out):
+            # dedup_stream_against appends only batches with survivors;
+            # if every streamed doc was a near-dup the sink dir is never
+            # created — that is the legal empty answer, not an IO error
+            return spark.createDataFrame([], "doc_id long")
         return (
             spark.read.parquet(out)
             .select("doc_id")
@@ -595,6 +600,50 @@ def q175_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q176_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running (count, sum) state carried across micro-batches
+    (streaming.stateful_running_totals — the reference's Model.update
+    per-batch accumulation hook, model.py:153-166): events replayed as 3
+    micro-batches; each batch emits one UPDATED row per key present, so a
+    key's final update (its max n — n strictly increases whenever the key
+    appears) must equal the batch per-key COUNT/SUM. Checks that the
+    applyInPandasWithState fold resumes from stored state, not just the
+    within-batch accumulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = table(spark, sf_dir, "events").select("user_id", "value")
+    d = tempfile.mkdtemp(prefix="fw_stream_")
+    name = f"q176_{uuid.uuid4().hex[:8]}"
+    try:
+        src.repartition(3).write.parquet(d + "/staged")
+        # no _stream_shuffle: the cost is the Python stateful fold, which
+        # parallelizes across shuffle partitions — keep them (q150's rule)
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/staged")
+        )
+        streaming.run_to_memory(
+            streaming.stateful_running_totals(stream), name, "update"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+        return (
+            spark.table(name)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "user_id",
+                "n",
+                (F.round("total", 2) + F.lit(0.0)).alias("total"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _near_dedup_sig_sql() -> str:
     """q172's oracle: per-doc 8-hash MinHash signatures re-derived from
     raw text with the portable md5 hash (seed-prefixed gram text, min per
@@ -646,6 +695,7 @@ STREAMING_QUERIES = {
     "q173_stream_decontaminate": q173_stream_decontaminate,
     "q174_stream_restart": q174_stream_restart,
     "q175_stream_session": q175_stream_session,
+    "q176_stream_running_totals": q176_stream_running_totals,
 }
 
 STREAMING_ORACLE = {
@@ -738,6 +788,11 @@ def _dedup_against_sql() -> str:
     )
 
 
+# final running-totals update per key == batch per-key COUNT/SUM
+STREAMING_ORACLE["q176_stream_running_totals"] = (
+    "SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) + 0.0 AS total "
+    "FROM events GROUP BY user_id ORDER BY user_id"
+)
 STREAMING_ORACLE["q168_stream_dedup_against"] = _dedup_against_sql()
 STREAMING_ORACLE["q172_stream_near_dedup"] = _near_dedup_sig_sql()
 # streaming session merge == q79's batch gap-and-islands oracle
