@@ -311,12 +311,63 @@ class Pipe:
         key_col: str = "user_id",
         ts_col: str = "ts",
         type_col: str = "event_type",
+        max_events_per_key: int | None = None,
+        skew_check: bool = True,
+        skew_frac: float = 0.05,
+        skew_min: int = 10_000,
     ) -> "Pipe":
-        """Ordered event-funnel reach (timeagg.funnel_counts)."""
+        """Ordered event-funnel reach (timeagg.funnel_counts).
+
+        ``max_events_per_key`` is the heavy-key guard (exact run-collapse
+        + per-(key, type) cap — see timeagg._funnel_event_arrays for the
+        exactness contract). When no cap is set and ``skew_check`` is on,
+        the facade runs ONE cheap diagnostic aggregation (count per key,
+        then max/sum — partially aggregated map-side, driver sees two
+        numbers) before building the funnel: if the heaviest key holds
+        more than ``skew_frac`` of the funnel's own events AND more than
+        ``skew_min`` events outright, a warning recommends setting the
+        cap — the silent failure mode at 100 TB is one bot key folding
+        millions of events into a single task's array. The diagnostic is
+        an extra pass over the (filtered) input; pass
+        ``skew_check=False`` to skip it, or set a cap, which disables it
+        too."""
+        from pyspark.sql import functions as F
+
         from fireworks_spark.operators.timeagg import funnel_counts
 
+        if max_events_per_key is None and skew_check:
+            per_key = (
+                self.df.filter(F.col(type_col).isin(list(steps)))
+                .groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(
+                    F.max("cnt").alias("mx"), F.sum("cnt").alias("tot")
+                )
+                .collect()[0]
+            )
+            mx, tot = per_key["mx"] or 0, per_key["tot"] or 0
+            if tot and mx > skew_min and mx / tot > skew_frac:
+                import warnings
+
+                warnings.warn(
+                    f"funnel: heaviest {key_col} holds {mx} of {tot} "
+                    f"funnel events ({mx / tot:.1%}) — one key's events "
+                    "fold into a single task's array. Set "
+                    "max_events_per_key (exact same-type run-collapse + "
+                    "per-type cap) to bound it; "
+                    "toolbox.heavy_hitters(df, key_col) shows the "
+                    "offending keys.",
+                    stacklevel=2,
+                )
         return Pipe(
-            funnel_counts(self.df, steps, key_col, ts_col, type_col)
+            funnel_counts(
+                self.df,
+                steps,
+                key_col,
+                ts_col,
+                type_col,
+                max_events_per_key=max_events_per_key,
+            )
         )
 
     def retention(
@@ -438,6 +489,31 @@ class Pipe:
 
         return message_to(self.df, fmt, path, **kw)
 
+    # -- streaming -------------------------------------------------------
+    @classmethod
+    def read_stream(
+        cls,
+        spark,
+        path: str,
+        max_files_per_trigger: int | None = None,
+        schema=None,
+    ) -> "StreamPipe":
+        """One composition surface for batch AND forward-only sources
+        (the reference's whole point: the same Pipe graph over datasets
+        and streams, pipe.py:34-212 / pipes.py:48-63). Returns a
+        StreamPipe over a file-source event stream; every StreamPipe
+        method is the streaming face of a batch facade method."""
+        from fireworks_spark import streaming
+
+        return StreamPipe(
+            streaming.read_event_stream(
+                spark,
+                path,
+                max_files_per_trigger=max_files_per_trigger,
+                schema=schema,
+            )
+        )
+
     # -- feed / actions --------------------------------------------------
     def batches(self, batch_size: int, drop_tail: bool = True) -> Iterator:
         """BatchingPipe (P12): driver-side pandas batch iterator."""
@@ -450,3 +526,199 @@ class Pipe:
 
     def count(self) -> int:
         return self.df.count()
+
+
+class StreamPipe:
+    """Fluent facade over a STREAMING DataFrame — the forward-only face of
+    :class:`Pipe` (reference pipes iterate sources exactly once,
+    pipes.py:48-63; Structured Streaming is the Spark expression of that
+    contract). Transformations return a new StreamPipe and stay lazy;
+    sinks (``to_memory`` / ``maintain_rollup`` / ``dedup_against`` /
+    ``start``) launch the query.
+
+    Drop to ``.df`` for anything the facade doesn't wrap — including
+    ``.df.writeStream`` for custom sinks."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def apply(self, fn: Callable[[DataFrame], DataFrame]) -> "StreamPipe":
+        """Arbitrary stream-legal DataFrame -> DataFrame stage."""
+        return StreamPipe(self.df.transform(fn))
+
+    def __getitem__(self, cols) -> "StreamPipe":
+        if isinstance(cols, str):
+            cols = [cols]
+        return StreamPipe(self.df.select(*cols))
+
+    # -- windowed aggregation (streaming face of rollup/session queries) --
+    def tumbling(self, window: str = "1 hour", watermark: str = "2 hours") -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        return StreamPipe(streaming.tumbling_agg(self.df, window, watermark))
+
+    def sliding(
+        self,
+        window: str = "1 hour",
+        slide: str = "15 minutes",
+        watermark: str = "2 hours",
+    ) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        return StreamPipe(
+            streaming.sliding_agg(self.df, window, slide, watermark)
+        )
+
+    def session(
+        self, gap: str = "30 minutes", watermark: str = "2 hours"
+    ) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        return StreamPipe(streaming.session_agg(self.df, gap, watermark))
+
+    # -- dedup / decontamination (streaming faces of the batch ops) -------
+    def dedup(
+        self,
+        keys: list[str] | None = None,
+        watermark: str = "2 hours",
+        time_col: str = "ts",
+    ) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        return StreamPipe(
+            streaming.dedup_stream(self.df, keys, watermark, time_col)
+        )
+
+    def near_dedup(self, **kw) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        return StreamPipe(streaming.near_dedup_stream(self.df, **kw))
+
+    def decontaminate(
+        self, benchmark: "Pipe | DataFrame", **kw
+    ) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        bench = benchmark.df if isinstance(benchmark, Pipe) else benchmark
+        return StreamPipe(
+            streaming.decontaminate_stream(self.df, bench, **kw)
+        )
+
+    # -- stateful operators ----------------------------------------------
+    def interval_join(
+        self,
+        other: "StreamPipe | DataFrame",
+        key: str,
+        lower: str = "interval 0 seconds",
+        upper: str = "interval 1 hour",
+        watermark: str = "2 hours",
+    ) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        rhs = other.df if isinstance(other, StreamPipe) else other
+        return StreamPipe(
+            streaming.interval_join_stream(
+                self.df, rhs, key, lower, upper, watermark
+            )
+        )
+
+    def funnel(
+        self,
+        steps: list[str],
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+    ) -> "StreamPipe":
+        """Streaming funnel (stateful_funnel). No max_events_per_key here
+        by design: the streaming state is two scalars per key however
+        heavy the key — the batch guard exists because batch folds a
+        key's whole history into one array; the stream never does."""
+        from fireworks_spark import streaming
+
+        return StreamPipe(
+            streaming.stateful_funnel(
+                self.df, steps, key_col, ts_col, type_col
+            )
+        )
+
+    def running_totals(
+        self, key_col: str = "user_id", value_col: str = "value"
+    ) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        return StreamPipe(
+            streaming.stateful_running_totals(self.df, key_col, value_col)
+        )
+
+    def topk(
+        self,
+        key_col: str = "user_id",
+        value_col: str = "value",
+        k: int = 3,
+    ) -> "StreamPipe":
+        from fireworks_spark import streaming
+
+        return StreamPipe(
+            streaming.stateful_topk(self.df, key_col, value_col, k)
+        )
+
+    def normalizer(self, cols: list[str]):
+        """Streaming Normalizer (P21): returns the StreamingNormalizer and
+        a started availableNow query learning its stats from this stream;
+        await the query, then ``sn.forward(batch_df)`` standardizes."""
+        from fireworks_spark import streaming
+
+        sn = streaming.StreamingNormalizer(cols)
+        q = (
+            self.df.writeStream.foreachBatch(sn.foreach_batch())
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        return sn, q
+
+    # -- sinks -----------------------------------------------------------
+    def to_memory(self, spark, name: str, output_mode: str = "complete") -> DataFrame:
+        """Drain everything currently available into an in-memory table
+        and return it as a batch DataFrame (test/dev sink)."""
+        from fireworks_spark import streaming
+
+        streaming.run_to_memory(self.df, name, output_mode)
+        return spark.table(name)
+
+    def maintain_rollup(self, table_path: str, **kw) -> None:
+        """Continuous-aggregate maintenance sink (terminal; drains the
+        currently-available input via availableNow)."""
+        from fireworks_spark import streaming
+
+        streaming.maintain_rollup_table(self.df, table_path, **kw)
+
+    def dedup_against(
+        self, corpus: "Pipe | DataFrame", out_path: str, **kw
+    ) -> None:
+        """Near-dedup this stream against a static corpus; survivors
+        append to ``out_path`` as parquet (terminal)."""
+        from fireworks_spark import streaming
+
+        ref = corpus.df if isinstance(corpus, Pipe) else corpus
+        streaming.dedup_stream_against(self.df, ref, out_path, **kw)
+
+    def start(self, **kw):
+        """Raw writeStream passthrough: ``start(format=..., path=...,
+        checkpointLocation=..., outputMode=..., queryName=...)``."""
+        w = self.df.writeStream
+        if "outputMode" in kw:
+            w = w.outputMode(kw.pop("outputMode"))
+        if "format" in kw:
+            w = w.format(kw.pop("format"))
+        if "queryName" in kw:
+            w = w.queryName(kw.pop("queryName"))
+        trigger = kw.pop("trigger", None)
+        if trigger:
+            w = w.trigger(**trigger)
+        for key, val in kw.pop("options", {}).items():
+            w = w.option(key, val)
+        if "checkpointLocation" in kw:
+            w = w.option("checkpointLocation", kw.pop("checkpointLocation"))
+        path = kw.pop("path", None)
+        return w.start(path) if path else w.start()

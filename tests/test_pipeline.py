@@ -235,3 +235,111 @@ def test_pipe_quality_and_analytics_facade(spark):
     assert f == {1: 1, 2: 1}
     ret = Pipe(ev).retention().df.collect()
     assert len(ret) == 1 and ret[0].users == 1
+
+
+def test_pipe_funnel_cap_and_skew_warning(spark):
+    """Facade funnel: max_events_per_key threads through to the operator,
+    and the opt-in diagnostic warns when one key dominates the funnel's
+    events and no cap is set (VERDICT r8 item 5)."""
+    import datetime as dt
+    import warnings
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # the bot: one key alternating A/A/A.../B — holds ~95% of events
+        *[(99, base + dt.timedelta(seconds=i), "A") for i in range(40)],
+        (99, base + dt.timedelta(seconds=100), "B"),
+        # two normal keys
+        (1, base, "A"),
+        (1, base + dt.timedelta(seconds=1), "B"),
+        (2, base, "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = Pipe(ev).funnel(
+            ["A", "B"], skew_min=10, skew_frac=0.5
+        ).df.collect()
+    assert any("max_events_per_key" in str(w.message) for w in rec)
+    reach = {r.step: r.users for r in out}
+    assert reach == {1: 3, 2: 2}
+
+    # capped run reproduces the same reach (run-collapse is exact here)
+    # and runs the diagnostic not at all (cap set -> no warning)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        capped = Pipe(ev).funnel(
+            ["A", "B"], max_events_per_key=2, skew_min=10, skew_frac=0.5
+        ).df.collect()
+    assert not any("max_events_per_key" in str(w.message) for w in rec2)
+    assert {r.step: r.users for r in capped} == reach
+
+    # quiet data (no dominant key) -> no warning
+    with warnings.catch_warnings(record=True) as rec3:
+        warnings.simplefilter("always")
+        Pipe(ev.filter("user_id < 99")).funnel(
+            ["A", "B"], skew_min=10, skew_frac=0.5
+        ).df.collect()
+    assert not any("max_events_per_key" in str(w.message) for w in rec3)
+
+
+def test_stream_pipe_facade_end_to_end(spark, sf_dir, tmp_path):
+    """StreamPipe (VERDICT r8 item 4): the facade drives a real
+    Structured Streaming query end-to-end — read_stream -> tumbling ->
+    to_memory equals the batch hour rollup, and the stateful
+    running-totals face equals batch COUNT/SUM."""
+    import shutil
+    import uuid
+
+    from fireworks_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", str(d / "part-000.parquet"))
+
+    name = f"sp_{uuid.uuid4().hex[:8]}"
+    got = (
+        Pipe.read_stream(spark, str(d))
+        .tumbling(window="1 hour", watermark="2 hours")
+        .to_memory(spark, name, "complete")
+    )
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+    assert got.count() == batch.count()
+    assert (
+        got.exceptAll(batch).count() == 0
+        and batch.exceptAll(got).count() == 0
+    )
+
+    # stateful face: running totals over one micro-batch == batch agg
+    name2 = f"sp_{uuid.uuid4().hex[:8]}"
+    totals = (
+        Pipe.read_stream(spark, str(d))
+        .apply(lambda df: df.select("user_id", "value"))
+        .running_totals()
+        .to_memory(spark, name2, "update")
+    )
+    b = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    assert totals.count() == b.count()
+    diff = (
+        totals.alias("s")
+        .join(b.alias("b"), "user_id")
+        .filter(
+            (F.col("s.n") != F.col("b.n"))
+            | (F.abs(F.col("s.total") - F.col("b.total")) > 1e-6)
+        )
+        .count()
+    )
+    assert diff == 0
