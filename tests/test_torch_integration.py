@@ -1,0 +1,129 @@
+"""Torch-gated integration tests (VERDICT r8 item 6): the tensor-interop
+surface (to_torch / Model-over-torch / attribution parity, reference
+message.py:794-1138, model.py:13-235, explain.py:10-178) exercised FOR REAL
+when torch is importable. This container ships no torch, so these skip
+here — the point is that any environment with torch gets the honest
+end-to-end check instead of the torch-free shims alone (COVERAGE.md
+documents this as the torch story)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+try:
+    import torch
+except ImportError:  # pragma: no cover - container has no torch
+    torch = None
+
+requires_torch = pytest.mark.skipif(
+    torch is None, reason="torch not installed in this container"
+)
+
+
+@requires_torch
+def test_to_torch_tensor_roundtrip(spark):
+    """to_torch (TensorPipe, reference pipes.py:584-607): Arrow batches
+    convert to torch tensors with shape/dtype/value fidelity."""
+    from fireworks_spark.mlfeed import batch_iterator, to_torch
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i * 2)]) for i in range(10)],
+        "id long, vec array<double>",
+    )
+    batches = list(batch_iterator(df.orderBy("id"), 5))
+    assert len(batches) == 2
+    t = to_torch(batches[0], ["vec"])
+    assert isinstance(t["vec"], torch.Tensor)
+    assert tuple(t["vec"].shape) == (5, 2)
+    assert t["vec"].dtype == torch.float64
+    np.testing.assert_allclose(
+        t["vec"].numpy(), np.stack(batches[0]["vec"].to_numpy())
+    )
+
+
+@requires_torch
+def test_torch_module_scores_inside_workers(spark):
+    """A real torch module running INSIDE mapInPandas workers (the
+    TensorPipe -> Model chain, reference model.py:236-330): scores must
+    equal the closed-form linear score computed by LinearModel."""
+    import pandas as pd
+
+    from fireworks_spark.mlfeed import LinearModel, batch_transform
+
+    w, b = [0.5, -1.0, 2.0], 0.25
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(20)],
+        "id long, vec array<double>",
+    )
+
+    def score_with_torch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import torch as _t
+
+        from fireworks_spark.mlfeed import to_torch
+
+        X = to_torch(pdf, ["vec"])["vec"].to(_t.float64)
+        lin = _t.nn.Linear(3, 1, dtype=_t.float64)
+        with _t.no_grad():
+            lin.weight.copy_(_t.tensor([w], dtype=_t.float64))
+            lin.bias.copy_(_t.tensor([b], dtype=_t.float64))
+            y = lin(X).squeeze(1)
+        return pd.DataFrame({"id": pdf["id"], "score": y.numpy()})
+
+    got = (
+        batch_transform(df, score_with_torch, "id long, score double")
+        .orderBy("id")
+        .collect()
+    )
+    want = (
+        LinearModel(w, b, vec_col="vec")
+        .transform(df, "id long, score double")
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.id for r in got] == [r.id for r in want]
+    np.testing.assert_allclose(
+        [r.score for r in got], [r.score for r in want], rtol=1e-12
+    )
+
+
+@requires_torch
+def test_attribution_matches_torch_autograd(spark):
+    """gradient_x_input's closed-form attribution for the linear model must
+    equal torch autograd's grad(score) * x — the reference computes these
+    with autograd (explain.py:10-46); we assert our gradient-free path
+    agrees with the real thing."""
+    from fireworks_spark.explain import gradient_x_input
+    from fireworks_spark.mlfeed import LinearModel
+
+    w, b = [1.5, -0.5], 0.1
+    rows = [(i, [float(i), float(3 - i)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ours = {
+        r.vec_id: list(r.attr)
+        for r in gradient_x_input(
+            LinearModel(w, b, vec_col="embedding"), df
+        ).collect()
+    }
+
+    W = torch.tensor(w, dtype=torch.float64)
+    for i, vec in rows:
+        x = torch.tensor(vec, dtype=torch.float64, requires_grad=True)
+        score = x @ W + b
+        score.backward()
+        expected = (x.grad * x).detach().numpy()
+        np.testing.assert_allclose(ours[i], expected, rtol=1e-12)
+
+
+def test_torch_gate_raises_cleanly_without_torch(spark):
+    """Without torch, to_torch must raise the documented ImportError (not
+    a NameError deep in a worker) — the torch-free half of the contract,
+    runnable everywhere."""
+    if torch is not None:
+        pytest.skip("torch present; the gate does not fire")
+    import pandas as pd
+
+    from fireworks_spark.mlfeed import to_torch
+
+    with pytest.raises(ImportError, match="to_torch requires torch"):
+        to_torch(pd.DataFrame({"v": [[1.0, 2.0]]}), ["v"])
