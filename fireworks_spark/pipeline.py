@@ -472,6 +472,156 @@ class Pipe:
             )
         )
 
+    # -- retrieval / embeddings ------------------------------------------
+    def topk_similar(
+        self,
+        queries: "Pipe | DataFrame",
+        k: int = 5,
+        method: str = "brute",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        **kw,
+    ) -> "Pipe":
+        """ANN top-k over an embedding column, one face over the whole
+        ladder: ``brute`` (exact cosine — the small-corpus baseline),
+        ``lsh`` (sign-projection buckets), ``ivf`` (learned coarse
+        quantizer), ``ivfpq`` (IVF cells + PQ codes — the billion-scale
+        composition). Extra kwargs (nprobe, num_clusters, num_bits,
+        centroids, codebooks, ...) pass through to the operator."""
+        from fireworks_spark.operators import pq as pqm
+        from fireworks_spark.operators import similarity as sim
+
+        fns = {
+            "brute": sim.cosine_topk,
+            "lsh": sim.lsh_bucket_topk,
+            "ivf": sim.ivf_topk,
+            "ivfpq": pqm.ivfpq_topk,
+        }
+        if method not in fns:
+            raise ValueError(
+                f"method must be one of {sorted(fns)}, got {method!r}"
+            )
+        q = queries.df if isinstance(queries, Pipe) else queries
+        return Pipe(
+            fns[method](
+                self.df, q, k=k, id_col=id_col, vec_col=vec_col, **kw
+            )
+        )
+
+    def mmr(
+        self,
+        vectors: "Pipe | DataFrame",
+        k: int = 5,
+        lam: float = 0.5,
+        **kw,
+    ) -> "Pipe":
+        """Maximal-Marginal-Relevance re-rank of a scored candidate list
+        (similarity.mmr_rerank) — the diversity stage between
+        ``topk_similar`` and context assembly."""
+        from fireworks_spark.operators.similarity import mmr_rerank
+
+        v = vectors.df if isinstance(vectors, Pipe) else vectors
+        return Pipe(mmr_rerank(self.df, v, k=k, lam=lam, **kw))
+
+    def pca(
+        self,
+        k: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        whiten: bool = False,
+    ) -> "Pipe":
+        """Project embeddings onto the top-k principal components
+        (embedstats.pca_project); ``whiten=True`` additionally scales to
+        identity covariance (pca_whiten)."""
+        from fireworks_spark.operators import embedstats as es
+
+        fn = es.pca_whiten if whiten else es.pca_project
+        return Pipe(fn(self.df, k, id_col=id_col, vec_col=vec_col))
+
+    def tfidf(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_df: int = 1,
+    ) -> "Pipe":
+        """Per-(document, term) TF-IDF weights (ranking.tf_idf)."""
+        from fireworks_spark.operators.ranking import tf_idf
+
+        return Pipe(
+            tf_idf(self.df, id_col=id_col, text_col=text_col, min_df=min_df)
+        )
+
+    def bm25(
+        self,
+        query_terms: list[str],
+        k: int = 20,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kw,
+    ) -> "Pipe":
+        """Okapi BM25 top-k for a bag-of-words query (ranking.bm25_topk)."""
+        from fireworks_spark.operators.ranking import bm25_topk
+
+        return Pipe(
+            bm25_topk(
+                self.df, query_terms, id_col=id_col, text_col=text_col,
+                k=k, **kw,
+            )
+        )
+
+    def chunk(
+        self,
+        size: int = 32,
+        overlap: int = 8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Pipe":
+        """Split documents into overlapping token windows
+        (ranking.chunk_tokens) — the context-window step before packing."""
+        from fireworks_spark.operators.ranking import chunk_tokens
+
+        return Pipe(
+            chunk_tokens(
+                self.df, id_col=id_col, text_col=text_col,
+                size=size, overlap=overlap,
+            )
+        )
+
+    def pack(
+        self,
+        budget: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Pipe":
+        """Assign documents to fixed-token-budget training packs
+        (ranking.pack_sequences)."""
+        from fireworks_spark.operators.ranking import pack_sequences
+
+        return Pipe(
+            pack_sequences(self.df, budget, id_col=id_col, text_col=text_col)
+        )
+
+    def bpe(
+        self,
+        num_merges: int = 50,
+        merges: list | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Pipe":
+        """BPE-encode every document (operators.bpe). With ``merges``
+        None, trains the merge list on THIS corpus first (train_bpe) —
+        one surface for the train-then-encode composition; pass a learned
+        list to reuse a vocabulary across corpora."""
+        from fireworks_spark.operators.bpe import bpe_encode, train_bpe
+
+        if merges is None:
+            merges = train_bpe(
+                self.df, num_merges=num_merges, text_col=text_col
+            )
+        return Pipe(
+            bpe_encode(self.df, merges, id_col=id_col, text_col=text_col)
+        )
+
     # -- formats (Message.read / Message.to parity) -----------------------
     @classmethod
     def read(cls, spark, fmt: str, path: str = None, **kw) -> "Pipe":

@@ -343,3 +343,70 @@ def test_stream_pipe_facade_end_to_end(spark, sf_dir, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_pipe_facade_retrieval_surface(spark):
+    """topk_similar/mmr/pca/tfidf/bm25/chunk/pack/bpe: one facade face per
+    retrieval/feed operator, results equal to calling the operator
+    directly."""
+    import pytest
+
+    from fireworks_spark.operators.ranking import tf_idf
+    from fireworks_spark.operators.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "lorem ipsum dolor sit amet"),
+        ],
+        ["doc_id", "text"],
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+
+    # ANN face == operator, for every method name; bad name raises
+    q = vecs.filter(F.col("vec_id") == 1)
+    direct = cosine_topk(vecs, q, k=2).collect()
+    facade = Pipe(vecs).topk_similar(Pipe(q), k=2).collect()
+    assert sorted(map(tuple, facade)) == sorted(map(tuple, direct))
+    assert Pipe(vecs).topk_similar(q, k=2, method="lsh", num_bits=2).count() > 0
+    with pytest.raises(ValueError, match="method"):
+        Pipe(vecs).topk_similar(q, method="faiss")
+
+    # MMR rerank consumes the topk output shape
+    scored = Pipe(vecs).topk_similar(q, k=3).df
+    assert Pipe(scored).mmr(vecs, k=2).count() == 2
+
+    # PCA face: k columns out, whiten variant runs
+    assert len(Pipe(vecs).pca(1).collect()[0].pc) == 1
+    assert Pipe(vecs).pca(1, whiten=True).count() == 3
+
+    # text ranking faces
+    t_direct = tf_idf(docs).collect()
+    t_facade = Pipe(docs).tfidf().collect()
+    assert sorted(map(tuple, t_facade)) == sorted(map(tuple, t_direct))
+    top = Pipe(docs).bm25(["cat", "mat"], k=1).collect()
+    assert top[0].doc_id == 1
+
+    # chunk -> pack feed steps
+    chunks = Pipe(docs).chunk(size=4, overlap=1)
+    assert chunks.count() > 3  # every doc splits into >1 window
+    packs = Pipe(docs).pack(budget=8).df
+    assert {"pack_id", "start_offset"} <= set(packs.columns)
+
+    # BPE: train-on-self face == explicit train-then-encode
+    from fireworks_spark.operators.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(docs, num_merges=5)
+    direct_bpe = bpe_encode(docs, merges).collect()
+    facade_bpe = Pipe(docs).bpe(num_merges=5).collect()
+    assert sorted(r.doc_id for r in facade_bpe) == sorted(
+        r.doc_id for r in direct_bpe
+    )
+    assert (
+        sorted(map(tuple, Pipe(docs).bpe(merges=merges).collect()))
+        == sorted(map(tuple, direct_bpe))
+    )
