@@ -75,9 +75,16 @@ def _values_equal(a: Any, b: Any, rel_tol: float = 1e-9) -> bool:
     return a == b
 
 
-def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
-    """Return a list of human-readable mismatches (empty == pass)."""
-    sp = canonicalize(spark_df.toPandas())
+def compare(
+    spark_df, oracle_df: pd.DataFrame, spark_pdf: pd.DataFrame | None = None
+) -> list[str]:
+    """Return a list of human-readable mismatches (empty == pass).
+
+    ``spark_pdf`` lets a caller that already collected the Spark result
+    (e.g. tools/sf1_sweep.py, which times the collect) pass it in instead
+    of paying a second full materialization.
+    """
+    sp = canonicalize(spark_pdf if spark_pdf is not None else spark_df.toPandas())
     oc = canonicalize(oracle_df)
     problems: list[str] = []
     if list(sp.columns) != list(oc.columns):

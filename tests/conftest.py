@@ -14,8 +14,10 @@ def spark():
 
     spark = get_spark(
         app_name="fireworks-spark-tests",
-        master="local[4]",
-        shuffle_partitions=8,
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")
+        ),
     )
     yield spark
 
