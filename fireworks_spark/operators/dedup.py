@@ -16,7 +16,7 @@ all-pairs operators exist for verification and for small/medium tables.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fireworks_spark.functions.text import normalize_text, words
@@ -223,6 +223,87 @@ def _candidate_stats(
     return cand, stats, caches
 
 
+def _prefix_len(sz: Column, t: float) -> Column:
+    """AllPairs prefix length for Jaccard threshold ``t`` on a set of size
+    ``sz``: L = sz - ceil(t*sz) + 1. Any pair with J >= t must share an
+    element within both sets' first-L elements under ONE consistent global
+    total order (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity
+    Search", WWW'07 — the prefix-filtering principle, also SSJoin/PPJoin).
+    Proof shape: J >= t gives |A∩B| >= ceil(t*|A|); if the order-smallest
+    common element sat outside A's prefix, every common element would lie
+    in A's last ceil(t*|A|)-1 positions — too few. Same for B."""
+    return (sz - F.ceil(F.lit(t) * sz) + 1).cast("int")
+
+
+def _prefix_candidate_stats(
+    sets: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame, list]:
+    """Prefix-filtered candidate pairs: recall-EXACT at any corpus scale.
+
+    This replaces the global ``df_cap`` heuristic as the default candidate
+    generator. The cap was skew-proof but lossy — a true pair whose every
+    shared shingle exceeds the cap is silently missed, and shingle document
+    frequencies grow with corpus size, so a cap tuned at sf0.1 broke at sf1
+    (the round-9 sweep caught q31 under-reporting pairs on the 10x fixture).
+    Prefix filtering bounds the index a different way: each document posts
+    only its first L = |d| - ceil(t'|d|) + 1 shingles under the global
+    (document-frequency ASC, shingle ASC) order — the RAREST shingles — and
+    the AllPairs theorem guarantees every pair with true Jaccard >= t'
+    collides on some posted shingle. t' carries the 0.0005 rounding slack
+    so pairs that round up to the threshold still surface.
+
+    Cost at scale: the posting list is ~(1-t) of all shingle occurrences,
+    biased to df=1 shingles (which are dropped after prefix selection —
+    df=1 cannot collide, and any SHARED shingle has df >= 2, so this is
+    exact). Group size on a posted shingle is bounded by that shingle's
+    global df, which rare-first ordering minimizes; the residual worst case
+    (a corpus of near-identical documents) is Theta(output) — inherent to
+    exact all-pairs, and the reason MinHash-LSH (minhash_dedup_pairs) is
+    the 100 TB path while this stays verification-grade.
+
+    Returns (cand, stats, caches): cand = (ida, idb, _common) where _common
+    counts shared POSTED shingles (an exact lower bound on |A∩B|); stats =
+    (_id, _sz, _hot) where _hot = ceil(t'*_sz) - 1 is the per-document
+    count of non-posted shingles, closed-form from the size — no extra
+    aggregation. Exact upper bound for the caller's prune: a shared shingle
+    missing from _common is outside A's prefix or outside B's prefix, so
+    |A∩B| <= _common + _hotA + _hotB (SUM allowance — unlike the df_cap
+    path, where an uncounted shared shingle is hot in BOTH documents and
+    min() applies).
+    """
+    t = threshold - 0.0005  # match the verify stage's rounding slack
+    sh = sets.select(
+        id_col,
+        F.size("shingles").alias("_sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    order = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    pre = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rn", F.row_number().over(order))
+        .filter(F.col("_rn") <= _prefix_len(F.col("_sz"), t))
+        .filter(F.col("_df") >= 2)  # df=1 cannot collide; exact to drop
+        .select(id_col, "shingle")
+    )
+    a = pre.select(F.col(id_col).alias("ida"), "shingle")
+    b = pre.select(F.col(id_col).alias("idb"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    stats = sets.select(
+        F.col(id_col).alias("_id"),
+        F.size("shingles").alias("_sz"),
+        (F.ceil(F.lit(t) * F.size("shingles")) - 1).cast("long").alias("_hot"),
+    )
+    return cand, stats, []
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -262,9 +343,12 @@ def jaccard_pairs(
     """Pairs (ida < idb) with word-n-gram Jaccard >= threshold (exact values).
 
     Two stages:
-    1. candidates — pairs that share >= 1 shingle (df-capped self-equi-join on
-       the shingle key; see shingle_candidates), or an external candidate set
-       (e.g. MinHash-LSH) via ``candidates``;
+    1. candidates — by default an AllPairs prefix-filtered self-equi-join
+       (see _prefix_candidate_stats: recall-exact at ANY corpus scale); or
+       the legacy df-capped join when ``df_cap`` is given (skew-bounded but
+       LOSSY — a pair sharing only hotter-than-cap shingles is missed, and
+       dfs grow with corpus size, so a cap tuned small breaks big); or an
+       external candidate set (e.g. MinHash-LSH) via ``candidates``;
     2. verify — join each candidate pair to the two documents' shingle SETS
        and compute |A ∩ B| with array_intersect. Per-pair cost is
        O(|A| + |B|); hot shingles cannot amplify this stage because there is
@@ -276,9 +360,10 @@ def jaccard_pairs(
     Before the (heavy) set joins, candidates are pruned by two exact bounds
     (no false negatives):
     - size ratio: jac <= min(|A|,|B|) / max(|A|,|B|);
-    - intersection: jac <= (_common + min(hotA,hotB)) / max(|A|,|B|), where
-      _common (shared cold-shingle count) falls out of the candidate
-      groupBy for free.
+    - intersection: jac <= (_common + allowance) / max(|A|,|B|), where
+      _common (shared counted-shingle count) falls out of the candidate
+      groupBy for free and the allowance is min(hotA,hotB) for the df_cap
+      path / hotA+hotB for the prefix path (see _prefix_candidate_stats).
     At dedup thresholds nearly every candidate dies here, so the heavy
     array_intersect verify touches only near-certain pairs.
 
@@ -291,8 +376,18 @@ def jaccard_pairs(
     """
     sets = shingle_sets(df, id_col, text_col, n).persist()
     caches: list = []
+    # allowance for shared shingles the candidate groupBy could not count:
+    # df_cap path -> an uncounted shared shingle is hot in BOTH docs (min);
+    # prefix path -> it is outside at least one doc's prefix (sum).
+    allow = F.least("_ha", "_hb")
     if candidates is None:
-        cand, stats, caches = _candidate_stats(sets, id_col, df_cap)
+        if df_cap is None:
+            cand, stats, caches = _prefix_candidate_stats(
+                sets, id_col, threshold
+            )
+            allow = F.col("_ha") + F.col("_hb")
+        else:
+            cand, stats, caches = _candidate_stats(sets, id_col, df_cap)
     else:
         cand = candidates.select("ida", "idb").distinct().withColumn(
             "_common", F.lit(None).cast("long")
@@ -326,14 +421,15 @@ def jaccard_pairs(
         .filter(
             F.least("_sza", "_szb") >= thr * F.greatest("_sza", "_szb")
         )
-        # exact intersection bound: |A∩B| <= _common + min(hotA, hotB) and
-        # |A∪B| >= max(|A|,|B|), so jac <= (common+minhot)/max — pairs
+        # exact intersection bound: |A∩B| <= _common + allowance (min of
+        # hot counts for df_cap, sum of non-posted counts for prefix) and
+        # |A∪B| >= max(|A|,|B|), so jac <= (common+allow)/max — pairs
         # below threshold on this bound cannot verify; drop them before the
         # heavy set join. _common is null for externally-supplied candidate
         # sets (no co-occurrence counts), where the filter passes through.
         .filter(
             F.coalesce(
-                (F.col("_common") + F.least("_ha", "_hb"))
+                (F.col("_common") + allow)
                 >= thr * F.greatest("_sza", "_szb"),
                 F.lit(True),
             )
@@ -373,13 +469,16 @@ def jaccard_join(
     fuzzily overlap the training corpus" when exact n-gram decontamination
     is too strict.
 
-    Same three-stage shape as the self-join: (1) candidates from a
-    df-capped shingle equi-join LEFT x RIGHT (``df_cap`` counts a
-    shingle's frequency across BOTH corpora, bounding any join group at
-    df_cap^2 rows — boilerplate skew-proof), or an external candidate set
+    Same three-stage shape as the self-join: (1) candidates from an
+    AllPairs prefix-filtered equi-join LEFT x RIGHT by default (one
+    union-wide document-frequency order; recall-exact at any scale — see
+    _prefix_candidate_stats), or the legacy df-capped join when ``df_cap``
+    is given (``df_cap`` counts a shingle's frequency across BOTH corpora,
+    bounding any join group at df_cap^2 rows, but LOSSY for pairs sharing
+    only hotter-than-cap shingles), or an external candidate set
     (e.g. banded MinHash from :func:`minhash_join`) via ``candidates``;
-    (2) two exact pruning bounds (size ratio; shared-cold-count + hot
-    allowance) kill nearly every candidate before data moves; (3)
+    (2) two exact pruning bounds (size ratio; shared-counted + allowance)
+    kill nearly every candidate before data moves; (3)
     per-pair array_intersect verify over ALL shingles, so reported values
     are exact. Both shingle-set frames persist (each feeds candidates,
     stats, and verify) and expose release handles via ``release_caches``.
@@ -388,11 +487,68 @@ def jaccard_join(
     sr = shingle_sets(right, id_col, text_col, n).persist()
     shl = sl.select(F.col(id_col).alias("lid"), F.explode("shingles").alias("shingle"))
     shr = sr.select(F.col(id_col).alias("rid"), F.explode("shingles").alias("shingle"))
+    allow = F.least("_hl", "_hr")  # df_cap: uncounted shared is hot in BOTH
+    prefix_hot = None
     if candidates is not None:
         cand = candidates.select("lid", "rid").distinct().withColumn(
             "_common", F.lit(None).cast("long")
         )
         df_cap = None  # external candidates: no co-occurrence counts
+    elif df_cap is None:
+        # AllPairs prefix filtering over the UNION-wide document-frequency
+        # order — recall-exact at any scale, same argument as the self-join
+        # (_prefix_candidate_stats); the theorem only needs ONE consistent
+        # global order across both corpora.
+        t = threshold - 0.0005
+        allow = F.col("_hl") + F.col("_hr")  # outside either doc's prefix
+        sll = sl.select(
+            F.col(id_col).alias("lid"),
+            F.size("shingles").alias("_sz"),
+            F.explode("shingles").alias("shingle"),
+        )
+        srr = sr.select(
+            F.col(id_col).alias("rid"),
+            F.size("shingles").alias("_sz"),
+            F.explode("shingles").alias("shingle"),
+        )
+        dfreq = (
+            sll.select("shingle")
+            .unionAll(srr.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+
+        def _prefix(sh: DataFrame, key: str) -> DataFrame:
+            order = Window.partitionBy(key).orderBy("_df", "shingle")
+            return (
+                sh.join(dfreq, "shingle")
+                .withColumn("_rn", F.row_number().over(order))
+                .filter(F.col("_rn") <= _prefix_len(F.col("_sz"), t))
+                .filter(F.col("_df") >= 2)  # union-df 1 cannot collide
+                .select(key, "shingle")
+            )
+
+        cand = (
+            _prefix(sll, "lid")
+            .join(_prefix(srr, "rid"), "shingle")
+            .groupBy("lid", "rid")
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+        # non-posted count per doc is closed-form: ceil(t*sz) - 1
+        prefix_hot = (
+            sl.select(
+                F.col(id_col).alias("lid"),
+                (F.ceil(F.lit(t) * F.size("shingles")) - 1)
+                .cast("long")
+                .alias("_hl"),
+            ),
+            sr.select(
+                F.col(id_col).alias("rid"),
+                (F.ceil(F.lit(t) * F.size("shingles")) - 1)
+                .cast("long")
+                .alias("_hr"),
+            ),
+        )
     if df_cap is not None:
         # persisted: four consumers (two anti-joins, two hot-count joins)
         # would otherwise each recompute the union-wide frequency agg
@@ -413,14 +569,14 @@ def jaccard_join(
         hotr = shr.join(hot, "shingle").groupBy("rid").agg(
             F.count(F.lit(1)).alias("_hr")
         )
-    else:
-        coldl, coldr = shl, shr
-        hotl = shl.select("lid").limit(0).withColumn("_hl", F.lit(0))
-        hotr = shr.select("rid").limit(0).withColumn("_hr", F.lit(0))
-    if candidates is None:
         cand = coldl.join(coldr, "shingle").groupBy("lid", "rid").agg(
             F.count(F.lit(1)).alias("_common")
         )
+    elif prefix_hot is not None:
+        hotl, hotr = prefix_hot  # closed-form; cand set by the prefix path
+    else:
+        hotl = shl.select("lid").limit(0).withColumn("_hl", F.lit(0))
+        hotr = shr.select("rid").limit(0).withColumn("_hr", F.lit(0))
     statl = (
         sl.select(F.col(id_col).alias("lid"), F.size("shingles").alias("_szl"))
         .join(hotl, "lid", "left")
@@ -436,10 +592,11 @@ def jaccard_join(
         cand.join(statl, "lid")
         .join(statr, "rid")
         .filter(F.least("_szl", "_szr") >= thr * F.greatest("_szl", "_szr"))
-        # null _common (external candidate sets) passes through
+        # null _common (external candidate sets) passes through; the
+        # allowance is min(hot) for df_cap vs sum(non-posted) for prefix
         .filter(
             F.coalesce(
-                (F.col("_common") + F.least("_hl", "_hr"))
+                (F.col("_common") + allow)
                 >= thr * F.greatest("_szl", "_szr"),
                 F.lit(True),
             )

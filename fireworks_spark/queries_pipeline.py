@@ -77,25 +77,26 @@ def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard pairs. df_cap=64 bounds the candidate self-join's skew
-    (no shingle meets more than 64 docs there); verification still uses all
-    shingles so the jac values are exact. Every true pair in the corpus
-    shares a shingle with df <= 10, far under the cap."""
+    """Exact Jaccard pairs via AllPairs prefix-filtered candidates —
+    recall-exact at ANY corpus scale. The earlier df_cap=64 heuristic was
+    scale-dependent: shingle document frequencies grow with the corpus, and
+    at sf1 (50k docs) real near-dup pairs share only shingles hotter than
+    the cap, silently losing pairs (caught by the round-9 sf1 sweep)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, threshold=0.5, df_cap=64).orderBy("ida", "idb")
+    return dedup.jaccard_pairs(d, threshold=0.5).orderBy("ida", "idb")
 
 
 def q134_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus exact-Jaccard similarity join: even doc_ids play the
-    left corpus, odd the right, threshold 0.5. Same df-capped candidate
-    generation and exact-bound pruning as the self-join q31; verify uses
-    all shingles so values are exact."""
+    left corpus, odd the right, threshold 0.5. Same prefix-filtered
+    candidate generation (recall-exact at any scale) and exact-bound
+    pruning as the self-join q31; verify uses all shingles so values are
+    exact."""
     d = table(spark, sf_dir, "documents")
     return dedup.jaccard_join(
         d.filter(F.col("doc_id") % 2 == 0),
         d.filter(F.col("doc_id") % 2 == 1),
         threshold=0.5,
-        df_cap=64,
     ).orderBy("lid", "rid")
 
 

@@ -56,6 +56,31 @@ def test_jaccard_df_cap_drops_only_candidates_not_values(docs):
     assert a == b
 
 
+def test_prefix_candidates_survive_corpus_wide_boilerplate(spark):
+    # Two identical documents whose EVERY shingle is corpus-wide
+    # boilerplate (df=80): the round-9 sf1 sweep showed any global df-cap
+    # silently loses such pairs once the corpus outgrows the cap. The
+    # AllPairs prefix-filtered default must still find them — its recall
+    # guarantee is scale-independent.
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} unique{i} filler{i} token{i}") for i in range(78)]
+    rows += [(100, boiler), (101, boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.ida, r.idb): r.jac for r in
+           dedup.jaccard_pairs(df, threshold=0.9).collect()}
+    assert got == {(100, 101): 1.0}
+    # the legacy capped path drops all-hot pairs — kept only as an
+    # explicitly requested recall-trading knob
+    assert dedup.jaccard_pairs(df, threshold=0.9, df_cap=64).count() == 0
+    # cross-corpus face, same guarantee (union-wide frequency order)
+    joined = {(r.lid, r.rid): r.jac for r in dedup.jaccard_join(
+        df.filter(F.col("doc_id") % 2 == 0),
+        df.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.9,
+    ).collect()}
+    assert joined == {(100, 101): 1.0}
+
+
 def test_minhash_lsh_finds_planted_dups(docs):
     pairs = {(r.ida, r.idb) for r in dedup.minhash_dedup_pairs(docs, 0.7).collect()}
     assert (0, 3) in pairs  # identical pair always collides
