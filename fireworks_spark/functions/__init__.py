@@ -1,4 +1,5 @@
 from fireworks_spark.functions.vector import cosine_similarity, dot, l2_norm
+from fireworks_spark.functions.rounding import pround, pround_sql
 from fireworks_spark.functions.text import normalize_text, words
 from fireworks_spark.functions.time import epoch_micros
 
@@ -8,5 +9,7 @@ __all__ = [
     "epoch_micros",
     "l2_norm",
     "normalize_text",
+    "pround",
+    "pround_sql",
     "words",
 ]

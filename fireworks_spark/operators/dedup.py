@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fireworks_spark.functions.rounding import pround
 from fireworks_spark.functions.text import normalize_text, words
 
 # Operators below persist intermediate frames (shingle sets) that several
@@ -443,7 +444,7 @@ def jaccard_pairs(
     out = (
         cand.join(sa, "ida")
         .join(sb, "idb")
-        .select("ida", "idb", F.round(jac, 3).alias("jac"))
+        .select("ida", "idb", pround(jac, 3).alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
     return _attach_caches(
@@ -610,7 +611,7 @@ def jaccard_join(
     out = (
         cand.join(sa, "lid")
         .join(sb, "rid")
-        .select("lid", "rid", F.round(jac, 3).alias("jac"))
+        .select("lid", "rid", pround(jac, 3).alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
     extra = [sl, sr] + ([hot] if df_cap is not None else [])
@@ -1355,7 +1356,7 @@ def contamination_report(
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             (
-                F.round(
+                pround(
                     F.avg(F.when(F.col("_hit"), 1.0).otherwise(0.0)), 4
                 )
                 + F.lit(0.0)
@@ -1979,7 +1980,7 @@ def chunk_dup_stats(
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             (
-                F.round(
+                pround(
                     F.avg(F.when(F.col("nd") >= 2, 1.0).otherwise(0.0)), 4
                 )
                 + F.lit(0.0)

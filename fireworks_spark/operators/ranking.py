@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from fireworks_spark.functions.rounding import pround
 from fireworks_spark.operators.spread import spread
 
 __all__ = [
@@ -457,8 +459,8 @@ def repetition_stats(
     return stats.select(
         id_col,
         "n_tokens",
-        F.round("dup_word_frac", 4).alias("dup_word_frac"),
-        F.round(
+        pround(F.col("dup_word_frac"), 4).alias("dup_word_frac"),
+        pround(
             F.when(
                 F.size("_bg") > 0, run / F.size("_bg")
             ).otherwise(F.lit(0.0)),

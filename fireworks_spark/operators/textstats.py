@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fireworks_spark.operators.spread import spread
+from fireworks_spark.functions.rounding import pround
 from fireworks_spark.functions.text import normalize_text, words
 
 # language -> stopword alternation used by the n-gram/stopword language
@@ -61,9 +62,15 @@ def with_quality_score(
     n_chars = F.length(text_col).cast("long")
     punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_PATTERN)).cast("long")
     stop = F.regexp_count(normalize_text(text_col), F.lit(LANG_STOPWORDS["en"])).cast("long")
-    avg_tok_len = F.round(n_chars.cast("double") / n_tok, 2)
-    punct_ratio = F.round(punct.cast("double") / n_tok, 3)
-    stop_ratio = F.round(stop.cast("double") / n_tok, 3)
+    # portable floor(x*10^k + 0.5)/10^k rounding, NOT F.round: Spark's
+    # Round goes through BigDecimal.valueOf (shortest decimal string), so
+    # a quotient like 199/40 = 4.9749999999999996 prints as "4.975" and
+    # rounds UP to 4.98 while every engine rounding the true binary value
+    # (DuckDB round(), numpy) gives 4.97 — caught by the sf1 sweep on two
+    # boundary docs. The floor form evaluates the same on both engines.
+    avg_tok_len = F.floor(n_chars.cast("double") / n_tok * 100 + F.lit(0.5)) / 100
+    punct_ratio = F.floor(punct.cast("double") / n_tok * 1000 + F.lit(0.5)) / 1000
+    stop_ratio = F.floor(stop.cast("double") / n_tok * 1000 + F.lit(0.5)) / 1000
     keep = (n_tok >= 5) & (n_tok <= 100000) & (avg_tok_len <= 20)
     return df.select(
         id_col,
@@ -400,7 +407,7 @@ def ngram_novelty(
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             (
-                F.round(
+                pround(
                     F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 4
                 )
                 + F.lit(0.0)
@@ -496,7 +503,7 @@ def domain_overlap(
         .select(
             "src_a",
             "src_b",
-            F.round(
+            pround(
                 F.col("_c") / (F.col("_sa") + F.col("_sb") - F.col("_c")), 4
             ).alias("jac"),
         )

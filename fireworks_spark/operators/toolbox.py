@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fireworks_spark.functions.rounding import pround
+
 
 # --------------------------------------------------------------------------
 # labeling (P7, P8)
@@ -756,7 +758,7 @@ def heavy_hitters(
         .select(
             key_col,
             "cnt",
-            F.round(F.col("cnt") / F.lit(float(n)), 6).alias("frac"),
+            pround(F.col("cnt") / F.lit(float(n)), 6).alias("frac"),
         )
         .orderBy(F.desc("cnt"), key_col)
         .limit(top)

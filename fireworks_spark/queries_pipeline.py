@@ -46,7 +46,7 @@ inter AS (
   GROUP BY 1, 2
 ),
 jac AS (
-  SELECT ida, idb, round(c / (sa.sz + sb.sz - c), 3) AS jac
+  SELECT ida, idb, floor(c / (sa.sz + sb.sz - c) * 1000 + 0.5) / 1000 AS jac
   FROM inter
   JOIN sizes sa ON sa.doc_id = ida
   JOIN sizes sb ON sb.doc_id = idb
@@ -338,18 +338,27 @@ def q127_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance-1 join (operators/fuzzy.py, SymSpell deletion-
     neighborhood blocking — recall exactly 1, no cartesian product):
     every part name with its 3rd character deleted resolved back against
-    the canonical name table. The oracle re-derives the deletion keys, the
-    candidate equi-join and the levenshtein verify in SQL, so blocking
-    completeness AND distance values are both driver-checked."""
+    the DISTINCT canonical-name dictionary. The oracle re-derives the
+    deletion keys, the candidate equi-join and the levenshtein verify in
+    SQL, so blocking completeness AND distance values are both
+    driver-checked."""
     from fireworks_spark.operators.fuzzy import fuzzy_join
 
     p = table(spark, sf_dir, "part").select(
         "p_partkey", F.lower("p_name").alias("nm")
     )
-    # every 10th part plays the dirty side: part names draw 5 words from a
-    # small vocabulary, so repeats make the FULL self-resolution join
-    # return millions of legitimate pairs at sf0.1 — a 10% dirty side
-    # keeps the declared query bench-sized without changing the operator
+    # every 10th part plays the dirty side, resolved against the DISTINCT
+    # canonical-name dictionary (min p_partkey per name as the entity id).
+    # The fixture draws part names from a tiny vocabulary (64 distinct
+    # names across 200k rows at sf1, ~3200 copies each), so the full
+    # id-to-id self-resolution join legitimately returns count_l*count_r
+    # pairs per matching name — ~64M rows / >1 GiB at sf1, an output
+    # quadratic in the duplication factor that no plan can bound (caught
+    # by the round-9 sf1 sweep blowing spark.driver.maxResultSize).
+    # Resolving to the name dictionary is the entity-resolution shape and
+    # keeps the output linear in the dirty side at ANY scale; blocking
+    # completeness and distance values are unchanged and still checked.
+    canon = p.groupBy("nm").agg(F.min("p_partkey").alias("cid"))
     damaged = p.filter(F.col("p_partkey") % 10 == 0).select(
         "p_partkey",
         F.concat(
@@ -358,7 +367,7 @@ def q127_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dm"),
     )
     return (
-        fuzzy_join(damaged, p, "p_partkey", "p_partkey", "dm", "nm")
+        fuzzy_join(damaged, canon, "p_partkey", "cid", "dm", "nm")
         .select("lid", "rid", F.col("dist").cast("long").alias("dist"))
         .orderBy("lid", "rid")
     )
@@ -1009,7 +1018,7 @@ inter AS (
   GROUP BY 1, 2
 ),
 jac AS (
-  SELECT lid, rid, round(c / (sa.sz + sb.sz - c), 3) AS jac
+  SELECT lid, rid, floor(c / (sa.sz + sb.sz - c) * 1000 + 0.5) / 1000 AS jac
   FROM inter
   JOIN sizes sa ON sa.doc_id = lid
   JOIN sizes sb ON sb.doc_id = rid
@@ -1662,8 +1671,8 @@ PIPELINE_ORACLE = {
         ),
         dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-               ROUND(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END::DOUBLE), 4)
-                   + 0.0 AS novel_frac
+               floor(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END::DOUBLE)
+                     * 10000 + 0.5) / 10000 + 0.0 AS novel_frac
         FROM sh JOIN dfreq USING (g)
         GROUP BY doc_id ORDER BY doc_id
     """,
@@ -1881,7 +1890,7 @@ PIPELINE_ORACLE = {
           GROUP BY 1, 2
         )
         SELECT src_a, src_b,
-               ROUND(c * 1.0 / (sa.s + sb.s - c), 4) AS jac
+               floor(c * 1.0 / (sa.s + sb.s - c) * 10000 + 0.5) / 10000 AS jac
         FROM i JOIN sz sa ON sa.d = src_a JOIN sz sb ON sb.d = src_b
         ORDER BY src_a, src_b
     """,
@@ -1963,7 +1972,8 @@ PIPELINE_ORACLE = {
     "q128_ivfpq_topk": _IVFPQ_SQL,
     "q127_fuzzy_join": """
         WITH P AS (
-            SELECT p_partkey AS rid, lower(p_name) AS rs FROM part
+            SELECT min(p_partkey) AS rid, lower(p_name) AS rs
+            FROM part GROUP BY lower(p_name)
         ), D AS (
             SELECT p_partkey AS lid,
                    substr(lower(p_name), 1, 2) || substr(lower(p_name), 4)
@@ -2108,11 +2118,15 @@ PIPELINE_ORACLE = {
           FROM documents
         )
         SELECT doc_id, n_tokens,
-               round(CAST(n_chars AS DOUBLE) / n_tokens, 2) AS avg_tok_len,
-               round(CAST(punct AS DOUBLE) / n_tokens, 3) AS punct_ratio,
-               round(CAST(stop AS DOUBLE) / n_tokens, 3) AS stop_ratio,
+               floor(CAST(n_chars AS DOUBLE) / n_tokens * 100 + 0.5) / 100
+                 AS avg_tok_len,
+               floor(CAST(punct AS DOUBLE) / n_tokens * 1000 + 0.5) / 1000
+                 AS punct_ratio,
+               floor(CAST(stop AS DOUBLE) / n_tokens * 1000 + 0.5) / 1000
+                 AS stop_ratio,
                (n_tokens >= 5 AND n_tokens <= 100000
-                AND round(CAST(n_chars AS DOUBLE) / n_tokens, 2) <= 20)
+                AND floor(CAST(n_chars AS DOUBLE) / n_tokens * 100 + 0.5)
+                    / 100 <= 20)
                  AS keep
         FROM f ORDER BY doc_id
     """,

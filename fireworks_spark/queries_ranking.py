@@ -416,8 +416,8 @@ RANKING_ORACLE = {
         cd AS (SELECT DISTINCT doc_id, chunk FROM ch),
         nd AS (SELECT chunk, count(*) AS nd FROM cd GROUP BY chunk)
         SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-               ROUND(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END::DOUBLE), 4)
-                   + 0.0 AS dup_chunk_frac
+               floor(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END::DOUBLE)
+                     * 10000 + 0.5) / 10000 + 0.0 AS dup_chunk_frac
         FROM ch JOIN nd USING (chunk)
         GROUP BY ch.doc_id ORDER BY ch.doc_id
     """,
@@ -613,8 +613,9 @@ RANKING_ORACLE = {
         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
         per_doc AS (
           SELECT doc_id, COUNT(*) AS n_shingles,
-                 ROUND(AVG(CASE WHEN shingle IN (SELECT shingle FROM bench)
-                                THEN 1.0 ELSE 0.0 END), 4) + 0.0 AS frac
+                 floor(AVG(CASE WHEN shingle IN (SELECT shingle FROM bench)
+                                THEN 1.0 ELSE 0.0 END)
+                       * 10000 + 0.5) / 10000 + 0.0 AS frac
           FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
         )
         SELECT d.doc_id,
@@ -869,8 +870,9 @@ RANKING_ORACLE = {
         WITH w AS ({_W}),
         base AS (
             SELECT doc_id, len(ws)::INTEGER AS n_tokens,
-                   ROUND(1.0 - len(list_distinct(ws))::DOUBLE
-                         / greatest(len(ws), 1), 4) + 0.0 AS dup_word_frac,
+                   floor((1.0 - len(list_distinct(ws))::DOUBLE
+                          / greatest(len(ws), 1)) * 10000 + 0.5) / 10000
+                       + 0.0 AS dup_word_frac,
                    ws
             FROM w
         ),
@@ -887,7 +889,8 @@ RANKING_ORACLE = {
             SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS f FROM cnt GROUP BY 1
         )
         SELECT base.doc_id, n_tokens, dup_word_frac,
-               ROUND(COALESCE(top.f, 0.0), 4) + 0.0 AS top_bigram_frac
+               floor(COALESCE(top.f, 0.0) * 10000 + 0.5) / 10000
+                 + 0.0 AS top_bigram_frac
         FROM base LEFT JOIN top USING (doc_id)
         ORDER BY doc_id
     """,

@@ -360,7 +360,7 @@ TOOLBOX_ORACLE = {
     ),
     "q100_heavy_hitters": (
         "SELECT event_type, count(*) AS cnt, "
-        "round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS frac "
+        "floor(count(*) / (SELECT count(*)::DOUBLE FROM events) * 1000000 + 0.5) / 1000000 AS frac "
         "FROM events GROUP BY event_type "
         "ORDER BY cnt DESC, event_type LIMIT 10"
     ),

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fireworks_spark.functions.rounding import pround
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -656,7 +658,7 @@ def dedup_stream_against(
                 "lid",
             )
             .join(csets, "rid")
-            .filter(F.round(jac, 3) >= thr)
+            .filter(pround(jac, 3) >= thr)
             .select(F.col("lid").alias(id_col))
             .distinct()
         )
