@@ -287,13 +287,36 @@ def _prefix_candidate_stats(
         .withColumn("_rn", F.row_number().over(order))
         .filter(F.col("_rn") <= _prefix_len(F.col("_sz"), t))
         .filter(F.col("_df") >= 2)  # df=1 cannot collide; exact to drop
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "_rn", "_sz")
     )
-    a = pre.select(F.col(id_col).alias("ida"), "shingle")
-    b = pre.select(F.col(id_col).alias("idb"), "shingle")
+    a = pre.select(
+        F.col(id_col).alias("ida"), "shingle",
+        F.col("_rn").alias("_pa"), F.col("_sz").alias("_qa"),
+    )
+    b = pre.select(
+        F.col(id_col).alias("idb"), "shingle",
+        F.col("_rn").alias("_pb"), F.col("_sz").alias("_qb"),
+    )
+    # PPJoin positional filter (Xiao et al., WWW'08), applied per JOIN ROW
+    # before the pair groupBy: J >= t needs overlap c >= t(|A|+|B|)/(1+t),
+    # and for the ORDER-EARLIEST common element at positions (pa, pb) every
+    # other common element sits after it in BOTH lists, so
+    # c <= 1 + min(|A|-pa, |B|-pb). A row failing that bound cannot be a
+    # pair's earliest collision — and each qualifying pair's earliest
+    # collision row always passes — so dropping such rows loses no pair
+    # (it only thins duplicate evidence, making _common a lower bound,
+    # which it already is). The size filter is the same exactness story.
+    alpha = F.lit(t) * (F.col("_qa") + F.col("_qb")) / F.lit(1.0 + t)
     cand = (
         a.join(b, "shingle")
         .filter(F.col("ida") < F.col("idb"))
+        .filter(
+            F.least("_qa", "_qb") >= F.lit(t) * F.greatest("_qa", "_qb")
+        )
+        .filter(
+            1 + F.least(F.col("_qa") - F.col("_pa"),
+                        F.col("_qb") - F.col("_pb")) >= alpha
+        )
         .groupBy("ida", "idb")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
@@ -519,19 +542,32 @@ def jaccard_join(
             .agg(F.count(F.lit(1)).alias("_df"))
         )
 
-        def _prefix(sh: DataFrame, key: str) -> DataFrame:
+        def _prefix(sh: DataFrame, key: str, p: str, q: str) -> DataFrame:
             order = Window.partitionBy(key).orderBy("_df", "shingle")
             return (
                 sh.join(dfreq, "shingle")
                 .withColumn("_rn", F.row_number().over(order))
                 .filter(F.col("_rn") <= _prefix_len(F.col("_sz"), t))
                 .filter(F.col("_df") >= 2)  # union-df 1 cannot collide
-                .select(key, "shingle")
+                .select(
+                    key, "shingle",
+                    F.col("_rn").alias(p), F.col("_sz").alias(q),
+                )
             )
 
+        # same per-row size + PPJoin positional pruning as the self-join
+        # (_prefix_candidate_stats) — exactness argument identical
+        alpha = F.lit(t) * (F.col("_ql") + F.col("_qr")) / F.lit(1.0 + t)
         cand = (
-            _prefix(sll, "lid")
-            .join(_prefix(srr, "rid"), "shingle")
+            _prefix(sll, "lid", "_pl", "_ql")
+            .join(_prefix(srr, "rid", "_pr", "_qr"), "shingle")
+            .filter(
+                F.least("_ql", "_qr") >= F.lit(t) * F.greatest("_ql", "_qr")
+            )
+            .filter(
+                1 + F.least(F.col("_ql") - F.col("_pl"),
+                            F.col("_qr") - F.col("_pr")) >= alpha
+            )
             .groupBy("lid", "rid")
             .agg(F.count(F.lit(1)).alias("_common"))
         )
@@ -821,6 +857,88 @@ def simhash64(
     return hashed.mapInPandas(_sign, f"{id_col} long, simhash long")
 
 
+# Below this band-key width, pigeonhole banding admits ~everything (a w-bit
+# key has 2^w buckets, so D distinct signatures collide at D^2/2^w per band
+# — for w=5 that is MORE work than brute force) and the blocked all-pairs
+# popcount is strictly faster. Measured on the 50k-doc sf1 fixture, radius
+# 8 on 48 bits (5/6-bit keys): banding 189s, blocked 27s end-to-end
+# (DuckDB's bare popcount loop over pre-built signatures: 9s).
+_BAND_PAYS_OFF_BITS = 10
+
+
+def _blocked_hamming_sig_pairs(
+    dsig: DataFrame,
+    max_hamming: int,
+    block_size: int = 4096,
+) -> DataFrame:
+    """All (sha < shb) DISTINCT-signature pairs with Hamming <= max_hamming
+    via a distributed blocked XOR-popcount — the exact analog of
+    blocked_cosine_pairs for the regime where banding has no keyspace left
+    (wide radius on a short signature). Signatures are hash-assigned to
+    ceil(D/block_size) blocks; the upper-triangle block-pair join fans out
+    tasks; each task XORs one uint64 outer product and popcounts it with a
+    16-bit lookup table. Theta(D^2) popcounts over DISTINCT signatures at
+    numpy speed — D is bounded by the signature space and corpus
+    deduplication, and the id expansion stays join-based."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = dsig.sparkSession
+    n = dsig.count()
+    nb = max(1, math.ceil(n / block_size))
+    packed = (
+        dsig.select(F.pmod(F.xxhash64("_sig"), F.lit(nb)).alias("_b"), "_sig")
+        .groupBy("_b")
+        .agg(F.collect_list("_sig").alias("sigs"))
+    )
+    block_pairs = spark.range(nb).select(
+        F.col("id").alias("bx"),
+        F.explode(F.sequence(F.col("id"), F.lit(nb - 1))).alias("by"),
+    )
+    joined = (
+        block_pairs.join(
+            packed.select(F.col("_b").alias("bx"), F.col("sigs").alias("sx")),
+            "bx",
+        )
+        .join(
+            packed.select(F.col("_b").alias("by"), F.col("sigs").alias("sy")),
+            "by",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _pop(batches):
+        tbl = np.zeros(1 << 16, dtype=np.uint8)
+        ar = np.arange(1 << 16, dtype=np.uint32)
+        for shift in range(16):
+            tbl += ((ar >> shift) & 1).astype(np.uint8)
+        for batch in batches:
+            for row in batch.itertuples(index=False):
+                A = np.asarray(row.sx, dtype=np.int64).view(np.uint64)
+                B = np.asarray(row.sy, dtype=np.int64).view(np.uint64)
+                X = A[:, None] ^ B[None, :]
+                # popcount via 4 x 16-bit words (little-endian view)
+                H = tbl[X.view(np.uint16).reshape(len(A), len(B), 4)].sum(
+                    axis=2, dtype=np.int32
+                )
+                ii, jj = np.nonzero(H <= max_hamming)
+                va, vb = A[ii], B[jj]
+                if row.bx == row.by:
+                    keep = va < vb  # one order per pair, drops the diagonal
+                    ii, jj, va, vb = ii[keep], jj[keep], va[keep], vb[keep]
+                yield pd.DataFrame(
+                    {
+                        "sha": np.minimum(va, vb).view(np.int64),
+                        "shb": np.maximum(va, vb).view(np.int64),
+                        "hamming": H[ii, jj],
+                    }
+                )
+
+    return joined.mapInPandas(_pop, "sha long, shb long, hamming int")
+
+
 def hamming_pairs(
     sig: DataFrame,
     max_hamming: int,
@@ -843,12 +961,17 @@ def hamming_pairs(
     98s -> 8s at 16x replication, tools/scaling_probe_round6.py); the
     verified signature pairs then expand back to id pairs with plain
     equi-joins, and identical-signature groups pair within themselves at
-    Hamming 0. Remaining scale knob: the band KEY SPACE is
-    2^(num_bits/(max_hamming+1)) — candidate volume over distinct
-    signatures scales with D^2 / keyspace per band, so a wide radius on a
-    short signature (e.g. 8 on 48 bits -> 5-bit keys) needs the distinct
-    count D bounded; grow num_bits or shrink the radius for corpora with
-    many distinct signatures."""
+    Hamming 0. Algorithm selection by operating point: the band KEY SPACE
+    is 2^(num_bits/(max_hamming+1)) and candidate volume over distinct
+    signatures scales with D^2 / keyspace per band, so when the key width
+    falls under _BAND_PAYS_OFF_BITS (wide radius on a short signature,
+    e.g. 8 on 48 bits -> 5-bit keys, where banding admits more pairs than
+    brute force) the candidates route to the blocked exact all-pairs
+    popcount instead (_blocked_hamming_sig_pairs — 189s -> 27s
+    end-to-end on the 50k-doc sf1 fixture, on par with a single-node
+    columnar brute force). For corpora whose DISTINCT signature count outgrows even
+    the blocked quadratic, grow num_bits or shrink the radius so banding
+    regains keyspace."""
     nb = max_hamming + 1
     if nb > num_bits:
         raise ValueError("max_hamming must be < num_bits")
@@ -858,38 +981,46 @@ def hamming_pairs(
     widths = [
         num_bits // nb + (1 if i < num_bits % nb else 0) for i in range(nb)
     ]
-    offsets = [sum(widths[:i]) for i in range(nb)]
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftright("_sig", offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("band_key"),
+    if min(widths) < _BAND_PAYS_OFF_BITS:
+        # wide radius on a short signature: the band keyspace is too small
+        # to prune (see _BAND_PAYS_OFF_BITS) — route to the blocked exact
+        # all-pairs popcount, same distinct-first/expand-back contract
+        sig_pairs = _blocked_hamming_sig_pairs(dsig, max_hamming)
+    else:
+        offsets = [sum(widths[:i]) for i in range(nb)]
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright("_sig", offsets[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .alias("band_key"),
+                )
+                for i in range(nb)
+            ]
+        )
+        bands = dsig.select(
+            "_sig", F.explode(band_structs).alias("bd")
+        ).select(
+            "_sig",
+            F.col("bd.band_idx").alias("band_idx"),
+            F.col("bd.band_key").alias("band_key"),
+        )
+        a = bands.select(
+            F.col("_sig").alias("sha"), "band_idx", "band_key"
+        )
+        b = bands.select(
+            F.col("_sig").alias("shb"), "band_idx", "band_key"
+        )
+        sig_pairs = (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("sha") < F.col("shb"))
+            .select(
+                "sha", "shb", F.expr("bit_count(sha ^ shb)").alias("hamming")
             )
-            for i in range(nb)
-        ]
-    )
-    bands = dsig.select(
-        "_sig", F.explode(band_structs).alias("bd")
-    ).select(
-        "_sig",
-        F.col("bd.band_idx").alias("band_idx"),
-        F.col("bd.band_key").alias("band_key"),
-    )
-    a = bands.select(
-        F.col("_sig").alias("sha"), "band_idx", "band_key"
-    )
-    b = bands.select(
-        F.col("_sig").alias("shb"), "band_idx", "band_key"
-    )
-    sig_pairs = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("sha") < F.col("shb"))
-        .select("sha", "shb", F.expr("bit_count(sha ^ shb)").alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
     cross = (
         sig_pairs.join(ids.select(F.col("id").alias("_ia"), F.col("_sig").alias("sha")), "sha")
         .join(ids.select(F.col("id").alias("_ib"), F.col("_sig").alias("shb")), "shb")

@@ -390,8 +390,11 @@ def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletion-neighborhood blocking — recall exactly 1, no cartesian
     product): every 20th part name with its 3rd character deleted and then
     the 7th character of the result deleted (edit distance <= 2 from the
-    canonical) resolved back against the full name table. The oracle is
-    the BRUTE-FORCE levenshtein join in DuckDB, so blocking completeness
+    canonical) resolved back against the DISTINCT canonical-name
+    dictionary (min p_partkey per name — the entity-resolution shape; see
+    q127 for why the id-to-id self-join's output is quadratic in the
+    fixture's name duplication: 33M rows at sf1). The oracle is the
+    BRUTE-FORCE levenshtein join in DuckDB, so blocking completeness
     (recall 1 at radius 2) and the distances are both driver-checked
     against ground truth."""
     from fireworks_spark.operators.fuzzy import fuzzy_join
@@ -399,6 +402,7 @@ def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_partkey", F.lower("p_name").alias("nm")
     )
+    canon = p.groupBy("nm").agg(F.min("p_partkey").alias("cid"))
     d1 = p.filter(F.col("p_partkey") % 20 == 0).select(
         "p_partkey",
         F.concat(
@@ -414,9 +418,7 @@ def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dm"),
     )
     return (
-        fuzzy_join(
-            damaged, p, "p_partkey", "p_partkey", "dm", "nm", max_dist=2
-        )
+        fuzzy_join(damaged, canon, "p_partkey", "cid", "dm", "nm", max_dist=2)
         .select("lid", "rid", F.col("dist").cast("long").alias("dist"))
         .orderBy("lid", "rid")
     )
@@ -2083,7 +2085,8 @@ PIPELINE_ORACLE = {
     # for the two-level deletion blocking (recall must be exactly 1).
     "q143_fuzzy_join_dist2": """
         WITH P AS (
-            SELECT p_partkey AS rid, lower(p_name) AS rs FROM part
+            SELECT min(p_partkey) AS rid, lower(p_name) AS rs
+            FROM part GROUP BY lower(p_name)
         ), D1 AS (
             SELECT p_partkey AS lid,
                    substr(lower(p_name), 1, 2) || substr(lower(p_name), 4)

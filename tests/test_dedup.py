@@ -56,6 +56,29 @@ def test_jaccard_df_cap_drops_only_candidates_not_values(docs):
     assert a == b
 
 
+def test_blocked_hamming_matches_bruteforce(spark):
+    # Wide radius on a short signature (8 of 24 -> 2/3-bit band keys)
+    # routes to the blocked all-pairs popcount; verify the full pair set
+    # against a Python brute force, duplicates included (id expansion).
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1 << 24)) for i in range(300)]
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]  # exact dup sigs
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.ida, r.idb): r.hamming
+        for r in dedup.hamming_pairs(df, 8, num_bits=24).collect()
+    }
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= 8:
+            want[(min(ia, ib), max(ia, ib))] = h
+    assert got == want
+
+
 def test_prefix_candidates_survive_corpus_wide_boilerplate(spark):
     # Two identical documents whose EVERY shingle is corpus-wide
     # boilerplate (df=80): the round-9 sf1 sweep showed any global df-cap
