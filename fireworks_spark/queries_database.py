@@ -313,6 +313,93 @@ def q121_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q177_qual_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUAL source end-to-end (BioSeqPipe filetype='qual'): a
+    deterministic quality-score corpus synthesized from documents (three
+    integer scores derived from doc_id and the text length, split across
+    TWO body lines so multi-line score reassembly is exercised), written
+    as text parts, re-read with the '>' record scan. The oracle re-derives
+    the scores arithmetically, so any parse drift (tokenization, int cast,
+    line joining) is a value mismatch."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_qual
+
+    d = table(spark, sf_dir, "documents")
+    qa = d.select(
+        F.concat(
+            F.lit(">"),
+            F.col("doc_id").cast("string"),
+            F.lit(" synthetic qual\n"),
+            (F.col("doc_id") % 60).cast("string"),
+            F.lit(" "),
+            ((F.col("doc_id") * 7) % 60).cast("string"),
+            F.lit("\n"),
+            (F.length("text") % 60).cast("string"),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_qual_")
+    path = f"{tmp}/qv"
+    try:
+        qa.repartition(8).write.text(path)
+        back = read_qual(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.array_join("qualities", " ").alias("scores"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q178_pir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NBRF/PIR source end-to-end (BioSeqPipe filetype='pir'): records
+    synthesized from documents ('>P1;<id>', description line, md5 sequence
+    terminated by '*'), written as text parts, re-read with the '>' record
+    scan. The oracle re-derives id, type code, description and the
+    '*'-stripped sequence, so header-semicolon splitting, the
+    second-line-description rule and terminator stripping are all
+    value-checked."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_pir
+
+    d = table(spark, sf_dir, "documents")
+    pa = d.select(
+        F.concat(
+            F.lit(">P1;"),
+            F.col("doc_id").cast("string"),
+            F.lit("\nsynthetic protein "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.upper(F.md5(F.col("text").cast("binary"))),
+            F.lit("*"),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_pir_")
+    path = f"{tmp}/pv"
+    try:
+        pa.repartition(8).write.text(path)
+        back = read_pir(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("pir_types").alias("ptype"),
+                F.col("descriptions").alias("descr"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FASTQ source end-to-end: 4-line records synthesized from
     documents (sequence = upper md5, quality = the lowercase md5 — which
@@ -763,6 +850,8 @@ DATABASE_QUERIES = {
     "q123_orc_roundtrip": q123_orc_roundtrip,
     "q124_csv_roundtrip": q124_csv_roundtrip,
     "q121_fasta_roundtrip": q121_fasta_roundtrip,
+    "q177_qual_roundtrip": q177_qual_roundtrip,
+    "q178_pir_roundtrip": q178_pir_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
@@ -833,6 +922,17 @@ DATABASE_ORACLE = {
     "q121_fasta_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
         "ORDER BY doc_id"
+    ),
+    "q177_qual_roundtrip": (
+        "SELECT doc_id, (doc_id % 60)::VARCHAR || ' ' || "
+        "((doc_id * 7) % 60)::VARCHAR || ' ' || "
+        "(length(text) % 60)::VARCHAR AS scores "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q178_pir_roundtrip": (
+        "SELECT doc_id, 'P1' AS ptype, "
+        "'synthetic protein ' || doc_id::VARCHAR AS descr, "
+        "upper(md5(text)) AS seq FROM documents ORDER BY doc_id"
     ),
     "q122_fastq_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq, md5(text) AS qual "

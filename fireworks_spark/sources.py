@@ -41,6 +41,66 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_qual(spark: SparkSession, path: str) -> DataFrame:
+    """One row per QUAL record (the quality-score companion of FASTA —
+    same '>' record delimiter, body is whitespace-separated integer Phred
+    scores; Bio.SeqIO filetype='qual'). Columns mirror read_fasta minus
+    ``sequences`` (SeqIO leaves seq undefined for qual) plus ``qualities``
+    as array<int> (SeqIO's letter_annotations['phred_quality'])."""
+    raw = spark.read.text(path, lineSep=">")
+    header = F.substring_index(F.col("value"), "\n", 1)
+    body = F.expr(
+        "substring(value, length(substring_index(value, '\n', 1)) + 2)"
+    )
+    return (
+        raw.filter(F.trim("value") != "")
+        .select(
+            F.trim(F.substring_index(header, " ", 1)).alias("ids"),
+            F.trim(F.substring_index(header, " ", 1)).alias("names"),
+            F.trim(header).alias("descriptions"),
+            F.transform(
+                F.filter(
+                    F.split(F.trim(body), r"\s+"), lambda x: x != ""
+                ),
+                lambda x: x.cast("int"),
+            ).alias("qualities"),
+            F.array().cast("array<string>").alias("dbxrefs"),
+        )
+    )
+
+
+def read_pir(spark: SparkSession, path: str) -> DataFrame:
+    """One row per NBRF/PIR record (Bio.SeqIO filetype='pir'): header
+    '>P1;id' (two-letter sequence-type code before the semicolon), the
+    NEXT line is the free-text description, remaining lines are sequence
+    terminated by '*'. Columns mirror read_fasta plus ``pir_types`` (the
+    type code SeqIO keeps in record.annotations)."""
+    raw = spark.read.text(path, lineSep=">")
+    header = F.trim(F.substring_index(F.col("value"), "\n", 1))
+    body = F.expr(
+        "substring(value, length(substring_index(value, '\n', 1)) + 2)"
+    )
+    desc = F.trim(F.substring_index(body, "\n", 1))
+    seq_raw = F.expr(
+        "substring(substring(value, length(substring_index(value, '\n', 1))"
+        " + 2), length(substring_index(substring(value,"
+        " length(substring_index(value, '\n', 1)) + 2), '\n', 1)) + 2)"
+    )
+    return (
+        raw.filter(F.trim("value") != "")
+        .select(
+            F.trim(F.substring_index(header, ";", -1)).alias("ids"),
+            F.trim(F.substring_index(header, ";", -1)).alias("names"),
+            desc.alias("descriptions"),
+            F.regexp_replace(
+                F.regexp_replace(seq_raw, r"\s+", ""), r"\*$", ""
+            ).alias("sequences"),
+            F.array().cast("array<string>").alias("dbxrefs"),
+            F.substring_index(header, ";", 1).alias("pir_types"),
+        )
+    )
+
+
 def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     """One row per FASTQ record (BioSeqPipe filetype='fastq', reference
     fireworks/toolbox/pipes.py:33 — any Bio.SeqIO filetype).
@@ -297,14 +357,19 @@ def read_bioseq(
 ) -> DataFrame:
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
-    syntactic subset the same record scan parses), fastq, genbank, embl,
-    swiss, tab; other SeqIO formats (abi, sff, ...) need their own
-    record-delimiter parses and raise until someone needs them."""
+    syntactic subset the same record scan parses), fastq, qual, pir,
+    genbank, embl, swiss, tab; other SeqIO formats (abi, sff, ...) need
+    their own record-delimiter parses and raise until someone needs
+    them."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
     if ft == "fastq":
         return read_fastq(spark, path)
+    if ft == "qual":
+        return read_qual(spark, path)
+    if ft == "pir":
+        return read_pir(spark, path)
     if ft in ("genbank", "gb"):
         return read_genbank(spark, path)
     if ft == "embl":
@@ -314,7 +379,7 @@ def read_bioseq(
     if ft == "tab":
         return read_tab(spark, path)
     raise NotImplementedError(
-        f"filetype {filetype!r}: only fasta, fasta-2line, fastq, genbank, "
-        "embl, swiss and tab have distributed parses (reference "
-        "BioSeqPipe accepts any Bio.SeqIO format)"
+        f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
+        "pir, genbank, embl, swiss and tab have distributed parses "
+        "(reference BioSeqPipe accepts any Bio.SeqIO format)"
     )

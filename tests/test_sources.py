@@ -98,10 +98,39 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     with _pytest.raises(NotImplementedError) as ei:
         read_bioseq(spark, str(p), "abi")
     msg = str(ei.value)
-    for fmt in ("fasta", "fasta-2line", "fastq", "genbank", "embl",
-                "swiss", "tab"):
+    for fmt in ("fasta", "fasta-2line", "fastq", "qual", "pir", "genbank",
+                "embl", "swiss", "tab"):
         assert fmt in msg
     assert "Bio.SeqIO" in msg
+
+
+def test_read_qual_and_pir(spark, tmp_path):
+    from fireworks_spark.sources import read_bioseq
+
+    q = tmp_path / "scores.qual"
+    q.write_text(
+        ">r1 sample one\n20 20 30\n40\n>r2\n10 11 12 13\n"
+    )
+    rows = {r.ids: r for r in read_bioseq(spark, str(q), "qual").collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert rows["r1"].qualities == [20, 20, 30, 40]
+    assert rows["r1"].descriptions == "r1 sample one"
+    assert rows["r2"].qualities == [10, 11, 12, 13]
+
+    p = tmp_path / "prot.pir"
+    p.write_text(
+        ">P1;CRAB_ANAPL\nALPHA CRYSTALLIN B CHAIN (ALPHA(B)-CRYSTALLIN).\n"
+        "MDITIHNPLI RRPLFSWLAP SRIF*\n"
+        ">F1;CRAB_BOVIN\nBovine fragment\nMDIAIHHPWI RRPF*\n"
+    )
+    rows = {r.ids: r for r in read_bioseq(spark, str(p), "pir").collect()}
+    assert set(rows) == {"CRAB_ANAPL", "CRAB_BOVIN"}
+    r1 = rows["CRAB_ANAPL"]
+    assert r1.pir_types == "P1"
+    assert r1.descriptions.startswith("ALPHA CRYSTALLIN")
+    assert r1.sequences == "MDITIHNPLIRRPLFSWLAPSRIF"  # '*' stripped
+    assert rows["CRAB_BOVIN"].pir_types == "F1"
+    assert rows["CRAB_BOVIN"].sequences == "MDIAIHHPWIRRPF"
 
 
 EMBL_FIXTURE = """ID   X56734; SV 1; linear; mRNA; STD; PLN; 1859 BP.
