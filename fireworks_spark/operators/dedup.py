@@ -282,12 +282,15 @@ def _prefix_candidate_stats(
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     order = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    # persisted: BOTH sides of the candidate self-join scan this frame —
+    # unpersisted, the dfreq join + per-doc ranking window run twice
     pre = (
         sh.join(dfreq, "shingle")
         .withColumn("_rn", F.row_number().over(order))
         .filter(F.col("_rn") <= _prefix_len(F.col("_sz"), t))
         .filter(F.col("_df") >= 2)  # df=1 cannot collide; exact to drop
         .select(id_col, "shingle", "_rn", "_sz")
+        .persist()
     )
     a = pre.select(
         F.col(id_col).alias("ida"), "shingle",
@@ -325,7 +328,7 @@ def _prefix_candidate_stats(
         F.size("shingles").alias("_sz"),
         (F.ceil(F.lit(t) * F.size("shingles")) - 1).cast("long").alias("_hot"),
     )
-    return cand, stats, []
+    return cand, stats, [pre]
 
 
 # --------------------------------------------------------------------------
@@ -513,6 +516,7 @@ def jaccard_join(
     shr = sr.select(F.col(id_col).alias("rid"), F.explode("shingles").alias("shingle"))
     allow = F.least("_hl", "_hr")  # df_cap: uncounted shared is hot in BOTH
     prefix_hot = None
+    prefix_caches: list = []
     if candidates is not None:
         cand = candidates.select("lid", "rid").distinct().withColumn(
             "_common", F.lit(None).cast("long")
@@ -535,12 +539,16 @@ def jaccard_join(
             F.size("shingles").alias("_sz"),
             F.explode("shingles").alias("shingle"),
         )
+        # persisted: both corpora's prefix selections scan the union-wide
+        # frequency table — unpersisted it aggregates twice
         dfreq = (
             sll.select("shingle")
             .unionAll(srr.select("shingle"))
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
+            .persist()
         )
+        prefix_caches = [dfreq]
 
         def _prefix(sh: DataFrame, key: str, p: str, q: str) -> DataFrame:
             order = Window.partitionBy(key).orderBy("_df", "shingle")
@@ -650,7 +658,7 @@ def jaccard_join(
         .select("lid", "rid", pround(jac, 3).alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
-    extra = [sl, sr] + ([hot] if df_cap is not None else [])
+    extra = [sl, sr] + ([hot] if df_cap is not None else []) + prefix_caches
     return _attach_caches(out, extra=extra)
 
 
