@@ -1029,13 +1029,25 @@ def write_sparse(
             .collect()
         ]
         writers = sum(1 for n in task_rows if n > 0)
-        parts = len(glob.glob(os.path.join(tmp, "*.npz")))
-        if parts != writers:
+        # Count distinct PARTITION IDS, not files: a retried or speculative
+        # task attempt leaves an extra part-<pid>-<uuid>.npz for the same
+        # pid, which is duplicate data, not a missing-filesystem signal.
+        # Keep exactly one file per pid (lexicographically first — any
+        # completed attempt holds the identical triplets) and drop the
+        # stale duplicates so read_sparse never double-counts.
+        by_pid: dict = {}
+        for f in sorted(glob.glob(os.path.join(tmp, "*.npz"))):
+            pid = os.path.basename(f).split("-")[1]
+            if pid in by_pid:
+                os.remove(f)
+            else:
+                by_pid[pid] = f
+        if len(by_pid) != writers:
             raise RuntimeError(
                 f"write_sparse: {writers} tasks reported triplets but "
-                f"{parts} part files landed in {tmp} — driver and "
-                "executors do not share this filesystem (see the "
-                "filesystem contract in the docstring)"
+                f"parts from {len(by_pid)} distinct partitions landed in "
+                f"{tmp} — driver and executors do not share this "
+                "filesystem (see the filesystem contract in the docstring)"
             )
         if not glob.glob(os.path.join(tmp, "*.npz")):
             # all partitions were empty (legal when shape pins the dims):

@@ -894,6 +894,10 @@ def _blocked_hamming_sig_pairs(
     import pandas as pd
 
     spark = dsig.sparkSession
+    # persisted BEFORE the sizing count: without it the count job and the
+    # pair job each recompute the distinct aggregation AND its upstream
+    # (e.g. simhash64's Python stage) — the most expensive pass runs twice
+    dsig = dsig.persist()
     n = dsig.count()
     nb = max(1, math.ceil(n / block_size))
     packed = (
@@ -944,7 +948,8 @@ def _blocked_hamming_sig_pairs(
                     }
                 )
 
-    return joined.mapInPandas(_pop, "sha long, shb long, hamming int")
+    out = joined.mapInPandas(_pop, "sha long, shb long, hamming int")
+    return _attach_caches(out, extra=[dsig])
 
 
 def hamming_pairs(
@@ -1044,7 +1049,9 @@ def hamming_pairs(
         .filter(F.col("ida") < F.col("idb"))
         .select("ida", "idb", F.lit(0).alias("hamming"))
     )
-    return cross.unionByName(same)
+    out = cross.unionByName(same)
+    # blocked path persisted dsig; propagate its release handle
+    return _attach_caches(out, sig_pairs)
 
 
 def simhash_pairs(

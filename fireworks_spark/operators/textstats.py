@@ -62,15 +62,12 @@ def with_quality_score(
     n_chars = F.length(text_col).cast("long")
     punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_PATTERN)).cast("long")
     stop = F.regexp_count(normalize_text(text_col), F.lit(LANG_STOPWORDS["en"])).cast("long")
-    # portable floor(x*10^k + 0.5)/10^k rounding, NOT F.round: Spark's
-    # Round goes through BigDecimal.valueOf (shortest decimal string), so
-    # a quotient like 199/40 = 4.9749999999999996 prints as "4.975" and
-    # rounds UP to 4.98 while every engine rounding the true binary value
-    # (DuckDB round(), numpy) gives 4.97 — caught by the sf1 sweep on two
-    # boundary docs. The floor form evaluates the same on both engines.
-    avg_tok_len = F.floor(n_chars.cast("double") / n_tok * 100 + F.lit(0.5)) / 100
-    punct_ratio = F.floor(punct.cast("double") / n_tok * 1000 + F.lit(0.5)) / 1000
-    stop_ratio = F.floor(stop.cast("double") / n_tok * 1000 + F.lit(0.5)) / 1000
+    # pround, NOT F.round: these are integer quotients, where Spark's
+    # shortest-string rounding diverges from DuckDB's true-binary-value
+    # rounding at .5 boundaries (199/40 — caught by the sf1 sweep)
+    avg_tok_len = pround(n_chars.cast("double") / n_tok, 2)
+    punct_ratio = pround(punct.cast("double") / n_tok, 3)
+    stop_ratio = pround(stop.cast("double") / n_tok, 3)
     keep = (n_tok >= 5) & (n_tok <= 100000) & (avg_tok_len <= 20)
     return df.select(
         id_col,

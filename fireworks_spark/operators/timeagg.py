@@ -133,12 +133,18 @@ def _funnel_event_arrays(
                 *[F.when(F.col("_y") != s, prev_max[s]) for s in uniq]
             )
             keep = own.isNull() | (other >= own)
+        elif len(uniq) == 1:
+            # single step type: the per-(key, type) cap keeps each key's
+            # EARLIEST events (row_number over _t), and a 1-step funnel's
+            # reach needs only the first event per key — any cap >= 1 is
+            # exact, no collapse and no warning needed
+            keep = F.lit(True)
         else:
-            # repeated step types: the run-collapse is unsafe, so the
-            # per-(key, type) cap below is the ONLY bound — and without
-            # the collapse pre-shrinking heavy keys it can truncate
-            # ordinary keys too, silently turning reach into a lower
-            # bound. Say so where the user can see it.
+            # repeated step types in a multi-step funnel: the run-collapse
+            # is unsafe, so the per-(key, type) cap below is the ONLY
+            # bound — and without the collapse pre-shrinking heavy keys it
+            # can truncate ordinary keys too, silently turning reach into
+            # a lower bound. Say so where the user can see it.
             import warnings
 
             warnings.warn(

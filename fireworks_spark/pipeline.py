@@ -312,7 +312,7 @@ class Pipe:
         ts_col: str = "ts",
         type_col: str = "event_type",
         max_events_per_key: int | None = None,
-        skew_check: bool = True,
+        skew_check: bool = False,
         skew_frac: float = 0.05,
         skew_min: int = 10_000,
     ) -> "Pipe":
@@ -320,17 +320,18 @@ class Pipe:
 
         ``max_events_per_key`` is the heavy-key guard (exact run-collapse
         + per-(key, type) cap — see timeagg._funnel_event_arrays for the
-        exactness contract). When no cap is set and ``skew_check`` is on,
-        the facade runs ONE cheap diagnostic aggregation (count per key,
-        then max/sum — partially aggregated map-side, driver sees two
-        numbers) before building the funnel: if the heaviest key holds
-        more than ``skew_frac`` of the funnel's own events AND more than
-        ``skew_min`` events outright, a warning recommends setting the
-        cap — the silent failure mode at 100 TB is one bot key folding
-        millions of events into a single task's array. The diagnostic is
-        an extra pass over the (filtered) input; pass
-        ``skew_check=False`` to skip it, or set a cap, which disables it
-        too."""
+        exactness contract). ``skew_check=True`` runs ONE cheap diagnostic
+        aggregation (count per key, then max/sum — partially aggregated
+        map-side, driver sees two numbers) before building the funnel: if
+        the heaviest key holds more than ``skew_frac`` of the funnel's own
+        events AND more than ``skew_min`` events outright, a warning
+        recommends setting the cap — the silent failure mode at 100 TB is
+        one bot key folding millions of events into a single task's
+        array. The check is OPT-IN because it executes a Spark job at
+        chain-CONSTRUCTION time, an exception to the facade's
+        nothing-runs-until-an-action contract that only the caller should
+        authorize (and it scans the filtered input once more). It is
+        ignored when a cap is already set."""
         from pyspark.sql import functions as F
 
         from fireworks_spark.operators.timeagg import funnel_counts
@@ -870,5 +871,15 @@ class StreamPipe:
             w = w.option(key, val)
         if "checkpointLocation" in kw:
             w = w.option("checkpointLocation", kw.pop("checkpointLocation"))
+        if "partitionBy" in kw:
+            w = w.partitionBy(kw.pop("partitionBy"))
         path = kw.pop("path", None)
+        if kw:
+            # silently dropping a misspelled checkpointLocation would
+            # start an unrecoverable stream — unknown settings must fail
+            raise TypeError(
+                f"StreamPipe.start: unknown settings {sorted(kw)} — "
+                "supported: outputMode, format, queryName, trigger, "
+                "options, checkpointLocation, partitionBy, path"
+            )
         return w.start(path) if path else w.start()

@@ -239,8 +239,10 @@ def test_pipe_quality_and_analytics_facade(spark):
 
 def test_pipe_funnel_cap_and_skew_warning(spark):
     """Facade funnel: max_events_per_key threads through to the operator,
-    and the opt-in diagnostic warns when one key dominates the funnel's
-    events and no cap is set (VERDICT r8 item 5)."""
+    and the opt-in diagnostic (skew_check=True — it runs a Spark job at
+    construction time, so it must never be the default) warns when one
+    key dominates the funnel's events and no cap is set (VERDICT r8
+    item 5)."""
     import datetime as dt
     import warnings
 
@@ -260,7 +262,7 @@ def test_pipe_funnel_cap_and_skew_warning(spark):
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         out = Pipe(ev).funnel(
-            ["A", "B"], skew_min=10, skew_frac=0.5
+            ["A", "B"], skew_check=True, skew_min=10, skew_frac=0.5
         ).df.collect()
     assert any("max_events_per_key" in str(w.message) for w in rec)
     reach = {r.step: r.users for r in out}
@@ -271,7 +273,8 @@ def test_pipe_funnel_cap_and_skew_warning(spark):
     with warnings.catch_warnings(record=True) as rec2:
         warnings.simplefilter("always")
         capped = Pipe(ev).funnel(
-            ["A", "B"], max_events_per_key=2, skew_min=10, skew_frac=0.5
+            ["A", "B"], max_events_per_key=2, skew_check=True,
+            skew_min=10, skew_frac=0.5,
         ).df.collect()
     assert not any("max_events_per_key" in str(w.message) for w in rec2)
     assert {r.step: r.users for r in capped} == reach
@@ -280,7 +283,7 @@ def test_pipe_funnel_cap_and_skew_warning(spark):
     with warnings.catch_warnings(record=True) as rec3:
         warnings.simplefilter("always")
         Pipe(ev.filter("user_id < 99")).funnel(
-            ["A", "B"], skew_min=10, skew_frac=0.5
+            ["A", "B"], skew_check=True, skew_min=10, skew_frac=0.5
         ).df.collect()
     assert not any("max_events_per_key" in str(w.message) for w in rec3)
 

@@ -167,9 +167,14 @@ def generate(sf: float, out: str, ref: str, seed: int = 42) -> None:
     t0 = np.datetime64("2024-01-01T00:00:00.000000")
     span_us = 30 * 24 * 3600 * 1_000_000
     gaps = rng.exponential(span_us / n_ev, n_ev)
-    ts = t0 + np.minimum(
-        np.cumsum(gaps), span_us - 1
-    ).astype(np.int64).astype("timedelta64[us]")
+    cum = np.cumsum(gaps)
+    # rescale into the span instead of clamping: a clamp piles the tail
+    # (~O(sqrt(n)) events whenever the cumsum overshoots) onto one
+    # identical final microsecond, breaking the documented
+    # strictly-increasing shape; rescaling preserves it (microsecond
+    # collisions after int-truncation are possible but not systematic)
+    cum = cum * ((span_us - 1) / cum[-1])
+    ts = t0 + cum.astype(np.int64).astype("timedelta64[us]")
     n_users = int(15_000 * sf)
     _write(out, "events", pa.table({
         "event_id": np.arange(n_ev, dtype=np.int64),
