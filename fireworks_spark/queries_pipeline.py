@@ -619,8 +619,12 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean vectors, computed distributively exactly like q36's IVF coarse
     quantizer) so cluster assignment — and therefore the whole kept set —
     is SQL-derivable and the driver value-checks the per-cluster
-    triangular cosine prune end-to-end. The LEARNED spherical-k-means
-    quantizer remains the semdedup default, covered by tests/test_dedup.py
+    triangular cosine prune end-to-end. eps=0.5 (round 9, was 0.9) so the
+    prune actually FIRES on the fixture — at 0.9 no pair qualified at any
+    tested scale and the drop path rode on unit tests alone; at 0.5 the
+    sf1 sweep drops 656 of 20k vectors through the real operator. The
+    LEARNED spherical-k-means quantizer remains the semdedup default
+    (paper-realistic eps included), covered by tests/test_dedup.py
     (kept set matches a full-gram Python reference exactly)."""
     e = table(spark, sf_dir, "embeddings")
     cent_rows = (
@@ -642,7 +646,7 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lb in sorted(by_label)
     ]
     return (
-        dedup.semdedup(e, eps=0.9, centroids=centroids)
+        dedup.semdedup(e, eps=0.5, centroids=centroids)
         .withColumn("cluster", F.col("cluster").cast("long"))
         .orderBy("vec_id")
     )
@@ -1733,7 +1737,7 @@ PIPELINE_ORACLE = {
           JOIN assign a2 ON a1.pt = a2.pt AND a1.vec_id < a2.vec_id
           JOIN embeddings e1 ON e1.vec_id = a1.vec_id
           JOIN embeddings e2 ON e2.vec_id = a2.vec_id
-          WHERE ROUND({_cos('e1.embedding', 'e2.embedding')}, 4) >= 0.9
+          WHERE ROUND({_cos('e1.embedding', 'e2.embedding')}, 4) >= 0.5
         )
         SELECT a.vec_id, CAST(a.pt AS BIGINT) AS cluster
         FROM assign a

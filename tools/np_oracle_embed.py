@@ -140,7 +140,7 @@ def main() -> None:
             Sub = Xn[member_idx]
             G = _r4(Sub @ Sub.T)
             m = len(member_idx)
-            dropped = (np.triu(G >= 0.9, k=1)).any(axis=0)  # any earlier
+            dropped = (np.triu(G >= 0.5, k=1)).any(axis=0)  # any earlier
             for local in range(m):
                 if not dropped[local]:
                     kept.add((int(ids[member_idx[local]]), int(p)))
