@@ -1003,17 +1003,26 @@ def write_sparse(
         if parts:
             pdf = pd.concat(parts, ignore_index=True)
             pid = TaskContext.get().partitionId()
-            fname = os.path.join(
-                tmp, f"part-{pid:05d}-{uuid.uuid4().hex}.npz"
-            )
+            base = f"part-{pid:05d}-{uuid.uuid4().hex}.npz"
+            fname = os.path.join(tmp, base)
+            # Write-then-rename so every *.npz ever visible under `tmp`
+            # is a COMPLETE part: savez writes in place, and a task
+            # attempt killed mid-write would otherwise leave a truncated
+            # file that can sort before the completed retry's file and
+            # survive the one-per-pid dedup below. The scratch name is
+            # dot-prefixed (hidden), which glob("*.npz") never matches,
+            # so neither the dedup scan nor read_sparse can observe a
+            # partial file; rename is atomic on a POSIX filesystem.
+            scratch = os.path.join(tmp, "." + base)
             np.savez_compressed(
-                fname,
+                scratch,
                 format=np.array(b"coo"),
                 shape=np.array([nr, nc], dtype=np.int64),
                 row=pdf[row_col].to_numpy(dtype=np.int64),
                 col=pdf[col_col].to_numpy(dtype=np.int64),
                 data=pdf[val_col].to_numpy(dtype=np.float64),
             )
+            os.rename(scratch, fname)
             rows = len(pdf)
         yield pd.DataFrame({"rows": [rows]})
 
@@ -1076,11 +1085,23 @@ def read_sparse(spark: SparkSession, path: str) -> DataFrame:
     :func:`write_sparse`; also reads scipy.sparse.save_npz COO output
     directly). CSR/CSC parts raise inside the task — convert with scipy
     before handing them to a cluster."""
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.npz")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    if os.path.isdir(path):
+        # Keep one part per partition id: a zombie speculative attempt
+        # can land a duplicate part-<pid>-* AFTER write_sparse's own
+        # dedup scan; any completed attempt holds identical triplets
+        # (parts are written atomically — see _write), so reading the
+        # lexicographically-first per pid never double-counts.
+        by_pid: dict = {}
+        extra = []
+        for f in sorted(glob.glob(os.path.join(path, "*.npz"))):
+            name = os.path.basename(f)
+            if name.startswith("part-") and name.count("-") >= 2:
+                by_pid.setdefault(name.split("-")[1], f)
+            else:  # foreign (e.g. scipy save_npz) file: no pid scheme
+                extra.append(f)
+        files = sorted(by_pid.values()) + extra
+    else:
+        files = [path]
     if not files:
         raise FileNotFoundError(f"no .npz files under {path}")
 

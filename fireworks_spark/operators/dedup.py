@@ -43,6 +43,38 @@ def _attach_caches(out: DataFrame, *sources: DataFrame, extra=()) -> DataFrame:
     return out
 
 
+#: Projected pairwise-comparison budget above which the quadratic-by-
+#: contract paths (blocked Hamming popcount, blocked cosine gram, exact
+#: Jaccard verify) warn at runtime and name their sub-quadratic
+#: alternative. 5e9 comparisons ~ minutes of BLAS/popcount on one node,
+#: hours of join fan-out for the Jaccard verify — the point past which a
+#: user who reached the exact path by default almost certainly wants the
+#: LSH path instead. Tests may lower it to exercise the warning.
+QUADRATIC_COMPARE_BUDGET: int = 5_000_000_000
+
+
+def _quadratic_guard(n_items: int, op: str, alternative: str) -> int:
+    """Self-diagnosing routing for the quadratic-by-contract operators:
+    given the distinct-item count a blocked all-pairs path is about to
+    square, warn (never fail) when the projected comparison volume exceeds
+    :data:`QUADRATIC_COMPARE_BUDGET`, naming the sub-quadratic production
+    alternative — the funnel skew probe's pattern (pipeline.py Pipe.funnel)
+    applied to the dedup family. Returns the projected pair count."""
+    proj = n_items * (n_items - 1) // 2
+    if proj > QUADRATIC_COMPARE_BUDGET:
+        import warnings
+
+        warnings.warn(
+            f"{op}: {n_items:,} distinct items project {proj:.2e} pairwise"
+            f" comparisons — this path is quadratic by contract and the"
+            f" volume exceeds the {QUADRATIC_COMPARE_BUDGET:.0e} budget"
+            f" (dedup.QUADRATIC_COMPARE_BUDGET). It will complete, but"
+            f" quadratically slower as the corpus grows; {alternative}",
+            stacklevel=3,
+        )
+    return proj
+
+
 def release_caches(df: DataFrame) -> None:
     """Unpersist every intermediate frame cached while building ``df``
     (no-op for frames that cached nothing). Call AFTER materializing the
@@ -265,14 +297,24 @@ def _prefix_candidate_stats(
     the 100 TB path while this stays verification-grade.
 
     Returns (cand, stats, caches): cand = (ida, idb, _common) where _common
-    counts shared POSTED shingles (an exact lower bound on |A∩B|); stats =
-    (_id, _sz, _hot) where _hot = ceil(t'*_sz) - 1 is the per-document
-    count of non-posted shingles, closed-form from the size — no extra
-    aggregation. Exact upper bound for the caller's prune: a shared shingle
-    missing from _common is outside A's prefix or outside B's prefix, so
-    |A∩B| <= _common + _hotA + _hotB (SUM allowance — unlike the df_cap
-    path, where an uncounted shared shingle is hot in BOTH documents and
-    min() applies).
+    counts the candidate join's surviving collision rows (an exact lower
+    bound on |A∩B|); stats = (_id, _sz, _hot) where _hot = ceil(t'*_sz) - 1
+    is the per-document count of non-posted shingles, closed-form from the
+    size — no extra aggregation.
+
+    On the caller's prune bound |A∩B| <= _common + _hotA + _hotB: this is
+    NOT tight as written, because _common undercounts shared-in-both-prefix
+    shingles twice over — (a) a shared shingle outside either prefix is
+    invisible (covered by the _hot allowances), and (b) the PPJoin
+    positional filter below also drops collision rows of TRUE pairs that
+    are not the order-earliest collision, which the allowances do NOT
+    account for. The prune in jaccard_pairs stays safe anyway: any
+    surviving true pair has _common >= 1 (its earliest collision row always
+    passes the positional filter), and _hotA + _hotB = ceil(t'|A|) +
+    ceil(t'|B|) - 2 already nearly reaches t'*max(|A|,|B|) on its own, so
+    the bound is vacuous for every true pair. Do NOT tighten the allowance
+    based on a per-shingle counting argument — compute _common before the
+    positional filter first, or false negatives appear.
     """
     t = threshold - 0.0005  # match the verify stage's rounding slack
     sh = sets.select(
@@ -366,6 +408,7 @@ def jaccard_pairs(
     n: int = 3,
     candidates: DataFrame | None = None,
     df_cap: int | None = None,
+    size_check: bool = False,
 ) -> DataFrame:
     """Pairs (ida < idb) with word-n-gram Jaccard >= threshold (exact values).
 
@@ -400,6 +443,15 @@ def jaccard_pairs(
     slower at sf0.1). The frame holds one hashed-long array per document —
     a small fraction of corpus size; MEMORY_AND_DISK eviction makes it safe
     at any scale.
+
+    ``size_check=True`` (prefix path only) runs ONE eager diagnostic
+    aggregation over the posted-prefix frame before returning: projected
+    candidate rows = sum over posted shingles of df*(df-1)/2. If that
+    exceeds dedup.QUADRATIC_COMPARE_BUDGET, a warning names MinHash-LSH
+    (minhash_dedup_pairs) as the sub-quadratic production path — exact
+    all-pairs Jaccard is Theta(output) by contract on near-duplicate-heavy
+    corpora. OPT-IN because it executes a Spark job at plan-construction
+    time (the funnel skew probe's contract, Pipe.funnel).
     """
     sets = shingle_sets(df, id_col, text_col, n).persist()
     caches: list = []
@@ -413,6 +465,40 @@ def jaccard_pairs(
                 sets, id_col, threshold
             )
             allow = F.col("_ha") + F.col("_hb")
+            if size_check:
+                # caches[0] is the persisted posted-prefix frame (also
+                # consumed by the candidate join below, so this probe's
+                # scan is reused, not wasted). Projected candidate rows:
+                # every posted shingle with prefix-df d contributes
+                # d*(d-1)/2 (ida < idb) join rows.
+                pre = caches[0]
+                proj = int(
+                    pre.groupBy("shingle")
+                    .agg(F.count(F.lit(1)).alias("_d"))
+                    .agg(
+                        F.coalesce(
+                            F.sum(
+                                F.col("_d") * (F.col("_d") - 1) / 2
+                            ),
+                            F.lit(0.0),
+                        ).alias("_p")
+                    )
+                    .collect()[0]["_p"]
+                )
+                if proj > QUADRATIC_COMPARE_BUDGET:
+                    import warnings
+
+                    warnings.warn(
+                        f"jaccard_pairs: prefix filtering projects "
+                        f"{proj:.2e} candidate rows — past the "
+                        f"{QUADRATIC_COMPARE_BUDGET:.0e} budget "
+                        f"(dedup.QUADRATIC_COMPARE_BUDGET). Exact "
+                        "all-pairs Jaccard is Theta(output) by contract "
+                        "on near-duplicate-heavy corpora; route to "
+                        "minhash_dedup_pairs (MinHash-LSH) for the "
+                        "sub-quadratic production path.",
+                        stacklevel=2,
+                    )
         else:
             cand, stats, caches = _candidate_stats(sets, id_col, df_cap)
     else:
@@ -899,6 +985,14 @@ def _blocked_hamming_sig_pairs(
     # (e.g. simhash64's Python stage) — the most expensive pass runs twice
     dsig = dsig.persist()
     n = dsig.count()
+    _quadratic_guard(
+        n,
+        "hamming_pairs (blocked all-pairs route)",
+        "grow num_bits or shrink max_hamming so the band keyspace "
+        "returns above _BAND_PAYS_OFF_BITS and the pigeonhole banding "
+        "route prunes again, or accept approximate recall via "
+        "minhash_dedup_pairs",
+    )
     nb = max(1, math.ceil(n / block_size))
     packed = (
         dsig.select(F.pmod(F.xxhash64("_sig"), F.lit(nb)).alias("_b"), "_sig")
@@ -982,9 +1076,17 @@ def hamming_pairs(
     brute force) the candidates route to the blocked exact all-pairs
     popcount instead (_blocked_hamming_sig_pairs — 189s -> 27s
     end-to-end on the 50k-doc sf1 fixture, on par with a single-node
-    columnar brute force). For corpora whose DISTINCT signature count outgrows even
-    the blocked quadratic, grow num_bits or shrink the radius so banding
-    regains keyspace."""
+    columnar brute force). NOTE: that blocked route runs one EAGER Spark
+    job at plan-construction time (persist + count of the distinct
+    signatures — the count sizes the blocks, and the persist keeps the
+    signature stage from running twice), an exception to the
+    nothing-runs-until-an-action contract that only triggers on the
+    short-signature/wide-radius operating point; the same count feeds a
+    self-diagnosing warning (dedup.QUADRATIC_COMPARE_BUDGET) when the
+    projected popcount volume has outgrown the blocked quadratic. For
+    corpora whose DISTINCT signature count outgrows even the blocked
+    quadratic, grow num_bits or shrink the radius so banding regains
+    keyspace."""
     nb = max_hamming + 1
     if nb > num_bits:
         raise ValueError("max_hamming must be < num_bits")
@@ -1182,6 +1284,13 @@ def blocked_cosine_pairs(
     import pandas as pd
 
     n = df.count()
+    _quadratic_guard(
+        n,
+        "blocked_cosine_pairs",
+        "raise the threshold so embedding_dup_pairs routes to sign-LSH "
+        "banding, or use similarity.ann_* (IVF / PQ) for top-k retrieval "
+        "instead of all-pairs",
+    )
     nb = max(1, math.ceil(n / block_size))
     packed = (
         df.select(

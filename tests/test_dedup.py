@@ -695,3 +695,47 @@ def test_minhash_join_finds_planted_cross_dups(spark):
     assert got[(0, 1)] == 1.0          # identical: every band collides
     assert got.get((0, 3)) == 0.75     # near-dup at 0.75 (16x2 bands: ~certain)
     assert all(rid in (1, 3) for (_, rid) in got)
+
+
+def test_quadratic_guard_warns_past_budget(spark, monkeypatch):
+    """VERDICT r9 #2: the quadratic-by-contract paths self-diagnose.
+    With the comparison budget forced to 0, each entry point warns and
+    names its sub-quadratic alternative; at the real (5e9) budget the
+    same calls stay silent — no behavior change."""
+    import warnings
+
+    import pytest
+
+    sigs = spark.createDataFrame(
+        [(i, i * 7919 % (1 << 24)) for i in range(40)],
+        "doc_id long, simhash long",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"shared tokens everywhere plus unique{i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+
+    monkeypatch.setattr(dedup, "QUADRATIC_COMPARE_BUDGET", 0)
+    with pytest.warns(UserWarning, match="band keyspace"):
+        dedup.hamming_pairs(sigs, 8, num_bits=24)  # blocked route sizes eagerly
+    with pytest.warns(UserWarning, match="sign-LSH"):
+        dedup.blocked_cosine_pairs(vecs, 0.5)
+    with pytest.warns(UserWarning, match="minhash_dedup_pairs"):
+        dedup.jaccard_pairs(docs, 0.3, size_check=True)
+
+    monkeypatch.setattr(dedup, "QUADRATIC_COMPARE_BUDGET", 5_000_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.hamming_pairs(sigs, 8, num_bits=24)
+        dedup.blocked_cosine_pairs(vecs, 0.5)
+        # size_check on, under budget: probe runs, stays silent, and the
+        # result is unchanged vs the probe-free call
+        a = sorted(map(tuple, dedup.jaccard_pairs(docs, 0.3).collect()))
+    b = sorted(
+        map(tuple, dedup.jaccard_pairs(docs, 0.3, size_check=True).collect())
+    )
+    assert a == b
