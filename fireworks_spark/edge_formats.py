@@ -930,6 +930,7 @@ def write_sparse(
     col_col: str,
     val_col: str,
     shape: tuple[int, int] | None = None,
+    commit_protocol: str = "rename",
 ) -> None:
     """Distributed sparse-matrix write: (row, col, value) triplets become
     one scipy-compatible COO ``part-*.npz`` per partition (Message.to
@@ -944,22 +945,32 @@ def write_sparse(
     one tiny aggregate. Each task writes only its own triplets — fully
     parallel, no driver materialization.
 
-    Durability contract: the two-rename swap is atomic against JOB
-    failure only (a failed Spark job leaves the previous matrix intact).
-    It is NOT atomic against a hard process crash in the instant between
-    the two renames (readers would see no ``path``; the old data survives
-    in a ``.old-*`` sibling) and offers no isolation between CONCURRENT
-    writers to the same path — serialize writers externally. Stale
-    ``.tmp-*`` / ``.old-*`` siblings left by a crashed writer are swept
-    on the next successful write to the same path.
+    Durability contract (``commit_protocol="rename"``, default): the
+    two-rename swap is atomic against JOB failure only (a failed Spark
+    job leaves the previous matrix intact). It is NOT atomic against a
+    hard process crash in the instant between the two renames (readers
+    would see no ``path``; the old data survives in a ``.old-*``
+    sibling) and offers no isolation between CONCURRENT writers to the
+    same path — serialize writers externally. Stale ``.tmp-*`` /
+    ``.old-*`` siblings left by a crashed writer are swept on the next
+    successful write to the same path.
+
+    ``commit_protocol="manifest"`` removes the rename-semantics
+    assumption entirely (fireworks_spark.publish): parts land in a new
+    generation directory UNDER ``path`` and become visible only when the
+    single-object manifest write commits them — object-store-safe, no
+    crash window at all (a writer that dies pre-commit leaves the
+    previous generation serving; its orphan files are swept by the next
+    successful commit). read_sparse auto-detects manifested directories.
 
     Filesystem contract: tasks write into a directory created by the
-    driver and the driver renames it, so ``path`` must be on a
-    filesystem shared by driver and executors (always true on local
-    master; on a cluster use NFS/fuse mounts — object stores have no
-    rename). A remote executor writing into its own local disk is
-    detected after the job: the part-file count must equal the number
-    of tasks that reported rows, else this raises RuntimeError."""
+    driver, so ``path`` must be on a filesystem shared by driver and
+    executors (always true on local master; on a cluster NFS/fuse — or
+    an object-store mount with ``commit_protocol="manifest"``, since
+    that protocol never renames). A remote executor writing into its
+    own local disk is detected after the job: the part-file count must
+    equal the number of tasks that reported rows, else this raises
+    RuntimeError."""
     import numpy as np
 
     if shape is None:
@@ -984,13 +995,24 @@ def write_sparse(
     import shutil
     import uuid as _uuid
 
-    # sweep siblings stranded by a hard-crashed earlier writer (they are
-    # invisible to readers of `path` but leak disk forever otherwise)
-    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+    if commit_protocol not in ("rename", "manifest"):
+        raise ValueError(
+            f"write_sparse: unknown commit_protocol {commit_protocol!r} "
+            "(expected 'rename' or 'manifest')"
+        )
+    if commit_protocol == "manifest":
+        from fireworks_spark import publish
 
-    tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp)
+        gen, tmp = publish.new_generation(path)
+    else:
+        # sweep siblings stranded by a hard-crashed earlier writer (they
+        # are invisible to readers of `path` but leak disk forever
+        # otherwise)
+        for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
 
     def _write(batches):
         import uuid
@@ -1072,6 +1094,15 @@ def write_sparse(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+    if commit_protocol == "manifest":
+        # Commit = one manifest write naming the post-dedup parts; the
+        # generation directory itself never moves (object-store-safe).
+        from fireworks_spark import publish
+
+        publish.commit_generation(
+            path, gen, tmp, sorted(glob.glob(os.path.join(tmp, "*.npz")))
+        )
+        return
     old = f"{path}.old-{_uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
@@ -1084,8 +1115,15 @@ def read_sparse(spark: SparkSession, path: str) -> DataFrame:
     (row, col, value) triplets (Message.read counterpart of
     :func:`write_sparse`; also reads scipy.sparse.save_npz COO output
     directly). CSR/CSC parts raise inside the task — convert with scipy
-    before handing them to a cluster."""
-    if os.path.isdir(path):
+    before handing them to a cluster. Manifested directories (written
+    with ``commit_protocol="manifest"``) read ONLY the newest committed
+    generation's parts — a crashed writer's uncommitted files are
+    invisible by construction."""
+    from fireworks_spark import publish
+
+    if os.path.isdir(path) and publish.has_manifest(path):
+        files = [f for f in publish.current_files(path) if f.endswith(".npz")]
+    elif os.path.isdir(path):
         # Keep one part per partition id: a zombie speculative attempt
         # can land a duplicate part-<pid>-* AFTER write_sparse's own
         # dedup scan; any completed attempt holds identical triplets

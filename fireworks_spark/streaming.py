@@ -677,12 +677,40 @@ def dedup_stream_against(
     corpus_bands.unpersist()
 
 
+def read_rollup_table(
+    spark: SparkSession, table_path: str
+) -> DataFrame | None:
+    """Read the rollup table :func:`maintain_rollup_table` maintains,
+    regardless of its commit protocol: a manifested table reads ONLY the
+    newest committed generation's parquet parts (a plain directory read
+    would also pick up superseded or uncommitted generations); a
+    rename-protocol table reads the directory. Returns None when nothing
+    has been committed yet."""
+    import os
+
+    from fireworks_spark import publish
+
+    if publish.has_manifest(table_path):
+        files = [
+            f
+            for f in publish.current_files(table_path)
+            if f.endswith(".parquet")
+        ]
+        return spark.read.parquet(*files) if files else None
+    if os.path.isdir(table_path) and any(
+        f.endswith(".parquet") for f in os.listdir(table_path)
+    ):
+        return spark.read.parquet(table_path)
+    return None
+
+
 def maintain_rollup_table(
     stream: DataFrame,
     table_path: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
     key_col: str = "event_type",
+    commit_protocol: str = "rename",
 ) -> None:
     """Continuous-aggregate maintenance: keep a parquet table of windowed
     counts/sums up to date as events stream in — the streaming face of
@@ -703,12 +731,26 @@ def maintain_rollup_table(
     dropped (that is the deal that bounds state). Live tailing wants a
     short horizon; replaying unordered history wants either time-ordered
     input files or a watermark at least as long as the replay span.
+
+    ``commit_protocol``: "rename" (default) keeps the two-rename swap —
+    atomic against job failure, requires rename semantics (shared POSIX
+    filesystem). "manifest" publishes each merge as a new generation
+    committed by a single manifest write (fireworks_spark.publish) —
+    object-store-safe, no rename, no crash window; read the table back
+    with :func:`read_rollup_table` (plain ``spark.read.parquet`` on the
+    directory would also see superseded generations).
     """
     import os
     import shutil
     import uuid
 
     from fireworks_spark.database import upsert_rows
+
+    if commit_protocol not in ("rename", "manifest"):
+        raise ValueError(
+            f"maintain_rollup_table: unknown commit_protocol "
+            f"{commit_protocol!r} (expected 'rename' or 'manifest')"
+        )
 
     agg = (
         stream.withWatermark("ts", watermark)
@@ -728,10 +770,20 @@ def maintain_rollup_table(
             "_mk",
             F.concat_ws("|", F.col("bucket").cast("string"), F.col(key_col)),
         )
-        if os.path.isdir(table_path) and any(
-            f.endswith(".parquet") for f in os.listdir(table_path)
-        ):
-            cur = spark.read.parquet(table_path).withColumn(
+        cur = (
+            read_rollup_table(spark, table_path)
+            if commit_protocol == "manifest"
+            else (
+                spark.read.parquet(table_path)
+                if os.path.isdir(table_path)
+                and any(
+                    f.endswith(".parquet") for f in os.listdir(table_path)
+                )
+                else None
+            )
+        )
+        if cur is not None:
+            cur = cur.withColumn(
                 "_mk",
                 F.concat_ws(
                     "|", F.col("bucket").cast("string"), F.col(key_col)
@@ -740,6 +792,24 @@ def maintain_rollup_table(
             merged = upsert_rows(cur, batch, "_mk").drop("_mk")
         else:
             merged = batch.drop("_mk")
+        if commit_protocol == "manifest":
+            import glob as _glob
+
+            from fireworks_spark import publish
+
+            gen, data_dir = publish.new_generation(table_path)
+            try:
+                merged.write.mode("overwrite").parquet(data_dir)
+            except BaseException:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            publish.commit_generation(
+                table_path,
+                gen,
+                data_dir,
+                sorted(_glob.glob(os.path.join(data_dir, "*.parquet"))),
+            )
+            return
         tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"

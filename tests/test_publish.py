@@ -1,0 +1,177 @@
+"""Manifest commit protocol (fireworks_spark.publish) — the object-store-
+safe publication path for write_sparse and maintain_rollup_table
+(VERDICT r9 #7): write parts, then commit with ONE manifest write;
+readers trust only manifested parts. The crash window of the two-rename
+swap (process dies between renames -> readers see nothing) does not
+exist here: a writer that dies pre-commit leaves the previous generation
+serving and its orphan files invisible."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from fireworks_spark import publish
+
+
+def test_generation_lifecycle_and_sweep(tmp_path):
+    p = str(tmp_path / "tbl")
+    assert publish.current_files(p) == []
+    assert not publish.has_manifest(p)
+
+    g1, d1 = publish.new_generation(p)
+    f1 = os.path.join(d1, "a.parquet")
+    open(f1, "w").write("x")
+    publish.commit_generation(p, g1, d1, [f1])
+    assert publish.current_files(p) == [f1]
+
+    g2, d2 = publish.new_generation(p)
+    assert g2 == g1 + 1
+    f2 = os.path.join(d2, "b.parquet")
+    open(f2, "w").write("y")
+    publish.commit_generation(p, g2, d2, [f2])
+    # newest generation serves; gen-1 data and manifest were swept (keep=1)
+    assert publish.current_files(p) == [f2]
+    assert not os.path.exists(d1)
+    assert len(publish._manifests(p)) == 1
+
+
+def test_crashed_writer_is_invisible(tmp_path):
+    """The crash window: a writer that materialized data files but died
+    before the manifest write must not change what readers see — and the
+    next successful commit sweeps its orphan."""
+    p = str(tmp_path / "tbl")
+    g1, d1 = publish.new_generation(p)
+    f1 = os.path.join(d1, "good.parquet")
+    open(f1, "w").write("committed")
+    publish.commit_generation(p, g1, d1, [f1])
+
+    # crashed writer: generation allocated, files written, NO manifest
+    g2, d2 = publish.new_generation(p)
+    open(os.path.join(d2, "orphan.parquet"), "w").write("uncommitted")
+    assert publish.current_files(p) == [f1]  # still gen 1
+
+    # a torn manifest (half-written JSON from a dying local writer) with a
+    # HIGHER generation number must be skipped, not shadow the good one
+    torn = os.path.join(p, "_manifest-00000099-deadbeef.json")
+    open(torn, "w").write('{"generation": 99, "files": [')
+    assert publish.current_files(p) == [f1]
+
+    # recovery: the next writer commits normally; the orphan dir from the
+    # crashed gen-2 attempt is swept (gen 3 > 2, unreferenced)
+    g3, d3 = publish.new_generation(p)
+    f3 = os.path.join(d3, "next.parquet")
+    open(f3, "w").write("recovered")
+    publish.commit_generation(p, g3, d3, [f3])
+    assert publish.current_files(p) == [f3]
+    assert not os.path.exists(d2)
+
+
+def test_write_sparse_manifest_roundtrip_and_crash(spark, tmp_path):
+    """write_sparse(commit_protocol='manifest'): value roundtrip, second
+    write supersedes the first without any rename of the table path, and
+    an uncommitted generation full of plausible parts stays invisible to
+    read_sparse."""
+    import numpy as np
+
+    from fireworks_spark import edge_formats as ef
+
+    rows = [(0, 2, 1.5), (3, 1, -2.25), (7, 0, 0.125)]
+    df = spark.createDataFrame(rows, "r long, c long, v double")
+    p = str(tmp_path / "coo_m")
+    ef.write_sparse(
+        df.repartition(2), p, "r", "c", "v", commit_protocol="manifest"
+    )
+    back = sorted(
+        (x.row, x.col, x.value) for x in ef.read_sparse(spark, p).collect()
+    )
+    assert back == sorted(rows)
+
+    # simulate a crashed second writer: valid-looking npz in an
+    # uncommitted generation — readers must not see it
+    g, d = publish.new_generation(p)
+    np.savez_compressed(
+        os.path.join(d, "part-00000-zombie.npz"),
+        format=np.array(b"coo"),
+        shape=np.array([8, 3], dtype=np.int64),
+        row=np.array([9], dtype=np.int64),
+        col=np.array([9], dtype=np.int64),
+        data=np.array([99.0]),
+    )
+    back2 = sorted(
+        (x.row, x.col, x.value) for x in ef.read_sparse(spark, p).collect()
+    )
+    assert back2 == sorted(rows)
+
+    # a successful overwrite replaces the content atomically-by-manifest
+    df2 = spark.createDataFrame([(1, 1, 9.0)], "r long, c long, v double")
+    ef.write_sparse(df2, p, "r", "c", "v", commit_protocol="manifest")
+    assert [
+        (x.row, x.col, x.value) for x in ef.read_sparse(spark, p).collect()
+    ] == [(1, 1, 9.0)]
+    assert not os.path.exists(d)  # crashed attempt swept by the commit
+
+    with pytest.raises(ValueError, match="commit_protocol"):
+        ef.write_sparse(df2, p, "r", "c", "v", commit_protocol="s3-magic")
+
+
+def test_rollup_manifest_matches_rename(spark, sf_dir, tmp_path):
+    """maintain_rollup_table under both protocols converges to the same
+    table; the manifested table reads back via read_rollup_table and
+    carries exactly one live generation after the multi-batch replay."""
+    from pyspark.sql import functions as F
+
+    from fireworks_spark import streaming
+    from fireworks_spark.tables import table
+
+    src = table(spark, sf_dir, "events")
+    stage = str(tmp_path / "ev_in")
+    src.repartitionByRange(3, "ts").write.parquet(stage)
+
+    out_r = str(tmp_path / "rollup_rename")
+    out_m = str(tmp_path / "rollup_manifest")
+    for out, proto in [(out_r, "rename"), (out_m, "manifest")]:
+        stream = streaming.read_event_stream(
+            spark, stage, max_files_per_trigger=1
+        )
+        streaming.maintain_rollup_table(
+            stream, out, watermark="3650 days", commit_protocol=proto
+        )
+
+    key = ["bucket", "event_type", "cnt", "sum_val"]
+    a = sorted(map(tuple, spark.read.parquet(out_r).select(key).collect()))
+    m = streaming.read_rollup_table(spark, out_m)
+    b = sorted(map(tuple, m.select(key).collect()))
+    assert a == b and len(a) > 0
+    # each micro-batch committed a generation; only the newest is live
+    assert len(publish._manifests(out_m)) == 1
+    live = {os.path.basename(os.path.dirname(f))
+            for f in publish.current_files(out_m)}
+    on_disk = {d for d in os.listdir(out_m) if d.startswith("gen-")}
+    assert on_disk == live
+
+    assert streaming.read_rollup_table(spark, str(tmp_path / "nope")) is None
+    with pytest.raises(ValueError, match="commit_protocol"):
+        streaming.maintain_rollup_table(
+            streaming.read_event_stream(spark, stage),
+            str(tmp_path / "x"),
+            commit_protocol="nope",
+        )
+
+
+def test_manifest_commit_is_single_object_write(tmp_path):
+    """The commit point is one manifest object: its staged dot-file never
+    survives, and the manifest parses to exactly the committed files."""
+    p = str(tmp_path / "tbl")
+    g, d = publish.new_generation(p)
+    f = os.path.join(d, "only.parquet")
+    open(f, "w").write("z")
+    publish.commit_generation(p, g, d, [f])
+    hidden = [n for n in os.listdir(p) if n.startswith("._manifest")]
+    assert hidden == []
+    (mf,) = [n for n in os.listdir(p) if n.startswith("_manifest")]
+    doc = json.load(open(os.path.join(p, mf)))
+    assert doc["generation"] == g
+    assert doc["files"] == [os.path.relpath(f, p)]

@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--skip", default="")
     ap.add_argument("--master", default="local[24]")
     ap.add_argument("--shuffle", type=int, default=48)
+    ap.add_argument(
+        "--no-oracle", action="store_true",
+        help="timing-only (cost-curve) mode: skip the DuckDB compare — "
+        "rows + wall time per query; correctness-at-scale is the sf1 "
+        "sweep's job, scale-3+ runs chart the curve shape",
+    )
     args = ap.parse_args()
 
     from fireworks_spark.oracle import compare, duckdb_connect
@@ -67,7 +73,7 @@ def main() -> None:
             pdf = sdf.toPandas()
             rec["spark_sec"] = round(time.perf_counter() - t0, 3)
             rec["rows"] = len(pdf)
-            if name in ORACLES:
+            if name in ORACLES and not args.no_oracle:
                 t1 = time.perf_counter()
                 odf = con.sql(ORACLES[name]).df()
                 rec["oracle_sec"] = round(time.perf_counter() - t1, 3)
