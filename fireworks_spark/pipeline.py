@@ -312,7 +312,7 @@ class Pipe:
         ts_col: str = "ts",
         type_col: str = "event_type",
         max_events_per_key: int | None = None,
-        skew_check: bool = False,
+        skew_check: bool | float = False,
         skew_frac: float = 0.05,
         skew_min: int = 10_000,
     ) -> "Pipe":
@@ -327,19 +327,37 @@ class Pipe:
         events AND more than ``skew_min`` events outright, a warning
         recommends setting the cap — the silent failure mode at 100 TB is
         one bot key folding millions of events into a single task's
-        array. The check is OPT-IN because it executes a Spark job at
-        chain-CONSTRUCTION time, an exception to the facade's
-        nothing-runs-until-an-action contract that only the caller should
-        authorize (and it scans the filtered input once more). It is
-        ignored when a cap is already set."""
+        array. ``skew_check=<fraction in (0, 1)>`` runs the same probe on
+        a Bernoulli SAMPLE of the events and scales the two numbers back
+        up by 1/fraction — at 100 TB the exact probe's own scan costs
+        real money, and a 1% sample detects any key past a 10k-event
+        threshold with near-certainty (a key at the threshold yields ~100
+        sampled events; P(seeing < half that) < 1e-8). The check is
+        OPT-IN because it executes a Spark job at chain-CONSTRUCTION
+        time, an exception to the facade's nothing-runs-until-an-action
+        contract that only the caller should authorize (and it scans the
+        filtered input once more). It is ignored when a cap is already
+        set."""
         from pyspark.sql import functions as F
 
         from fireworks_spark.operators.timeagg import funnel_counts
 
         if max_events_per_key is None and skew_check:
+            frac = None
+            if isinstance(skew_check, float) and not isinstance(
+                skew_check, bool
+            ):
+                if not 0.0 < skew_check < 1.0:
+                    raise ValueError(
+                        "funnel: skew_check as a float is a sample "
+                        f"fraction and must be in (0, 1), got {skew_check}"
+                    )
+                frac = skew_check
+            probe_src = self.df.filter(F.col(type_col).isin(list(steps)))
+            if frac is not None:
+                probe_src = probe_src.sample(fraction=frac, seed=7)
             per_key = (
-                self.df.filter(F.col(type_col).isin(list(steps)))
-                .groupBy(key_col)
+                probe_src.groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .agg(
                     F.max("cnt").alias("mx"), F.sum("cnt").alias("tot")
@@ -347,6 +365,8 @@ class Pipe:
                 .collect()[0]
             )
             mx, tot = per_key["mx"] or 0, per_key["tot"] or 0
+            if frac is not None:
+                mx, tot = mx / frac, tot / frac
             if tot and mx > skew_min and mx / tot > skew_frac:
                 import warnings
 

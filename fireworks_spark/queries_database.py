@@ -400,6 +400,74 @@ def q178_pir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q179_phylip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict-PHYLIP alignment source end-to-end (BioSeqPipe
+    filetype='phylip'): a 32-site alignment synthesized from documents
+    (taxon = doc_id in the strict 10-column name field, sites = upper md5
+    of the text), written as one alignment file PER PARTITION by the
+    distributed writer, re-read with the file-parallel interleaved parse.
+    The oracle re-derives the same rows, so header counting, 10-column
+    name slicing and site reassembly are all value-checked."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_phylip, write_phylip
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_phy_")
+    path = f"{tmp}/phy"
+    try:
+        write_phylip(src.repartition(8), path)
+        back = read_phylip(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q180_clustal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLUSTAL alignment source end-to-end (BioSeqPipe
+    filetype='clustal'): same synthesized alignment as q179 but written
+    in interleaved CLUSTAL blocks (wrap=20, so each taxon's 32 sites span
+    TWO blocks and chunk reassembly is exercised), one alignment file per
+    partition, re-read with the file-parallel parse."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_clustal, write_clustal
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_aln_")
+    path = f"{tmp}/aln"
+    try:
+        write_clustal(src.repartition(8), path, wrap=20)
+        back = read_clustal(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FASTQ source end-to-end: 4-line records synthesized from
     documents (sequence = upper md5, quality = the lowercase md5 — which
@@ -852,6 +920,8 @@ DATABASE_QUERIES = {
     "q121_fasta_roundtrip": q121_fasta_roundtrip,
     "q177_qual_roundtrip": q177_qual_roundtrip,
     "q178_pir_roundtrip": q178_pir_roundtrip,
+    "q179_phylip_roundtrip": q179_phylip_roundtrip,
+    "q180_clustal_roundtrip": q180_clustal_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
@@ -933,6 +1003,14 @@ DATABASE_ORACLE = {
         "SELECT doc_id, 'P1' AS ptype, "
         "'synthetic protein ' || doc_id::VARCHAR AS descr, "
         "upper(md5(text)) AS seq FROM documents ORDER BY doc_id"
+    ),
+    "q179_phylip_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
+        "ORDER BY doc_id"
+    ),
+    "q180_clustal_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
+        "ORDER BY doc_id"
     ),
     "q122_fastq_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq, md5(text) AS qual "

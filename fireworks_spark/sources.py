@@ -352,15 +352,267 @@ def read_tab(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _bioseq_rows(names_chunks, descriptions=""):
+    """(name, [chunk, ...]) pairs -> the reference Message columns."""
+    import pandas as pd
+
+    names = [n for n, _ in names_chunks]
+    return pd.DataFrame(
+        {
+            "ids": names,
+            "names": names,
+            "descriptions": [descriptions] * len(names),
+            "sequences": ["".join(cs) for _, cs in names_chunks],
+            "dbxrefs": [[] for _ in names],
+        }
+    )
+
+
+def _alignment_read(spark: SparkSession, path: str, parse) -> DataFrame:
+    """Alignment formats (phylip, clustal) are whole-file records: one
+    file = one alignment whose taxa INTERLEAVE across blocks, so the
+    parallel unit is the FILE, not the line (the same shape as the
+    xlsx/msgpack codecs — file-parallel Python parse, never a driver
+    loop). ``parse(text) -> [(name, [chunk, ...]), ...]``."""
+    import glob as _glob
+    import os as _os
+
+    files = (
+        sorted(
+            f
+            for f in _glob.glob(_os.path.join(path, "*"))
+            if _os.path.isfile(f) and not _os.path.basename(f).startswith((".", "_"))
+        )
+        if _os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no alignment files under {path}")
+
+    def _read(batches):
+        for b in batches:
+            for f in b["f"]:
+                with open(f, encoding="utf-8") as fh:
+                    yield _bioseq_rows(parse(fh.read()))
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, "
+        "sequences string, dbxrefs array<string>",
+    )
+
+
+def _parse_phylip(text: str, relaxed: bool) -> list:
+    lines = text.splitlines()
+    if not lines:
+        return []
+    head = lines[0].split()
+    if len(head) < 2:
+        raise ValueError(
+            f"read_phylip: malformed header {lines[0]!r} (need 'ntax nchar')"
+        )
+    ntax, nchar = int(head[0]), int(head[1])
+    taxa: list = []  # (name, [chunks])
+    li = 1
+    # first block carries the names
+    while len(taxa) < ntax and li < len(lines):
+        line = lines[li]
+        li += 1
+        if not line.strip():
+            continue
+        if relaxed:
+            parts = line.split(None, 1)
+            name, rest = parts[0], (parts[1] if len(parts) > 1 else "")
+        else:  # strict PHYLIP: the name IS the first 10 columns
+            name, rest = line[:10].strip(), line[10:]
+        taxa.append((name, ["".join(rest.split())]))
+    if len(taxa) < ntax:
+        raise ValueError(
+            f"read_phylip: header declares {ntax} taxa, found {len(taxa)}"
+        )
+    # subsequent blocks interleave in taxon order, names omitted
+    tix = 0
+    while li < len(lines):
+        line = lines[li]
+        li += 1
+        if not line.strip():
+            continue
+        taxa[tix][1].append("".join(line.split()))
+        tix = (tix + 1) % ntax
+    for name, chunks in taxa:
+        got = len("".join(chunks))
+        if got != nchar:
+            raise ValueError(
+                f"read_phylip: taxon {name!r} has {got} sites, header "
+                f"declares {nchar}"
+            )
+    return taxa
+
+
+def read_phylip(
+    spark: SparkSession, path: str, relaxed: bool = False
+) -> DataFrame:
+    """PHYLIP alignments (Bio.SeqIO filetype='phylip' strict 10-column
+    names / 'phylip-relaxed' whitespace-delimited names). Handles the
+    INTERLEAVED layout (and its one-line-per-taxon degenerate, which is
+    also valid sequential): the first block names the taxa, later blocks
+    append sites in taxon order. Multi-line SEQUENTIAL files (a taxon's
+    sequence wrapped across lines before the next name) are NOT this
+    layout and fail the site-count check loudly rather than parse wrong.
+    One alignment per FILE; parallel across files (see _alignment_read).
+    Site counts are checked against the header — corrupt interleaving
+    must fail, not produce plausible sequences."""
+    return _alignment_read(
+        spark, path, lambda t: _parse_phylip(t, relaxed)
+    )
+
+
+def _parse_clustal(text: str) -> list:
+    lines = text.splitlines()
+    if not lines or not lines[0].upper().startswith(("CLUSTAL", "MUSCLE")):
+        raise ValueError(
+            "read_clustal: missing CLUSTAL header line"
+        )
+    order: list = []
+    chunks: dict = {}
+    for line in lines[1:]:
+        if not line.strip():
+            continue
+        # consensus lines hold only conservation glyphs in the sequence
+        # field and BLANK name columns — drop them by the blank name
+        name_field = line.split(None, 1)
+        if line[:1].isspace() or not name_field:
+            continue
+        name = name_field[0]
+        rest = name_field[1] if len(name_field) > 1 else ""
+        # strip the trailing cumulative-count column some writers emit —
+        # but ONLY when it follows a sequence chunk: a lone all-digit
+        # token IS the chunk (hex/md5-alphabet alignments can produce
+        # digit-only chunks; eating them truncates sequences silently)
+        toks = rest.split()
+        if len(toks) >= 2 and toks[-1].isdigit():
+            toks = toks[:-1]
+        seq = "".join(toks)
+        if not seq:
+            continue
+        if name not in chunks:
+            order.append(name)
+            chunks[name] = []
+        chunks[name].append(seq)
+    return [(n, chunks[n]) for n in order]
+
+
+def read_clustal(spark: SparkSession, path: str) -> DataFrame:
+    """CLUSTAL alignments (Bio.SeqIO filetype='clustal'): header line,
+    then interleaved blocks of ``name  chunk [count]`` with optional
+    consensus rows (blank name column — dropped, as SeqIO does). One
+    alignment per FILE; parallel across files."""
+    return _alignment_read(spark, path, _parse_clustal)
+
+
+def write_phylip(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+) -> None:
+    """Distributed strict-PHYLIP write: each partition becomes one
+    sequential-format ``part-*.phy`` alignment under ``path`` (names
+    padded/truncated to the strict 10 columns; all sequences in one file
+    must share a length — PHYLIP is an ALIGNMENT format, enforced per
+    file). The read side reassembles partition files into one frame."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        import os as _os
+        import uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        rows = []
+        for b in batches:
+            rows += list(zip(b[id_col].astype(str), b[seq_col].astype(str)))
+        if rows:
+            ln = {len(s) for _, s in rows}
+            if len(ln) != 1:
+                raise ValueError(
+                    "write_phylip: sequences in one alignment must share "
+                    f"a length, got lengths {sorted(ln)[:5]}"
+                )
+            pid = TaskContext.get().partitionId()
+            fname = _os.path.join(
+                path, f"part-{pid:05d}-{uuid.uuid4().hex}.phy"
+            )
+            with open(fname, "w", encoding="utf-8") as fh:
+                fh.write(f" {len(rows)} {ln.pop()}\n")
+                for name, seq in rows:
+                    if len(name) > 10:
+                        raise ValueError(
+                            f"write_phylip: strict names cap at 10 chars: "
+                            f"{name!r}"
+                        )
+                    fh.write(f"{name:<10}{seq}\n")
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    df.select(id_col, seq_col).mapInPandas(_write, "n long").collect()
+
+
+def write_clustal(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+    wrap: int = 60,
+) -> None:
+    """Distributed CLUSTAL write: each partition becomes one ``part-*.aln``
+    alignment under ``path``, chunked at ``wrap`` sites per block."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        import os as _os
+        import uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        rows = []
+        for b in batches:
+            rows += list(zip(b[id_col].astype(str), b[seq_col].astype(str)))
+        if rows:
+            pid = TaskContext.get().partitionId()
+            fname = _os.path.join(
+                path, f"part-{pid:05d}-{uuid.uuid4().hex}.aln"
+            )
+            width = max(len(n) for n, _ in rows) + 4
+            longest = max(len(s) for _, s in rows)
+            with open(fname, "w", encoding="utf-8") as fh:
+                fh.write("CLUSTAL W (1.0) multiple sequence alignment\n")
+                for off in range(0, longest, wrap):
+                    fh.write("\n")
+                    for name, seq in rows:
+                        chunk = seq[off:off + wrap]
+                        if chunk:
+                            fh.write(f"{name:<{width}}{chunk}\n")
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    df.select(id_col, seq_col).mapInPandas(_write, "n long").collect()
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
     syntactic subset the same record scan parses), fastq, qual, pir,
-    genbank, embl, swiss, tab; other SeqIO formats (abi, sff, ...) need
-    their own record-delimiter parses and raise until someone needs
-    them."""
+    genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed); other
+    SeqIO formats (abi, sff, ...) need their own record-delimiter parses
+    and raise until someone needs them."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -378,8 +630,15 @@ def read_bioseq(
         return read_swiss(spark, path)
     if ft == "tab":
         return read_tab(spark, path)
+    if ft == "clustal":
+        return read_clustal(spark, path)
+    if ft == "phylip":
+        return read_phylip(spark, path)
+    if ft == "phylip-relaxed":
+        return read_phylip(spark, path, relaxed=True)
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
-        "pir, genbank, embl, swiss and tab have distributed parses "
-        "(reference BioSeqPipe accepts any Bio.SeqIO format)"
+        "pir, genbank, embl, swiss, tab, clustal and phylip(-relaxed) "
+        "have distributed parses (reference BioSeqPipe accepts any "
+        "Bio.SeqIO format)"
     )

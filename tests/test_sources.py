@@ -337,3 +337,144 @@ def test_tab_malformed_lines_raise(spark, tmp_path):
     with _pytest.raises(Exception) as ei2:
         read_tab(spark, str(p2)).collect()
     assert "malformed line" in str(ei2.value)
+
+
+def test_phylip_interleaved_strict_and_relaxed(spark, tmp_path):
+    """Strict 10-column names (spaces INSIDE the name field survive),
+    interleaved blocks reassemble in taxon order, site-count mismatches
+    raise, and relaxed mode splits names on whitespace instead."""
+    import pytest
+
+    from fireworks_spark.sources import read_bioseq
+
+    strict = (
+        " 3 12\n"
+        "taxon one AAAA\n"
+        "taxon_two CCCC\n"
+        "t3        GGGG\n"
+        "\n"
+        "TTTT\n"
+        "ACGT\n"
+        "AAAA\n"
+        "CCCC\n"
+        "GGGG\n"
+        "TTTT\n"
+    )
+    f = tmp_path / "a.phy"
+    f.write_text(strict)
+    got = {
+        r.ids: r.sequences
+        for r in read_bioseq(spark, str(f), "phylip").collect()
+    }
+    assert got == {
+        "taxon one": "AAAATTTTCCCC",
+        "taxon_two": "CCCCACGTGGGG",
+        "t3": "GGGGAAAATTTT",
+    }
+
+    relaxed = " 2 8\nalpha AAAA\nbeta CCCC\n\nGGGG\nTTTT\n"
+    f2 = tmp_path / "b.phy"
+    f2.write_text(relaxed)
+    got2 = {
+        r.ids: r.sequences
+        for r in read_bioseq(spark, str(f2), "phylip-relaxed").collect()
+    }
+    assert got2 == {"alpha": "AAAAGGGG", "beta": "CCCCTTTT"}
+
+    bad = " 2 8\nalpha     AAAA\nbeta      CCCC\n\nGGGG\n"  # beta short
+    f3 = tmp_path / "c.phy"
+    f3.write_text(bad)
+    with pytest.raises(Exception, match="sites"):
+        read_bioseq(spark, str(f3), "phylip").collect()
+
+
+def test_clustal_consensus_and_counts_skipped(spark, tmp_path):
+    """CLUSTAL parse: header required, consensus rows (blank name column)
+    dropped, trailing cumulative-count columns stripped, chunks joined
+    across blocks."""
+    import pytest
+
+    from fireworks_spark.sources import read_bioseq
+
+    aln = (
+        "CLUSTAL W (1.83) multiple sequence alignment\n"
+        "\n"
+        "seq1      AAAACCCC 8\n"
+        "seq2      AAAAGGGG 8\n"
+        "          ****     \n"
+        "\n"
+        "seq1      TTTT 12\n"
+        "seq2      ACGT 12\n"
+    )
+    f = tmp_path / "x.aln"
+    f.write_text(aln)
+    got = {
+        r.ids: r.sequences
+        for r in read_bioseq(spark, str(f), "clustal").collect()
+    }
+    assert got == {"seq1": "AAAACCCCTTTT", "seq2": "AAAAGGGGACGT"}
+
+    f2 = tmp_path / "bad.aln"
+    f2.write_text("not an alignment\nseq1 AAAA\n")
+    with pytest.raises(Exception, match="CLUSTAL"):
+        read_bioseq(spark, str(f2), "clustal").collect()
+
+
+def test_phylip_clustal_distributed_roundtrip(spark, tmp_path):
+    """write_phylip / write_clustal emit one alignment per partition;
+    the file-parallel readers reassemble the full frame exactly. Also:
+    unequal sequence lengths refuse a PHYLIP write (alignment contract),
+    and >10-char strict names refuse."""
+    import pytest
+
+    from fireworks_spark import sources as src
+
+    rows = [(f"id{i}", "ACGT" * 4) for i in range(37)]
+    df = spark.createDataFrame(rows, "ids string, sequences string")
+
+    p1 = str(tmp_path / "phy")
+    src.write_phylip(df.repartition(4), p1)
+    back1 = {
+        (r.ids, r.sequences)
+        for r in src.read_phylip(spark, p1).collect()
+    }
+    assert back1 == set(rows)
+
+    p2 = str(tmp_path / "aln")
+    src.write_clustal(df.repartition(4), p2, wrap=5)  # ragged final chunk
+    back2 = {
+        (r.ids, r.sequences)
+        for r in src.read_clustal(spark, p2).collect()
+    }
+    assert back2 == set(rows)
+
+    uneven = spark.createDataFrame(
+        [("a", "AAAA"), ("b", "CC")], "ids string, sequences string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="share"):
+        src.write_phylip(uneven, str(tmp_path / "bad"))
+    longname = spark.createDataFrame(
+        [("elevenchars", "AAAA")], "ids string, sequences string"
+    )
+    with pytest.raises(Exception, match="10"):
+        src.write_phylip(longname, str(tmp_path / "bad2"))
+
+
+def test_clustal_all_digit_chunk_not_eaten(spark, tmp_path):
+    """A lone all-digit token IS the sequence chunk (md5/hex alphabets
+    produce them); only a digit token FOLLOWING a chunk is the optional
+    cumulative-count column. Caught live by q180 at sf0.01 (doc 96's
+    second block was '538353715942')."""
+    from fireworks_spark.sources import read_bioseq
+
+    aln = (
+        "CLUSTAL W (1.0) multiple sequence alignment\n"
+        "\n"
+        "d96   33BFFAB4F340F0C85A00\n"
+        "\n"
+        "d96   538353715942\n"
+    )
+    f = tmp_path / "digits.aln"
+    f.write_text(aln)
+    (r,) = read_bioseq(spark, str(f), "clustal").collect()
+    assert r.sequences == "33BFFAB4F340F0C85A00538353715942"
