@@ -959,6 +959,31 @@ def simhash64(
 # (DuckDB's bare popcount loop over pre-built signatures: 9s).
 _BAND_PAYS_OFF_BITS = 10
 
+# Skew-aware routing constants for hamming_pairs, calibrated on the
+# sf1/sf3 fixtures (round 10; tools/scaling probes in SCALE.md):
+#
+# _BANDING_ROW_BUDGET — banding's candidate join+dedup+verify runs at
+# ~75 ns/row while the volume fits the shuffle in memory (21.7M rows:
+# 1.6s at sf1) but degrades ~12x once it spills/sorts out of memory
+# (195M rows: 177s at sf3 — same 1.8% cand/D^2 ratio, so NO function of
+# the relative prune quality can separate the regimes; the boundary is
+# ABSOLUTE volume). The blocked popcount never enters that regime: its
+# working set is one fixed block pair per task. Past this many measured
+# candidate rows, route to blocked. The default fits the local[24-32]
+# / 128 GB test rig; on a real cluster scale it with aggregate shuffle
+# memory (rows * ~24 bytes should stay well inside executor memory).
+_BANDING_ROW_BUDGET = 64_000_000
+#
+# _BANDING_PRUNE_FACTOR — even inside the in-memory regime, banding
+# must actually PRUNE: its per-row cost (~75 ns: shuffle + hash join +
+# pair-dedup) is ~3x the blocked kernel's per-pair cost (~25 ns with
+# the uint8 plane-summed table gather), so once the measured candidate
+# volume exceeds D^2/2 divided by this factor, brute force is cheaper.
+# Uniform w-bit keys give cand = (r+1)*D^2/2^w, which trips this only
+# for w < ~6 — the static _BAND_PAYS_OFF_BITS check fires first; the
+# factor exists for skewed-but-small corpora the width check cannot see.
+_BANDING_PRUNE_FACTOR = 8
+
 
 def _blocked_hamming_sig_pairs(
     dsig: DataFrame,
@@ -1025,10 +1050,15 @@ def _blocked_hamming_sig_pairs(
                 A = np.asarray(row.sx, dtype=np.int64).view(np.uint64)
                 B = np.asarray(row.sy, dtype=np.int64).view(np.uint64)
                 X = A[:, None] ^ B[None, :]
-                # popcount via 4 x 16-bit words (little-endian view)
-                H = tbl[X.view(np.uint16).reshape(len(A), len(B), 4)].sum(
-                    axis=2, dtype=np.int32
-                )
+                # popcount via 4 x 16-bit words (little-endian view).
+                # Summing the four table-gathered PLANES in uint8 (max
+                # popcount 64 < 256, no overflow) instead of one 3-D
+                # gather + int32 axis-sum measured 2-4x faster — the
+                # int32 intermediate was 4x the memory traffic.
+                V = X.view(np.uint16).reshape(len(A), len(B), 4)
+                H = tbl[V[:, :, 0]]
+                for k in range(1, 4):
+                    H += tbl[V[:, :, k]]
                 ii, jj = np.nonzero(H <= max_hamming)
                 va, vb = A[ii], B[jj]
                 if row.bx == row.by:
@@ -1068,25 +1098,27 @@ def hamming_pairs(
     98s -> 8s at 16x replication, tools/scaling_probe_round6.py); the
     verified signature pairs then expand back to id pairs with plain
     equi-joins, and identical-signature groups pair within themselves at
-    Hamming 0. Algorithm selection by operating point: the band KEY SPACE
-    is 2^(num_bits/(max_hamming+1)) and candidate volume over distinct
-    signatures scales with D^2 / keyspace per band, so when the key width
-    falls under _BAND_PAYS_OFF_BITS (wide radius on a short signature,
-    e.g. 8 on 48 bits -> 5-bit keys, where banding admits more pairs than
-    brute force) the candidates route to the blocked exact all-pairs
-    popcount instead (_blocked_hamming_sig_pairs — 189s -> 27s
-    end-to-end on the 50k-doc sf1 fixture, on par with a single-node
-    columnar brute force). NOTE: that blocked route runs one EAGER Spark
-    job at plan-construction time (persist + count of the distinct
-    signatures — the count sizes the blocks, and the persist keeps the
-    signature stage from running twice), an exception to the
-    nothing-runs-until-an-action contract that only triggers on the
-    short-signature/wide-radius operating point; the same count feeds a
-    self-diagnosing warning (dedup.QUADRATIC_COMPARE_BUDGET) when the
-    projected popcount volume has outgrown the blocked quadratic. For
-    corpora whose DISTINCT signature count outgrows even the blocked
-    quadratic, grow num_bits or shrink the radius so banding regains
-    keyspace."""
+    Hamming 0.
+
+    Algorithm selection is COST-BASED (round 10): banding's candidate
+    volume is the sum over (band, key) groups of c*(c-1)/2 — the static
+    key width predicts it only for UNIFORM keys, and real signatures
+    cluster (at sf3, radius 3 on 64 bits put 150x the uniform collision
+    mass on hot keys: banding 219s vs blocked ~30s). So hamming_pairs
+    runs one EAGER sizing pass at plan-construction time (persist +
+    count of the distinct signatures, plus the banded-key histogram — an
+    exception to the nothing-runs-until-an-action contract that is the
+    plan choice itself, the AQE idea applied to algorithm selection) and
+    routes to the blocked exact all-pairs popcount
+    (_blocked_hamming_sig_pairs) when the measured candidate volume
+    costs more than D^2/2 popcounts (_POPS_PER_CANDIDATE_ROW); key
+    widths under _BAND_PAYS_OFF_BITS skip the probe and route straight
+    to blocked (banding cannot pay there at any distribution — measured
+    189s -> 27s on the sf1 fixture at radius 8/48 bits). The sizing
+    count feeds a self-diagnosing warning
+    (dedup.QUADRATIC_COMPARE_BUDGET) when even the blocked quadratic has
+    been outgrown — then grow num_bits or shrink the radius so banding
+    regains keyspace, or accept approximate recall via MinHash."""
     nb = max_hamming + 1
     if nb > num_bits:
         raise ValueError("max_hamming must be < num_bits")
@@ -1114,6 +1146,12 @@ def hamming_pairs(
                 for i in range(nb)
             ]
         )
+        # persisted BEFORE the routing probe: the probe, the candidate
+        # join's two sides and the verify all branch from the distinct
+        # signatures — unpersisted, the signature stage (for simhash, a
+        # full Python pass over the corpus) would run for each consumer
+        dsig = dsig.persist()
+        n = dsig.count()
         bands = dsig.select(
             "_sig", F.explode(band_structs).alias("bd")
         ).select(
@@ -1121,21 +1159,51 @@ def hamming_pairs(
             F.col("bd.band_idx").alias("band_idx"),
             F.col("bd.band_key").alias("band_key"),
         )
-        a = bands.select(
-            F.col("_sig").alias("sha"), "band_idx", "band_key"
-        )
-        b = bands.select(
-            F.col("_sig").alias("shb"), "band_idx", "band_key"
-        )
-        sig_pairs = (
-            a.join(b, ["band_idx", "band_key"])
-            .filter(F.col("sha") < F.col("shb"))
-            .select(
-                "sha", "shb", F.expr("bit_count(sha ^ shb)").alias("hamming")
+        # Skew-aware cost-based routing (one eager aggregation over the
+        # cached distinct signatures — this IS the plan choice, the same
+        # idea as AQE's runtime re-plan): banding's candidate volume is
+        # sum over (band, key) groups of c*(c-1)/2, which the static key
+        # width cannot predict because real signatures CLUSTER (at sf3,
+        # radius 3 on 64 bits looks healthy — 16-bit keys — but the
+        # corpus put 150x the uniform collision mass on hot keys:
+        # banding 219s, blocked ~30s). Route to blocked when the
+        # measured volume leaves banding's in-memory regime
+        # (_BANDING_ROW_BUDGET) or stops genuinely pruning
+        # (_BANDING_PRUNE_FACTOR); see the constants for calibration.
+        cand_est = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+                ).alias("p")
             )
-            .distinct()
-            .filter(F.col("hamming") <= max_hamming)
+            .collect()[0]["p"]
         )
+        if (
+            cand_est > _BANDING_ROW_BUDGET
+            or cand_est > n * (n - 1) / 2 / _BANDING_PRUNE_FACTOR
+        ):
+            sig_pairs = _blocked_hamming_sig_pairs(dsig, max_hamming)
+        else:
+            a = bands.select(
+                F.col("_sig").alias("sha"), "band_idx", "band_key"
+            )
+            b = bands.select(
+                F.col("_sig").alias("shb"), "band_idx", "band_key"
+            )
+            sig_pairs = (
+                a.join(b, ["band_idx", "band_key"])
+                .filter(F.col("sha") < F.col("shb"))
+                .select(
+                    "sha",
+                    "shb",
+                    F.expr("bit_count(sha ^ shb)").alias("hamming"),
+                )
+                .distinct()
+                .filter(F.col("hamming") <= max_hamming)
+            )
+            sig_pairs = _attach_caches(sig_pairs, extra=[dsig])
     cross = (
         sig_pairs.join(ids.select(F.col("id").alias("_ia"), F.col("_sig").alias("sha")), "sha")
         .join(ids.select(F.col("id").alias("_ib"), F.col("_sig").alias("shb")), "shb")
