@@ -739,3 +739,50 @@ def test_quadratic_guard_warns_past_budget(spark, monkeypatch):
         map(tuple, dedup.jaccard_pairs(docs, 0.3, size_check=True).collect())
     )
     assert a == b
+
+
+def test_hamming_routing_skew_aware(spark, monkeypatch):
+    """Cost-based routing (round 10): uniform signatures keep the banding
+    plan (no Python stage); clustered signatures whose measured candidate
+    volume stops pruning route to the blocked popcount naturally (no
+    monkeypatching); both routes return the identical pair set. The
+    blocked plan is detectable by its MapInPandas popcount stage."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+
+    def pairs_of(rows):
+        want = {}
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+            h = bin(sa ^ sb).count("1")
+            if h <= 3:
+                want[(min(ia, ib), max(ia, ib))] = h
+        return want
+
+    # uniform 64-bit signatures: banding prunes, router must keep it
+    uni = [(i, rng.getrandbits(63)) for i in range(400)]
+    df_u = spark.createDataFrame(uni, "doc_id long, simhash long")
+    out_u = dedup.hamming_pairs(df_u, 3)
+    plan_u = out_u._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_u  # banding route
+    got_u = {(r.ida, r.idb): r.hamming for r in out_u.collect()}
+    assert got_u == pairs_of(uni)
+
+    # clustered: every signature shares the top 48 bits -> three of the
+    # four bands collide on ONE key, candidate volume ~ 3*D^2/2 >>
+    # D^2/2/_BANDING_PRUNE_FACTOR -> router must pick blocked by itself
+    base = rng.getrandbits(40) << 16
+    clu = [(i, base | rng.getrandbits(16)) for i in range(300)]
+    df_c = spark.createDataFrame(clu, "doc_id long, simhash long")
+    out_c = dedup.hamming_pairs(df_c, 3)
+    plan_c = out_c._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_c  # blocked route
+    got_c = {(r.ida, r.idb): r.hamming for r in out_c.collect()}
+    assert got_c == pairs_of(clu)
+
+    # row budget alone forces blocked even on uniform keys
+    monkeypatch.setattr(dedup, "_BANDING_ROW_BUDGET", 0)
+    out_f = dedup.hamming_pairs(df_u, 3)
+    assert "MapInPandas" in out_f._jdf.queryExecution().executedPlan().toString()
+    assert {(r.ida, r.idb): r.hamming for r in out_f.collect()} == got_u
