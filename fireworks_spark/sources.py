@@ -426,7 +426,20 @@ def _parse_phylip(text: str, relaxed: bool) -> list:
             name, rest = parts[0], (parts[1] if len(parts) > 1 else "")
         else:  # strict PHYLIP: the name IS the first 10 columns
             name, rest = line[:10].strip(), line[10:]
-        taxa.append((name, ["".join(rest.split())]))
+        chunk = "".join(rest.split())
+        if nchar > 0 and not chunk:
+            # In interleaved PHYLIP every first-block taxon line carries
+            # sites after its name. A bare-name line here is the
+            # signature of a SEQUENTIAL-layout file whose wrapped
+            # sequence lines this parser would silently mis-assign as
+            # taxon names (the site-count check can then pass by
+            # accident — caught by test_phylip_sequential_multiline).
+            raise ValueError(
+                f"read_phylip: first-block taxon {name!r} carries no "
+                "sites — this looks like a sequential-layout file; use "
+                "filetype='phylip-sequential'"
+            )
+        taxa.append((name, [chunk]))
     if len(taxa) < ntax:
         raise ValueError(
             f"read_phylip: header declares {ntax} taxa, found {len(taxa)}"
@@ -450,21 +463,79 @@ def _parse_phylip(text: str, relaxed: bool) -> list:
     return taxa
 
 
+def _parse_phylip_sequential(text: str, relaxed: bool) -> list:
+    """SEQUENTIAL layout (Bio.SeqIO 'phylip-sequential'): each taxon's
+    name line is followed by its sites, wrapped across as many lines as
+    needed; the next taxon starts only once nchar sites have
+    accumulated."""
+    lines = text.splitlines()
+    if not lines:
+        return []
+    head = lines[0].split()
+    if len(head) < 2:
+        raise ValueError(
+            f"read_phylip: malformed header {lines[0]!r} (need 'ntax nchar')"
+        )
+    ntax, nchar = int(head[0]), int(head[1])
+    taxa: list = []
+    for line in lines[1:]:
+        if not line.strip():
+            continue
+        if not taxa or len("".join(taxa[-1][1])) >= nchar:
+            if relaxed:
+                parts = line.split(None, 1)
+                name, rest = parts[0], (parts[1] if len(parts) > 1 else "")
+            else:
+                name, rest = line[:10].strip(), line[10:]
+            taxa.append((name, ["".join(rest.split())]))
+        else:
+            taxa[-1][1].append("".join(line.split()))
+    if len(taxa) != ntax:
+        raise ValueError(
+            f"read_phylip: header declares {ntax} taxa, found {len(taxa)}"
+        )
+    for name, chunks in taxa:
+        got = len("".join(chunks))
+        if got != nchar:
+            raise ValueError(
+                f"read_phylip: taxon {name!r} has {got} sites, header "
+                f"declares {nchar}"
+            )
+    return taxa
+
+
 def read_phylip(
-    spark: SparkSession, path: str, relaxed: bool = False
+    spark: SparkSession,
+    path: str,
+    relaxed: bool = False,
+    layout: str = "interleaved",
 ) -> DataFrame:
     """PHYLIP alignments (Bio.SeqIO filetype='phylip' strict 10-column
-    names / 'phylip-relaxed' whitespace-delimited names). Handles the
-    INTERLEAVED layout (and its one-line-per-taxon degenerate, which is
-    also valid sequential): the first block names the taxa, later blocks
-    append sites in taxon order. Multi-line SEQUENTIAL files (a taxon's
-    sequence wrapped across lines before the next name) are NOT this
-    layout and fail the site-count check loudly rather than parse wrong.
-    One alignment per FILE; parallel across files (see _alignment_read).
-    Site counts are checked against the header — corrupt interleaving
-    must fail, not produce plausible sequences."""
-    return _alignment_read(
-        spark, path, lambda t: _parse_phylip(t, relaxed)
+    names / 'phylip-relaxed' whitespace-delimited names /
+    'phylip-sequential' via ``layout="sequential"``).
+
+    ``layout="interleaved"`` (default): the first block names the taxa,
+    later blocks append sites in taxon order — also parses the
+    one-line-per-taxon degenerate, which is valid in both layouts.
+    ``layout="sequential"``: each taxon's sites wrap across lines before
+    the next taxon's name line. The two layouts are ambiguous from
+    content alone (that is why Bio.SeqIO makes them distinct filetypes),
+    so a multi-line file read with the wrong layout fails loudly rather
+    than parse wrong: the interleaved parser refuses a first-block taxon
+    line with no sites (the signature of a wrapped sequential file), and
+    both parsers check every taxon's site count against the header. One
+    alignment per FILE; parallel across files (see _alignment_read)."""
+    if layout == "interleaved":
+        return _alignment_read(
+            spark, path, lambda t: _parse_phylip(t, relaxed)
+        )
+    if layout == "sequential":
+        return _alignment_read(
+            spark, path, lambda t: _parse_phylip_sequential(t, relaxed)
+        )
+    raise ValueError(
+        f"read_phylip: unknown layout {layout!r} "
+        "(expected 'interleaved' or 'sequential')"
     )
 
 
@@ -610,9 +681,10 @@ def read_bioseq(
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
     syntactic subset the same record scan parses), fastq, qual, pir,
-    genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed); other
-    SeqIO formats (abi, sff, ...) need their own record-delimiter parses
-    and raise until someone needs them."""
+    genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed and
+    phylip-sequential); other SeqIO formats (abi, sff, ... — binary trace
+    and flowgram containers) need their own binary parses and raise until
+    someone needs them."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -636,9 +708,11 @@ def read_bioseq(
         return read_phylip(spark, path)
     if ft == "phylip-relaxed":
         return read_phylip(spark, path, relaxed=True)
+    if ft == "phylip-sequential":
+        return read_phylip(spark, path, layout="sequential")
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
-        "pir, genbank, embl, swiss, tab, clustal and phylip(-relaxed) "
-        "have distributed parses (reference BioSeqPipe accepts any "
-        "Bio.SeqIO format)"
+        "pir, genbank, embl, swiss, tab, clustal and "
+        "phylip(-relaxed/-sequential) have distributed parses "
+        "(reference BioSeqPipe accepts any Bio.SeqIO format)"
     )

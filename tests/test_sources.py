@@ -478,3 +478,36 @@ def test_clustal_all_digit_chunk_not_eaten(spark, tmp_path):
     f.write_text(aln)
     (r,) = read_bioseq(spark, str(f), "clustal").collect()
     assert r.sequences == "33BFFAB4F340F0C85A00538353715942"
+
+
+def test_phylip_sequential_multiline(spark, tmp_path):
+    """'phylip-sequential': a taxon's sites wrap across lines before the
+    next name line — the layout the interleaved parser must NOT silently
+    accept (it fails the site-count check instead)."""
+    import pytest
+
+    from fireworks_spark.sources import read_bioseq
+
+    seq = (
+        " 2 12\n"
+        "alpha     AAAA\n"
+        "CCCC\n"
+        "GGGG\n"
+        "beta      TTTT\n"
+        "ACGT\n"
+        "TTTT\n"
+    )
+    f = tmp_path / "s.phy"
+    f.write_text(seq)
+    got = {
+        r.ids: r.sequences
+        for r in read_bioseq(spark, str(f), "phylip-sequential").collect()
+    }
+    assert got == {"alpha": "AAAACCCCGGGG", "beta": "TTTTACGTTTTT"}
+
+    # the same file under the interleaved parser must FAIL, not
+    # mis-assign: the bare "CCCC" wrapped line would become taxon 2's
+    # name and BOTH taxa would still hit 12 sites by accident — the
+    # first-block no-sites guard is what catches it
+    with pytest.raises(Exception, match="sequential"):
+        read_bioseq(spark, str(f), "phylip").collect()
