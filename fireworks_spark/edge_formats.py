@@ -931,6 +931,7 @@ def write_sparse(
     val_col: str,
     shape: tuple[int, int] | None = None,
     commit_protocol: str = "rename",
+    keep_generations: int = 1,
 ) -> None:
     """Distributed sparse-matrix write: (row, col, value) triplets become
     one scipy-compatible COO ``part-*.npz`` per partition (Message.to
@@ -962,6 +963,10 @@ def write_sparse(
     crash window at all (a writer that dies pre-commit leaves the
     previous generation serving; its orphan files are swept by the next
     successful commit). read_sparse auto-detects manifested directories.
+    ``keep_generations`` retains that many committed generations per
+    write (default 1 = newest only) — raise to 2+ when concurrent
+    readers may resolve the manifest while a writer commits, the
+    standard snapshot-retention trade.
 
     Filesystem contract: tasks write into a directory created by the
     driver, so ``path`` must be on a filesystem shared by driver and
@@ -1100,7 +1105,9 @@ def write_sparse(
         from fireworks_spark import publish
 
         publish.commit_generation(
-            path, gen, tmp, sorted(glob.glob(os.path.join(tmp, "*.npz")))
+            path, gen, tmp,
+            sorted(glob.glob(os.path.join(tmp, "*.npz"))),
+            keep=keep_generations,
         )
         return
     old = f"{path}.old-{_uuid.uuid4().hex[:8]}"

@@ -268,10 +268,28 @@ def _prefix_len(sz: Column, t: float) -> Column:
     return (sz - F.ceil(F.lit(t) * sz) + 1).cast("int")
 
 
+# Default extended-prefix depth (ADAPTJOIN, Wang et al. VLDB'12) per
+# threshold regime: at high thresholds the AllPairs prefix is a few rare
+# shingles and candidates stay near the output; at dedup thresholds near
+# 0.5 HALF of every document posts, almost every candidate shares exactly
+# ONE posted shingle, and the flood drowns the verify stage (sf3, t=0.5:
+# 180M candidates for an 8.3k-pair output — 42s of candidates and 230s of
+# stats+verify joins). Posting k-1 extra next-rarest shingles per doc and
+# requiring k shared posted shingles is recall-exact (the j-th smallest
+# common element of a pair with |A∩B| = c sits within A's first
+# |A| - c + j <= |A| - ceil(t|A|) + j positions, for every j <= k when
+# c >= k; pairs with c < k are caught by the least(k, ceil(t*min_size))
+# floor) and measured 180M -> 59k candidates at k=4 for the same final
+# answer, turning q31's sf3 wall from 277s into ~100s.
+def _prefix_k(threshold: float) -> int:
+    return 1 if threshold >= 0.7 else 4
+
+
 def _prefix_candidate_stats(
     sets: DataFrame,
     id_col: str,
     threshold: float,
+    k: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list]:
     """Prefix-filtered candidate pairs: recall-EXACT at any corpus scale.
 
@@ -296,27 +314,36 @@ def _prefix_candidate_stats(
     exact all-pairs, and the reason MinHash-LSH (minhash_dedup_pairs) is
     the 100 TB path while this stays verification-grade.
 
+    ``k`` (default: _prefix_k(threshold)) is the extended-prefix depth:
+    each document posts its first L = |d| - ceil(t'|d|) + k order-rarest
+    shingles and a pair must share least(k, ceil(t'*min_size)) of them —
+    recall-exact for every k (see _prefix_k), and the low-threshold
+    lifesaver: at t=0.5 the k=1 candidates are a flood of
+    share-exactly-one-shingle pairs that the verify stage then drowns in.
+
     Returns (cand, stats, caches): cand = (ida, idb, _common) where _common
     counts the candidate join's surviving collision rows (an exact lower
-    bound on |A∩B|); stats = (_id, _sz, _hot) where _hot = ceil(t'*_sz) - 1
-    is the per-document count of non-posted shingles, closed-form from the
-    size — no extra aggregation.
+    bound on |A∩B|); stats = (_id, _sz, _hot) where _hot =
+    max(ceil(t'*_sz) - k, 0) is the per-document count of non-posted
+    shingles, closed-form from the size — no extra aggregation.
 
-    On the caller's prune bound |A∩B| <= _common + _hotA + _hotB: this is
-    NOT tight as written, because _common undercounts shared-in-both-prefix
-    shingles twice over — (a) a shared shingle outside either prefix is
-    invisible (covered by the _hot allowances), and (b) the PPJoin
-    positional filter below also drops collision rows of TRUE pairs that
-    are not the order-earliest collision, which the allowances do NOT
-    account for. The prune in jaccard_pairs stays safe anyway: any
-    surviving true pair has _common >= 1 (its earliest collision row always
-    passes the positional filter), and _hotA + _hotB = ceil(t'|A|) +
-    ceil(t'|B|) - 2 already nearly reaches t'*max(|A|,|B|) on its own, so
-    the bound is vacuous for every true pair. Do NOT tighten the allowance
-    based on a per-shingle counting argument — compute _common before the
-    positional filter first, or false negatives appear.
+    On the caller's prune bound |A∩B| <= _common + _hotA + _hotB: for
+    k > 1 this bound is exact (every shared shingle is either counted in
+    _common or outside one of the two extended prefixes, covered by the
+    allowances). For k = 1 it is NOT tight as written, because the PPJoin
+    positional filter also drops collision rows of TRUE pairs that are
+    not the order-earliest collision, which the allowances do NOT account
+    for. The prune in jaccard_pairs stays safe anyway: any surviving true
+    pair has _common >= 1 (its earliest collision row always passes the
+    positional filter), and _hotA + _hotB already nearly reaches
+    t'*max(|A|,|B|) on its own, so the bound is vacuous for every true
+    pair. Do NOT tighten the k=1 allowance based on a per-shingle
+    counting argument — compute _common before the positional filter
+    first, or false negatives appear.
     """
     t = threshold - 0.0005  # match the verify stage's rounding slack
+    if k is None:
+        k = _prefix_k(threshold)
     sh = sets.select(
         id_col,
         F.size("shingles").alias("_sz"),
@@ -329,7 +356,9 @@ def _prefix_candidate_stats(
     pre = (
         sh.join(dfreq, "shingle")
         .withColumn("_rn", F.row_number().over(order))
-        .filter(F.col("_rn") <= _prefix_len(F.col("_sz"), t))
+        .filter(
+            F.col("_rn") <= _prefix_len(F.col("_sz"), t) + F.lit(k - 1)
+        )
         .filter(F.col("_df") >= 2)  # df=1 cannot collide; exact to drop
         .select(id_col, "shingle", "_rn", "_sz")
         .persist()
@@ -342,33 +371,58 @@ def _prefix_candidate_stats(
         F.col(id_col).alias("idb"), "shingle",
         F.col("_rn").alias("_pb"), F.col("_sz").alias("_qb"),
     )
-    # PPJoin positional filter (Xiao et al., WWW'08), applied per JOIN ROW
-    # before the pair groupBy: J >= t needs overlap c >= t(|A|+|B|)/(1+t),
-    # and for the ORDER-EARLIEST common element at positions (pa, pb) every
-    # other common element sits after it in BOTH lists, so
-    # c <= 1 + min(|A|-pa, |B|-pb). A row failing that bound cannot be a
-    # pair's earliest collision — and each qualifying pair's earliest
-    # collision row always passes — so dropping such rows loses no pair
-    # (it only thins duplicate evidence, making _common a lower bound,
-    # which it already is). The size filter is the same exactness story.
-    alpha = F.lit(t) * (F.col("_qa") + F.col("_qb")) / F.lit(1.0 + t)
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("ida") < F.col("idb"))
-        .filter(
-            F.least("_qa", "_qb") >= F.lit(t) * F.greatest("_qa", "_qb")
-        )
-        .filter(
-            1 + F.least(F.col("_qa") - F.col("_pa"),
-                        F.col("_qb") - F.col("_pb")) >= alpha
-        )
-        .groupBy("ida", "idb")
-        .agg(F.count(F.lit(1)).alias("_common"))
+    joined = a.join(b, "shingle").filter(F.col("ida") < F.col("idb")).filter(
+        F.least("_qa", "_qb") >= F.lit(t) * F.greatest("_qa", "_qb")
     )
+    if k == 1:
+        # PPJoin positional filter (Xiao et al., WWW'08), per JOIN ROW
+        # before the pair groupBy: J >= t needs overlap
+        # c >= t(|A|+|B|)/(1+t), and for the ORDER-EARLIEST common
+        # element at positions (pa, pb) every other common element sits
+        # after it in BOTH lists, so c <= 1 + min(|A|-pa, |B|-pb). A row
+        # failing that bound cannot be a pair's earliest collision — and
+        # each qualifying pair's earliest collision row always passes —
+        # so dropping such rows loses no pair (it only thins duplicate
+        # evidence, making _common a lower bound, which it already is).
+        # ONLY valid at k=1: for k > 1 the count filter below needs ALL
+        # collision rows of a true pair, and this filter thins them.
+        alpha = F.lit(t) * (F.col("_qa") + F.col("_qb")) / F.lit(1.0 + t)
+        cand = (
+            joined.filter(
+                1 + F.least(F.col("_qa") - F.col("_pa"),
+                            F.col("_qb") - F.col("_pb")) >= alpha
+            )
+            .groupBy("ida", "idb")
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+    else:
+        # extended-prefix count filter (see _prefix_k): a true pair
+        # shares at least least(k, ceil(t*min_size)) shingles within the
+        # k-extended prefixes; everything below that is provably under
+        # threshold. _qa/_qb are constant per document — min() just
+        # carries them through the aggregate.
+        cand = (
+            joined.groupBy("ida", "idb")
+            .agg(
+                F.count(F.lit(1)).alias("_common"),
+                F.min("_qa").alias("_qa"),
+                F.min("_qb").alias("_qb"),
+            )
+            .filter(
+                F.col("_common")
+                >= F.least(
+                    F.lit(k),
+                    F.ceil(F.lit(t) * F.least("_qa", "_qb")),
+                )
+            )
+            .select("ida", "idb", "_common")
+        )
     stats = sets.select(
         F.col(id_col).alias("_id"),
         F.size("shingles").alias("_sz"),
-        (F.ceil(F.lit(t) * F.size("shingles")) - 1).cast("long").alias("_hot"),
+        F.greatest(
+            F.ceil(F.lit(t) * F.size("shingles")) - k, F.lit(0)
+        ).cast("long").alias("_hot"),
     )
     return cand, stats, [pre]
 
@@ -612,8 +666,11 @@ def jaccard_join(
         # AllPairs prefix filtering over the UNION-wide document-frequency
         # order — recall-exact at any scale, same argument as the self-join
         # (_prefix_candidate_stats); the theorem only needs ONE consistent
-        # global order across both corpora.
+        # global order across both corpora. k-extended prefixes + the
+        # shared-count floor kill the low-threshold singleton flood
+        # exactly as in the self-join (see _prefix_k).
         t = threshold - 0.0005
+        k = _prefix_k(threshold)
         allow = F.col("_hl") + F.col("_hr")  # outside either doc's prefix
         sll = sl.select(
             F.col(id_col).alias("lid"),
@@ -641,7 +698,10 @@ def jaccard_join(
             return (
                 sh.join(dfreq, "shingle")
                 .withColumn("_rn", F.row_number().over(order))
-                .filter(F.col("_rn") <= _prefix_len(F.col("_sz"), t))
+                .filter(
+                    F.col("_rn")
+                    <= _prefix_len(F.col("_sz"), t) + F.lit(k - 1)
+                )
                 .filter(F.col("_df") >= 2)  # union-df 1 cannot collide
                 .select(
                     key, "shingle",
@@ -649,33 +709,58 @@ def jaccard_join(
                 )
             )
 
-        # same per-row size + PPJoin positional pruning as the self-join
-        # (_prefix_candidate_stats) — exactness argument identical
-        alpha = F.lit(t) * (F.col("_ql") + F.col("_qr")) / F.lit(1.0 + t)
-        cand = (
+        joined_lr = (
             _prefix(sll, "lid", "_pl", "_ql")
             .join(_prefix(srr, "rid", "_pr", "_qr"), "shingle")
             .filter(
                 F.least("_ql", "_qr") >= F.lit(t) * F.greatest("_ql", "_qr")
             )
-            .filter(
-                1 + F.least(F.col("_ql") - F.col("_pl"),
-                            F.col("_qr") - F.col("_pr")) >= alpha
-            )
-            .groupBy("lid", "rid")
-            .agg(F.count(F.lit(1)).alias("_common"))
         )
-        # non-posted count per doc is closed-form: ceil(t*sz) - 1
+        if k == 1:
+            # same per-row PPJoin positional pruning as the self-join
+            # (_prefix_candidate_stats) — exactness argument identical,
+            # and equally k=1-only
+            alpha = F.lit(t) * (F.col("_ql") + F.col("_qr")) / F.lit(1.0 + t)
+            cand = (
+                joined_lr.filter(
+                    1 + F.least(F.col("_ql") - F.col("_pl"),
+                                F.col("_qr") - F.col("_pr")) >= alpha
+                )
+                .groupBy("lid", "rid")
+                .agg(F.count(F.lit(1)).alias("_common"))
+            )
+        else:
+            cand = (
+                joined_lr.groupBy("lid", "rid")
+                .agg(
+                    F.count(F.lit(1)).alias("_common"),
+                    F.min("_ql").alias("_ql"),
+                    F.min("_qr").alias("_qr"),
+                )
+                .filter(
+                    F.col("_common")
+                    >= F.least(
+                        F.lit(k),
+                        F.ceil(F.lit(t) * F.least("_ql", "_qr")),
+                    )
+                )
+                .select("lid", "rid", "_common")
+            )
+        # non-posted count per doc is closed-form: max(ceil(t*sz) - k, 0)
         prefix_hot = (
             sl.select(
                 F.col(id_col).alias("lid"),
-                (F.ceil(F.lit(t) * F.size("shingles")) - 1)
+                F.greatest(
+                    F.ceil(F.lit(t) * F.size("shingles")) - k, F.lit(0)
+                )
                 .cast("long")
                 .alias("_hl"),
             ),
             sr.select(
                 F.col(id_col).alias("rid"),
-                (F.ceil(F.lit(t) * F.size("shingles")) - 1)
+                F.greatest(
+                    F.ceil(F.lit(t) * F.size("shingles")) - k, F.lit(0)
+                )
                 .cast("long")
                 .alias("_hr"),
             ),

@@ -711,6 +711,7 @@ def maintain_rollup_table(
     watermark: str = "2 hours",
     key_col: str = "event_type",
     commit_protocol: str = "rename",
+    keep_generations: int = 1,
 ) -> None:
     """Continuous-aggregate maintenance: keep a parquet table of windowed
     counts/sums up to date as events stream in — the streaming face of
@@ -739,6 +740,12 @@ def maintain_rollup_table(
     object-store-safe, no rename, no crash window; read the table back
     with :func:`read_rollup_table` (plain ``spark.read.parquet`` on the
     directory would also see superseded generations).
+    ``keep_generations``: how many committed generations each merge
+    retains (manifest protocol only). The default 1 keeps only the
+    newest; a CONCURRENT external reader that resolved the manifest just
+    before a merge commits could then find its files swept mid-scan —
+    raise to 2+ to give readers one full merge interval of grace, the
+    standard snapshot-retention trade (Iceberg's expire_snapshots).
     """
     import os
     import shutil
@@ -808,6 +815,7 @@ def maintain_rollup_table(
                 gen,
                 data_dir,
                 sorted(_glob.glob(os.path.join(data_dir, "*.parquet"))),
+                keep=keep_generations,
             )
             return
         tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"

@@ -786,3 +786,42 @@ def test_hamming_routing_skew_aware(spark, monkeypatch):
     out_f = dedup.hamming_pairs(df_u, 3)
     assert "MapInPandas" in out_f._jdf.queryExecution().executedPlan().toString()
     assert {(r.ida, r.idb): r.hamming for r in out_f.collect()} == got_u
+
+
+def test_extended_prefix_k_equivalence(spark):
+    """The extended-prefix candidate generator (k>1, the low-threshold
+    default) returns EXACTLY the same pair set and values as k=1 at every
+    k — recall-exactness of the count floor, including tiny documents
+    where ceil(t*min_size) < k."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = [(0, "a b c"), (1, "a b c"), (2, "a b c d")]  # 1-2 shingles
+    for i in range(3, 40):
+        docs.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for thr in (0.3, 0.5):
+        base = None
+        for k in (1, 2, 4, 6):
+            cand, stats, caches = dedup._prefix_candidate_stats(
+                dedup.shingle_sets(df, "doc_id", "text", 3), "doc_id",
+                thr, k=k,
+            )
+            # feed each k's candidate core through the shared verify:
+            # the verified (ida, idb, jac) sets must agree exactly
+            verified = sorted(
+                map(
+                    tuple,
+                    dedup.jaccard_pairs(
+                        df, thr, candidates=cand.select("ida", "idb")
+                    ).select("ida", "idb", "jac").collect(),
+                )
+            )
+            if base is None:
+                base = verified
+            assert verified == base, f"thr={thr} k={k}"
+            for c in caches:
+                c.unpersist()

@@ -175,3 +175,25 @@ def test_manifest_commit_is_single_object_write(tmp_path):
     doc = json.load(open(os.path.join(p, mf)))
     assert doc["generation"] == g
     assert doc["files"] == [os.path.relpath(f, p)]
+
+
+def test_keep_generations_reader_grace(spark, tmp_path):
+    """keep_generations=2 retains the superseded generation so a
+    concurrent reader holding its file list survives one writer commit."""
+    from fireworks_spark import edge_formats as ef
+
+    p = str(tmp_path / "grace")
+    df1 = spark.createDataFrame([(0, 0, 1.0)], "r long, c long, v double")
+    ef.write_sparse(df1, p, "r", "c", "v", commit_protocol="manifest",
+                    keep_generations=2)
+    old_files = publish.current_files(p)
+    df2 = spark.createDataFrame([(1, 1, 2.0)], "r long, c long, v double")
+    ef.write_sparse(df2, p, "r", "c", "v", commit_protocol="manifest",
+                    keep_generations=2)
+    # newest serves...
+    assert [(x.row, x.col, x.value)
+            for x in ef.read_sparse(spark, p).collect()] == [(1, 1, 2.0)]
+    # ...but the prior generation's files are still on disk for in-flight
+    # readers, and both manifests remain
+    assert all(os.path.exists(f) for f in old_files)
+    assert len(publish._manifests(p)) == 2
