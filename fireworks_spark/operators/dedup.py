@@ -1236,7 +1236,6 @@ def hamming_pairs(
         # signatures — unpersisted, the signature stage (for simhash, a
         # full Python pass over the corpus) would run for each consumer
         dsig = dsig.persist()
-        n = dsig.count()
         bands = dsig.select(
             "_sig", F.explode(band_structs).alias("bd")
         ).select(
@@ -1255,16 +1254,22 @@ def hamming_pairs(
         # measured volume leaves banding's in-memory regime
         # (_BANDING_ROW_BUDGET) or stops genuinely pruning
         # (_BANDING_PRUNE_FACTOR); see the constants for calibration.
-        cand_est = (
+        probe = (
             bands.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(
                 F.coalesce(
                     F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
-                ).alias("p")
+                ).alias("p"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("tot"),
             )
-            .collect()[0]["p"]
+            .collect()[0]
         )
+        cand_est = probe["p"]
+        # every distinct signature posts exactly nb band rows, so the
+        # histogram's row total carries D for free — one probe job, not
+        # a separate count (it also materializes the persist)
+        n = int(probe["tot"]) // nb
         if (
             cand_est > _BANDING_ROW_BUDGET
             or cand_est > n * (n - 1) / 2 / _BANDING_PRUNE_FACTOR

@@ -906,8 +906,52 @@ def q156_sparse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q181_sparse_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest commit protocol end-to-end (fireworks_spark.publish,
+    the object-store-safe alternative to the two-rename swap): TWO
+    manifest-committed generations are written to one table path — a
+    decoy half-corpus first, then the full triplet set — and the read
+    must see ONLY the newest committed generation (a sweep or
+    manifest-resolution defect would double-count or mix generations and
+    flip the aggregate hash). Same oracle as q156: the original parquet
+    re-derives the aggregate."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.edge_formats import read_sparse, write_sparse
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="fw_sparse_m_")
+    try:
+        write_sparse(
+            o.filter(F.col("o_orderkey") % 2 == 0).repartition(2),
+            d, "o_orderkey", "o_custkey", "o_totalprice",
+            commit_protocol="manifest",
+        )
+        write_sparse(
+            o.repartition(4), d, "o_orderkey", "o_custkey", "o_totalprice",
+            commit_protocol="manifest",
+        )
+        back = read_sparse(spark, d)
+        return (
+            back.groupBy((F.col("col") % 7).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("price"),
+                F.sum("row").alias("key_sum"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 DATABASE_QUERIES = {
     "q156_sparse_roundtrip": q156_sparse_roundtrip,
+    "q181_sparse_manifest_roundtrip": q181_sparse_manifest_roundtrip,
     "q151_bucketed_join": q151_bucketed_join,
     "q152_zorder_key": q152_zorder_key,
     "q118_transaction_semantics": q118_transaction_semantics,
@@ -935,6 +979,12 @@ DATABASE_QUERIES = {
 
 DATABASE_ORACLE = {
     "q156_sparse_roundtrip": (
+        "SELECT CAST(o_custkey % 7 AS BIGINT) AS bucket, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) + 0.0 AS price, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+    "q181_sparse_manifest_roundtrip": (
         "SELECT CAST(o_custkey % 7 AS BIGINT) AS bucket, COUNT(*) AS n, "
         "ROUND(SUM(o_totalprice), 2) + 0.0 AS price, "
         "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum "

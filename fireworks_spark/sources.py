@@ -675,6 +675,89 @@ def write_clustal(
     df.select(id_col, seq_col).mapInPandas(_write, "n long").collect()
 
 
+def _parse_sff(buf: bytes) -> list:
+    """Parse one SFF (454 flowgram) container per the public spec
+    (Roche 454 GS 'Genome Sequencer Data Analysis Software Manual',
+    also documented by NCBI's Trace Archive RFC): big-endian, 8-byte
+    aligned; a common header (magic '.sff', version 1, flow chars, key),
+    then one header+data block per read; the optional index block is
+    located by (index_offset, index_length) and skipped. Returns
+    [(name, bases, [qualities])]."""
+    import struct
+
+    if len(buf) < 31 or buf[:4] != b".sff":
+        raise ValueError("read_sff: missing .sff magic number")
+    (ver, index_off, index_len, n_reads, hdr_len, key_len, n_flows,
+     fmt_code) = struct.unpack(">4sQIIHHHB", buf[4:31])
+    if ver != b"\x00\x00\x00\x01" or fmt_code != 1:
+        raise ValueError(
+            f"read_sff: unsupported version/flowgram format "
+            f"({ver!r}, {fmt_code})"
+        )
+    pos = hdr_len  # common header is padded to 8-byte alignment
+    out = []
+    for _ in range(n_reads):
+        if index_off and pos == index_off:
+            pos += index_len
+            pos += (8 - pos % 8) % 8
+        rh_len, name_len, n_bases, _cql, _cqr, _cal, _car = struct.unpack(
+            ">HHIHHHH", buf[pos:pos + 16]
+        )
+        name = buf[pos + 16:pos + 16 + name_len].decode("ascii")
+        dpos = pos + rh_len  # read header padded to 8-byte alignment
+        dpos += 2 * n_flows  # flowgram values (uint16 each) — not kept
+        dpos += n_bases      # flow_index_per_base — not kept
+        bases = buf[dpos:dpos + n_bases].decode("ascii")
+        quals = list(buf[dpos + n_bases:dpos + 2 * n_bases])
+        dpos += 2 * n_bases
+        pos = dpos + (8 - dpos % 8) % 8
+        out.append((name, bases, quals))
+    return out
+
+
+def read_sff(spark: SparkSession, path: str) -> DataFrame:
+    """SFF containers (Bio.SeqIO filetype='sff'): binary whole-file
+    records, one container per task (file-parallel, like the alignment
+    codecs). Columns mirror read_fastq: ids/names/descriptions/sequences/
+    dbxrefs + ``qualities`` as array<int> Phred scores."""
+    import glob as _glob
+    import os as _os
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.sff")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .sff files under {path}")
+
+    def _read(batches):
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, "rb") as fh:
+                    recs = _parse_sff(fh.read())
+                names = [n for n, _, _ in recs]
+                yield pd.DataFrame(
+                    {
+                        "ids": names,
+                        "names": names,
+                        "descriptions": [""] * len(names),
+                        "sequences": [s for _, s, _ in recs],
+                        "dbxrefs": [[] for _ in names],
+                        "qualities": [q for _, _, q in recs],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, sequences string, "
+        "dbxrefs array<string>, qualities array<int>",
+    )
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
@@ -682,9 +765,8 @@ def read_bioseq(
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
     syntactic subset the same record scan parses), fastq, qual, pir,
     genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed and
-    phylip-sequential); other SeqIO formats (abi, sff, ... — binary trace
-    and flowgram containers) need their own binary parses and raise until
-    someone needs them."""
+    phylip-sequential), sff; abi (ABIF binary trace containers) still
+    needs its own binary parse and raises until someone needs it."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -710,9 +792,11 @@ def read_bioseq(
         return read_phylip(spark, path, relaxed=True)
     if ft == "phylip-sequential":
         return read_phylip(spark, path, layout="sequential")
+    if ft == "sff":
+        return read_sff(spark, path)
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
-        "pir, genbank, embl, swiss, tab, clustal and "
-        "phylip(-relaxed/-sequential) have distributed parses "
+        "pir, genbank, embl, swiss, tab, clustal, "
+        "phylip(-relaxed/-sequential) and sff have distributed parses "
         "(reference BioSeqPipe accepts any Bio.SeqIO format)"
     )

@@ -511,3 +511,59 @@ def test_phylip_sequential_multiline(spark, tmp_path):
     # first-block no-sites guard is what catches it
     with pytest.raises(Exception, match="sequential"):
         read_bioseq(spark, str(f), "phylip").collect()
+
+
+def test_sff_binary_container_roundtrip(spark, tmp_path):
+    """SFF (454 flowgram) binary parse against a spec-constructed
+    container: big-endian fields, 8-byte alignment, an index block
+    between reads that must be skipped, and per-read name/bases/Phred
+    arrays."""
+    import struct
+
+    from fireworks_spark.sources import read_bioseq
+
+    def pad8(b):
+        return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+    flows, key = b"TACG" * 2, b"TCAG"
+    reads = [("read_1", "TTAACCGG", [30, 31, 32, 33, 34, 35, 36, 37]),
+             ("r2", "ACGT", [40, 41, 42, 43])]
+
+    def read_block(name, bases, quals):
+        nb = len(bases)
+        hdr = pad8(
+            struct.pack(">HHIHHHH", 0, len(name), nb, 0, 0, 0, 0)
+            + name.encode()
+        )
+        hdr = struct.pack(">H", len(hdr)) + hdr[2:]  # backfill rh_len
+        data = (b"\x00\x01" * len(flows)          # flowgram uint16s
+                + bytes([1] * nb)                  # flow_index_per_base
+                + bases.encode()
+                + bytes(quals))
+        return hdr + pad8(data)
+
+    body = b"".join(read_block(*r) for r in reads[:1])
+    # index block wedged between read 1 and read 2
+    index = pad8(b".srt1.00" + b"\x00" * 7)
+    body2 = read_block(*reads[1])
+
+    common = struct.pack(
+        ">4s4sQIIHHHB",
+        b".sff", b"\x00\x00\x00\x01",
+        0, 0, len(reads), 0, len(key), len(flows), 1,
+    ) + flows + key
+    common = pad8(common)
+    common = common[:8] + struct.pack(">QI", 31 + 1 + len(body), len(index)) + common[20:]
+    common = common[:24] + struct.pack(">H", len(common)) + common[26:]
+
+    # recompute: index sits right after common header + first read block
+    index_off = len(common) + len(body)
+    common = common[:8] + struct.pack(">QI", index_off, len(index)) + common[20:]
+
+    f = tmp_path / "t.sff"
+    f.write_bytes(common + body + index + body2)
+    got = {
+        r.ids: (r.sequences, list(r.qualities))
+        for r in read_bioseq(spark, str(f), "sff").collect()
+    }
+    assert got == {n: (b, q) for n, b, q in reads}
