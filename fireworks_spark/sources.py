@@ -758,6 +758,115 @@ def read_sff(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _parse_abif(buf: bytes, fallback_name: str) -> tuple:
+    """Parse one ABIF trace container per the public Applied Biosystems
+    'ABIF File Format' specification: 'ABIF' magic + int16 version, a
+    root 'tdir' directory entry at offset 6, then 28-byte directory
+    entries (name/number/elementtype/elementsize/numelements/datasize/
+    dataoffset/datahandle, big-endian; payloads of <= 4 bytes are stored
+    INLINE in the dataoffset field). Extracts what Bio.SeqIO's 'abi'
+    parser surfaces as the SeqRecord: base calls (PBAS tag, preferring
+    number 2 — the edited calls — over 1), per-base quality (PCON, same
+    preference), and the sample name (SMPL pString) falling back to the
+    file name. Returns (name, bases, [qualities])."""
+    import struct
+
+    if len(buf) < 34 or buf[:4] != b"ABIF":
+        raise ValueError("read_abi: missing ABIF magic number")
+
+    def entry(off):
+        name, num, etype, esize, nelem, dsize, doff = struct.unpack(
+            ">4sihhii4s", buf[off:off + 24]
+        )
+        payload = doff if dsize <= 4 else None
+        if payload is None:
+            (abs_off,) = struct.unpack(">i", doff)
+            payload = buf[abs_off:abs_off + dsize]
+        else:
+            payload = doff[:dsize]
+        return name.decode("ascii"), num, etype, payload
+
+    # root directory entry sits at offset 6
+    tname, tnum, ttype, tsize, tnelem, tdsize, tdoff, _h = struct.unpack(
+        ">4sihhiiii", buf[6:34]
+    )
+    if tname != b"tdir":
+        raise ValueError("read_abi: root directory entry is not 'tdir'")
+    tags: dict = {}
+    for i in range(tnelem):
+        name, num, etype, payload = entry(tdoff + 28 * i)
+        tags[(name, num)] = (etype, payload)
+
+    def tag(name):
+        for num in (2, 1):
+            if (name, num) in tags:
+                return tags[(name, num)][1]
+        return None
+
+    bases = tag("PBAS")
+    bases = bases.decode("ascii") if bases is not None else ""
+    quals = tag("PCON")
+    quals = list(quals) if quals is not None else []
+    smpl = tags.get(("SMPL", 1))
+    if smpl is not None and len(smpl[1]) >= 1:
+        # pString: first byte is the length
+        name = smpl[1][1:1 + smpl[1][0]].decode("ascii", "replace")
+    else:
+        name = fallback_name
+    return name, bases, quals
+
+
+def read_abi(spark: SparkSession, path: str) -> DataFrame:
+    """ABIF trace containers (Bio.SeqIO filetype='abi'): binary
+    whole-file records, one container per task. Columns mirror
+    read_fastq: ids/names/descriptions/sequences/dbxrefs + ``qualities``
+    as array<int>."""
+    import glob as _glob
+    import os as _os
+
+    files = (
+        sorted(
+            f
+            for pat in ("*.ab1", "*.abi", "*.fsa")
+            for f in _glob.glob(_os.path.join(path, pat))
+        )
+        if _os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no ABIF files under {path}")
+
+    def _read(batches):
+        import os as _os2
+
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, "rb") as fh:
+                    name, bases, quals = _parse_abif(
+                        fh.read(),
+                        _os2.path.splitext(_os2.path.basename(f))[0],
+                    )
+                yield pd.DataFrame(
+                    {
+                        "ids": [name],
+                        "names": [name],
+                        "descriptions": [""],
+                        "sequences": [bases],
+                        "dbxrefs": [[]],
+                        "qualities": [quals],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, sequences string, "
+        "dbxrefs array<string>, qualities array<int>",
+    )
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
@@ -765,8 +874,10 @@ def read_bioseq(
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
     syntactic subset the same record scan parses), fastq, qual, pir,
     genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed and
-    phylip-sequential), sff; abi (ABIF binary trace containers) still
-    needs its own binary parse and raises until someone needs it."""
+    phylip-sequential), sff, abi — the full surface the reference's
+    BioSeqPipe callers exercise; remaining SeqIO formats (nexus,
+    stockholm, ace, ...) raise with this message until someone needs
+    them."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -794,9 +905,11 @@ def read_bioseq(
         return read_phylip(spark, path, layout="sequential")
     if ft == "sff":
         return read_sff(spark, path)
+    if ft == "abi":
+        return read_abi(spark, path)
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
         "pir, genbank, embl, swiss, tab, clustal, "
-        "phylip(-relaxed/-sequential) and sff have distributed parses "
-        "(reference BioSeqPipe accepts any Bio.SeqIO format)"
+        "phylip(-relaxed/-sequential), sff and abi have distributed "
+        "parses (reference BioSeqPipe accepts any Bio.SeqIO format)"
     )

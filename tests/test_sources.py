@@ -92,11 +92,11 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     assert read_bioseq(spark, str(p), "fastq").count() == 3
     import pytest as _pytest
 
-    # the refusal must NAME the five supported formats and the reason
+    # the refusal must NAME the supported formats and the reason
     # (reference BioSeqPipe accepts any SeqIO filetype; ours documents
     # exactly which have distributed parses)
     with _pytest.raises(NotImplementedError) as ei:
-        read_bioseq(spark, str(p), "abi")
+        read_bioseq(spark, str(p), "nexus")
     msg = str(ei.value)
     for fmt in ("fasta", "fasta-2line", "fastq", "qual", "pir", "genbank",
                 "embl", "swiss", "tab"):
@@ -567,3 +567,58 @@ def test_sff_binary_container_roundtrip(spark, tmp_path):
         for r in read_bioseq(spark, str(f), "sff").collect()
     }
     assert got == {n: (b, q) for n, b, q in reads}
+
+
+def test_abi_trace_container_roundtrip(spark, tmp_path):
+    """ABIF parse against a spec-constructed container: big-endian
+    directory entries, <=4-byte payloads stored INLINE in the dataoffset
+    field, PBAS2-over-PBAS1 preference, PCON qualities, SMPL pString
+    sample name."""
+    import struct
+
+    from fireworks_spark.sources import read_bioseq
+
+    def ent(name, num, etype, esize, payload, data_pool, inline=False):
+        if inline or len(payload) <= 4:
+            doff = payload + b"\x00" * (4 - len(payload))
+            off = None
+        else:
+            off = sum(len(d) for d in data_pool)
+            data_pool.append(payload)
+            doff = None
+        return (name, num, etype, esize, payload, doff, off)
+
+    bases = b"ACGTACGTTT"
+    quals = bytes([40, 39, 38, 37, 36, 35, 34, 33, 32, 31])
+    edited = b"ACGTACGTAA"
+    sample = b"\x07sample7"  # pString: length byte + text
+
+    entries = []
+    pool = []
+    entries.append(ent(b"PBAS", 1, 2, 1, bases, pool))
+    entries.append(ent(b"PBAS", 2, 2, 1, edited, pool))
+    entries.append(ent(b"PCON", 2, 1, 1, quals, pool))
+    entries.append(ent(b"SMPL", 1, 18, 1, sample, pool))
+    entries.append(ent(b"LANE", 1, 4, 2, b"\x00\x05", pool, inline=True))
+
+    header = b"ABIF" + struct.pack(">h", 101)
+    # layout: header(6) + tdir(28) + directory + data blocks
+    dir_off = 6 + 28
+    data_off = dir_off + 28 * len(entries)
+    raw = bytearray(header)
+    raw += struct.pack(">4sihhiiii", b"tdir", 1, 1023, 28,
+                       len(entries), 28 * len(entries), dir_off, 0)
+    for name, num, etype, esize, payload, doff, off in entries:
+        if doff is None:
+            doff = struct.pack(">i", data_off + off)
+        raw += (struct.pack(">4sihhii", name, num, etype, esize,
+                            len(payload) // esize, len(payload))
+                + doff + b"\x00\x00\x00\x00")  # + datahandle
+    raw += b"".join(pool)
+
+    f = tmp_path / "trace.ab1"
+    f.write_bytes(bytes(raw))
+    (r,) = read_bioseq(spark, str(f), "abi").collect()
+    assert r.ids == "sample7"
+    assert r.sequences == "ACGTACGTAA"  # PBAS2 preferred over PBAS1
+    assert list(r.qualities) == list(quals)
