@@ -923,6 +923,19 @@ def read_msgpack(spark: SparkSession, path: str) -> DataFrame:
 # unified Message.read / Message.to dispatch
 # --------------------------------------------------------------------------
 
+# write_sparse's exact part-name scheme: the retry/zombie dedup in
+# write_sparse and read_sparse keys on this and must NEVER match a
+# user-named file (part-1-matrixA.npz is user data, not a task attempt).
+_SPARSE_PART_RE = re.compile(r"part-(\d{5})-(?:[0-9a-f]{32}|empty)\.npz\Z")
+
+
+def _sparse_part_pid(name: str) -> str | None:
+    """Partition id when ``name`` matches write_sparse's own part scheme,
+    else None (foreign file — no attempt-dedup applies)."""
+    m = _SPARSE_PART_RE.fullmatch(name)
+    return m.group(1) if m else None
+
+
 def write_sparse(
     df: DataFrame,
     path: str,
@@ -1073,7 +1086,9 @@ def write_sparse(
         # stale duplicates so read_sparse never double-counts.
         by_pid: dict = {}
         for f in sorted(glob.glob(os.path.join(tmp, "*.npz"))):
-            pid = os.path.basename(f).split("-")[1]
+            pid = _sparse_part_pid(os.path.basename(f))
+            if pid is None:
+                continue  # cannot happen in our tmp dir; be precise anyway
             if pid in by_pid:
                 os.remove(f)
             else:
@@ -1135,13 +1150,18 @@ def read_sparse(spark: SparkSession, path: str) -> DataFrame:
         # can land a duplicate part-<pid>-* AFTER write_sparse's own
         # dedup scan; any completed attempt holds identical triplets
         # (parts are written atomically — see _write), so reading the
-        # lexicographically-first per pid never double-counts.
+        # lexicographically-first per pid never double-counts. The dedup
+        # applies ONLY to names matching write_sparse's exact scheme
+        # (part-<5 digits>-<32 hex>.npz) — a hand-assembled directory
+        # whose files merely LOOK part-like (part-1-matrixA.npz,
+        # part-1-matrixB.npz) holds distinct user data, and every such
+        # file is read.
         by_pid: dict = {}
         extra = []
         for f in sorted(glob.glob(os.path.join(path, "*.npz"))):
-            name = os.path.basename(f)
-            if name.startswith("part-") and name.count("-") >= 2:
-                by_pid.setdefault(name.split("-")[1], f)
+            pid = _sparse_part_pid(os.path.basename(f))
+            if pid is not None:
+                by_pid.setdefault(pid, f)
             else:  # foreign (e.g. scipy save_npz) file: no pid scheme
                 extra.append(f)
         files = sorted(by_pid.values()) + extra

@@ -1074,6 +1074,7 @@ def _blocked_hamming_sig_pairs(
     dsig: DataFrame,
     max_hamming: int,
     block_size: int = 4096,
+    n: int | None = None,
 ) -> DataFrame:
     """All (sha < shb) DISTINCT-signature pairs with Hamming <= max_hamming
     via a distributed blocked XOR-popcount — the exact analog of
@@ -1090,11 +1091,14 @@ def _blocked_hamming_sig_pairs(
     import pandas as pd
 
     spark = dsig.sparkSession
-    # persisted BEFORE the sizing count: without it the count job and the
-    # pair job each recompute the distinct aggregation AND its upstream
-    # (e.g. simhash64's Python stage) — the most expensive pass runs twice
-    dsig = dsig.persist()
-    n = dsig.count()
+    if n is None:
+        # persisted BEFORE the sizing count: without it the count job and
+        # the pair job each recompute the distinct aggregation AND its
+        # upstream (e.g. simhash64's Python stage) — the most expensive
+        # pass runs twice. Callers that already persisted dsig and
+        # measured D (hamming_pairs' routing probe) pass n to skip both.
+        dsig = dsig.persist()
+        n = dsig.count()
     _quadratic_guard(
         n,
         "hamming_pairs (blocked all-pairs route)",
@@ -1274,7 +1278,9 @@ def hamming_pairs(
             cand_est > _BANDING_ROW_BUDGET
             or cand_est > n * (n - 1) / 2 / _BANDING_PRUNE_FACTOR
         ):
-            sig_pairs = _blocked_hamming_sig_pairs(dsig, max_hamming)
+            # n passed through: the histogram above already measured D
+            # on the persisted dsig — no second cache-scan count job
+            sig_pairs = _blocked_hamming_sig_pairs(dsig, max_hamming, n=n)
         else:
             a = bands.select(
                 F.col("_sig").alias("sha"), "band_idx", "band_key"

@@ -38,6 +38,7 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 
 
@@ -116,7 +117,9 @@ def has_manifest(path: str) -> bool:
 def sweep_generations(path: str, keep: int = 1) -> None:
     """Remove data dirs and manifests of all but the newest ``keep``
     committed generations, plus any UNCOMMITTED gen-* dir older than the
-    newest committed one (a crashed writer's orphan). The newest
+    newest committed one (a crashed writer's orphan), plus any aged
+    dot-hidden staged manifest the committed history has caught up to (a
+    writer that died between staging and renaming). The newest
     generation is never touched."""
     ms = sorted(_manifests(path))
     if not ms:
@@ -151,3 +154,20 @@ def sweep_generations(path: str, keep: int = 1) -> None:
             continue
         if base not in live_dirs and gen <= newest:
             shutil.rmtree(d, ignore_errors=True)
+    # A writer that died BETWEEN staging and renaming its manifest leaks
+    # the dot-hidden ._manifest-*.json forever (readers never see it, but
+    # nothing else removes it). Sweep staged manifests for generations the
+    # committed history has caught up to — with an age grace so a
+    # concurrent writer's milliseconds-old staging (stage -> rename is one
+    # commit_generation call) is never yanked mid-commit.
+    for s in glob.glob(os.path.join(path, "._manifest-*.json")):
+        try:
+            gen = int(os.path.basename(s).split("-")[1])
+            aged = time.time() - os.path.getmtime(s) > 60
+        except (IndexError, ValueError, OSError):
+            continue
+        if gen <= newest and aged:
+            try:
+                os.remove(s)
+            except OSError:
+                pass

@@ -558,12 +558,20 @@ def _parse_clustal(text: str) -> list:
         name = name_field[0]
         rest = name_field[1] if len(name_field) > 1 else ""
         # strip the trailing cumulative-count column some writers emit —
-        # but ONLY when it follows a sequence chunk: a lone all-digit
-        # token IS the chunk (hex/md5-alphabet alignments can produce
-        # digit-only chunks; eating them truncates sequences silently)
+        # but ONLY when it follows a sequence chunk AND its value equals
+        # the cumulative residue count for this taxon after the line (the
+        # defining property of the count column). A lone all-digit token
+        # IS the chunk, and an all-digit residue group over a hex/numeric
+        # alphabet fails the cumulative check — eating either would
+        # truncate sequences silently.
         toks = rest.split()
         if len(toks) >= 2 and toks[-1].isdigit():
-            toks = toks[:-1]
+            prior = sum(len(c) for c in chunks.get(name, ()))
+            lineres = sum(len(t) for t in toks[:-1])
+            # clustalw counts cumulatively; some writers count per line —
+            # accept either, reject anything else as residue data
+            if int(toks[-1]) in (prior + lineres, lineres):
+                toks = toks[:-1]
         seq = "".join(toks)
         if not seq:
             continue
@@ -582,6 +590,65 @@ def read_clustal(spark: SparkSession, path: str) -> DataFrame:
     return _alignment_read(spark, path, _parse_clustal)
 
 
+def _aln_part_pid(name: str):
+    """Partition id when ``name`` matches the alignment writers' exact
+    part scheme (the retry/zombie dedup keys on it), else None."""
+    import re
+
+    m = re.fullmatch(r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln)\Z", name)
+    return m.group(1) if m else None
+
+
+def _publish_alignment_dir(job, path: str) -> None:
+    """Write-then-swap publication shared by write_phylip/write_clustal —
+    the same protocol as edge_formats.write_sparse's rename path. ``job``
+    runs the Spark write INTO a fresh staging directory and returns the
+    per-task written-row counts; on success the staging dir atomically
+    replaces ``path`` (a rerun REPLACES the previous output instead of
+    appending a second set of uuid-named parts, and a mid-job failure
+    leaves the previous output untouched). Retried/speculative task
+    attempts leave duplicate part-<pid>-* files; exactly one per pid
+    survives (any completed attempt holds the identical alignment). The
+    part-count-vs-writer check catches a non-shared filesystem loudly."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    try:
+        task_rows = job(tmp)
+        writers = sum(1 for n in task_rows if n > 0)
+        by_pid: dict = {}
+        for f in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+            pid = _aln_part_pid(os.path.basename(f))
+            if pid is None:
+                continue
+            if pid in by_pid:
+                os.remove(f)
+            else:
+                by_pid[pid] = f
+        if len(by_pid) != writers:
+            raise RuntimeError(
+                f"alignment write: {writers} tasks reported records but "
+                f"parts from {len(by_pid)} distinct partitions landed in "
+                f"{tmp} — driver and executors do not share this "
+                "filesystem (see edge_formats.write_sparse's filesystem "
+                "contract)"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def write_phylip(
     df: DataFrame,
     path: str,
@@ -592,44 +659,56 @@ def write_phylip(
     sequential-format ``part-*.phy`` alignment under ``path`` (names
     padded/truncated to the strict 10 columns; all sequences in one file
     must share a length — PHYLIP is an ALIGNMENT format, enforced per
-    file). The read side reassembles partition files into one frame."""
-    import os
+    file). The read side reassembles partition files into one frame.
+    Publication is write-then-swap (:func:`_publish_alignment_dir`): a
+    rerun replaces the previous output; a failed job leaves it intact."""
 
-    os.makedirs(path, exist_ok=True)
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
 
-    def _write(batches):
-        import os as _os
-        import uuid
+            import pandas as pd
+            from pyspark import TaskContext
 
-        import pandas as pd
-        from pyspark import TaskContext
-
-        rows = []
-        for b in batches:
-            rows += list(zip(b[id_col].astype(str), b[seq_col].astype(str)))
-        if rows:
-            ln = {len(s) for _, s in rows}
-            if len(ln) != 1:
-                raise ValueError(
-                    "write_phylip: sequences in one alignment must share "
-                    f"a length, got lengths {sorted(ln)[:5]}"
+            rows = []
+            for b in batches:
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str))
                 )
-            pid = TaskContext.get().partitionId()
-            fname = _os.path.join(
-                path, f"part-{pid:05d}-{uuid.uuid4().hex}.phy"
-            )
-            with open(fname, "w", encoding="utf-8") as fh:
-                fh.write(f" {len(rows)} {ln.pop()}\n")
-                for name, seq in rows:
-                    if len(name) > 10:
-                        raise ValueError(
-                            f"write_phylip: strict names cap at 10 chars: "
-                            f"{name!r}"
-                        )
-                    fh.write(f"{name:<10}{seq}\n")
-        yield pd.DataFrame({"n": [len(rows)]})
+            if rows:
+                ln = {len(s) for _, s in rows}
+                if len(ln) != 1:
+                    raise ValueError(
+                        "write_phylip: sequences in one alignment must "
+                        f"share a length, got lengths {sorted(ln)[:5]}"
+                    )
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.phy"
+                # dot-prefixed scratch + rename: a task killed mid-write
+                # must never leave a visible truncated part (the pid
+                # dedup could keep it over a completed retry's file)
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    fh.write(f" {len(rows)} {ln.pop()}\n")
+                    for name, seq in rows:
+                        if len(name) > 10:
+                            raise ValueError(
+                                "write_phylip: strict names cap at 10 "
+                                f"chars: {name!r}"
+                            )
+                        fh.write(f"{name:<10}{seq}\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
 
-    df.select(id_col, seq_col).mapInPandas(_write, "n long").collect()
+        return [
+            r["n"]
+            for r in df.select(id_col, seq_col)
+            .mapInPandas(_write, "n long")
+            .collect()
+        ]
+
+    _publish_alignment_dir(job, path)
 
 
 def write_clustal(
@@ -640,39 +719,50 @@ def write_clustal(
     wrap: int = 60,
 ) -> None:
     """Distributed CLUSTAL write: each partition becomes one ``part-*.aln``
-    alignment under ``path``, chunked at ``wrap`` sites per block."""
-    import os
+    alignment under ``path``, chunked at ``wrap`` sites per block.
+    Publication is write-then-swap (:func:`_publish_alignment_dir`): a
+    rerun replaces the previous output; a failed job leaves it intact."""
 
-    os.makedirs(path, exist_ok=True)
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
 
-    def _write(batches):
-        import os as _os
-        import uuid
+            import pandas as pd
+            from pyspark import TaskContext
 
-        import pandas as pd
-        from pyspark import TaskContext
+            rows = []
+            for b in batches:
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str))
+                )
+            if rows:
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.aln"
+                width = max(len(n) for n, _ in rows) + 4
+                longest = max(len(s) for _, s in rows)
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    fh.write(
+                        "CLUSTAL W (1.0) multiple sequence alignment\n"
+                    )
+                    for off in range(0, longest, wrap):
+                        fh.write("\n")
+                        for name, seq in rows:
+                            chunk = seq[off:off + wrap]
+                            if chunk:
+                                fh.write(f"{name:<{width}}{chunk}\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
 
-        rows = []
-        for b in batches:
-            rows += list(zip(b[id_col].astype(str), b[seq_col].astype(str)))
-        if rows:
-            pid = TaskContext.get().partitionId()
-            fname = _os.path.join(
-                path, f"part-{pid:05d}-{uuid.uuid4().hex}.aln"
-            )
-            width = max(len(n) for n, _ in rows) + 4
-            longest = max(len(s) for _, s in rows)
-            with open(fname, "w", encoding="utf-8") as fh:
-                fh.write("CLUSTAL W (1.0) multiple sequence alignment\n")
-                for off in range(0, longest, wrap):
-                    fh.write("\n")
-                    for name, seq in rows:
-                        chunk = seq[off:off + wrap]
-                        if chunk:
-                            fh.write(f"{name:<{width}}{chunk}\n")
-        yield pd.DataFrame({"n": [len(rows)]})
+        return [
+            r["n"]
+            for r in df.select(id_col, seq_col)
+            .mapInPandas(_write, "n long")
+            .collect()
+        ]
 
-    df.select(id_col, seq_col).mapInPandas(_write, "n long").collect()
+    _publish_alignment_dir(job, path)
 
 
 def _parse_sff(buf: bytes) -> list:

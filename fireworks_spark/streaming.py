@@ -777,18 +777,13 @@ def maintain_rollup_table(
             "_mk",
             F.concat_ws("|", F.col("bucket").cast("string"), F.col(key_col)),
         )
-        cur = (
-            read_rollup_table(spark, table_path)
-            if commit_protocol == "manifest"
-            else (
-                spark.read.parquet(table_path)
-                if os.path.isdir(table_path)
-                and any(
-                    f.endswith(".parquet") for f in os.listdir(table_path)
-                )
-                else None
-            )
-        )
+        # read_rollup_table resolves the upsert base for EITHER protocol —
+        # in particular, a table previously maintained with
+        # commit_protocol="manifest" and now run with "rename" must read
+        # only the committed generation (a flat directory read would also
+        # see superseded generations and resurrect stale windows); the
+        # rename swap below then converts the table to flat layout.
+        cur = read_rollup_table(spark, table_path)
         if cur is not None:
             cur = cur.withColumn(
                 "_mk",

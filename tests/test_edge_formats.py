@@ -406,7 +406,7 @@ def test_sparse_parts_atomic_and_zombie_safe(spark, tmp_path):
     # attempt uuid, landed after the job's dedup scan ran
     pid0 = parts[0]
     pid = os.path.basename(pid0).split("-")[1]
-    shutil.copy(pid0, os.path.join(p, f"part-{pid}-zzzzzombie.npz"))
+    shutil.copy(pid0, os.path.join(p, f"part-{pid}-{'f' * 32}.npz"))
     # plus a truncated scratch file a killed attempt would strand —
     # dot-prefixed, so no *.npz glob may ever see it
     with open(os.path.join(p, f".part-{pid}-killed.npz"), "wb") as f:
@@ -430,3 +430,27 @@ def test_sparse_parts_atomic_and_zombie_safe(spark, tmp_path):
         data=np.array([7.0]),
     )
     assert ef.read_sparse(spark, p2).collect()[0].value == 7.0
+
+
+def test_sparse_user_partlike_names_not_deduped(spark, tmp_path):
+    """The one-part-per-pid dedup applies ONLY to write_sparse's exact
+    name scheme (part-<5 digits>-<32 hex>.npz). A hand-assembled
+    directory whose files merely LOOK part-like holds distinct user
+    matrices — every file must be read, none silently dropped."""
+    import os
+
+    import numpy as np
+
+    p = str(tmp_path / "handmade")
+    os.makedirs(p)
+    for name, val in [("part-1-matrixA.npz", 1.0), ("part-1-matrixB.npz", 2.0)]:
+        np.savez_compressed(
+            os.path.join(p, name),
+            format=np.array(b"coo"),
+            shape=np.array([4, 4], dtype=np.int64),
+            row=np.array([0], dtype=np.int64),
+            col=np.array([0], dtype=np.int64),
+            data=np.array([val]),
+        )
+    vals = sorted(x.value for x in ef.read_sparse(spark, p).collect())
+    assert vals == [1.0, 2.0]

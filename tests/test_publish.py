@@ -197,3 +197,38 @@ def test_keep_generations_reader_grace(spark, tmp_path):
     # readers, and both manifests remain
     assert all(os.path.exists(f) for f in old_files)
     assert len(publish._manifests(p)) == 2
+
+
+def test_staged_manifest_leak_swept(tmp_path):
+    """A writer that dies BETWEEN staging and renaming its manifest leaks
+    the dot-hidden ._manifest-*.json; the next successful commit's sweep
+    removes aged leaks the committed history has caught up to, while a
+    fresh staged file (a concurrent writer mid-commit) is left alone."""
+    import time
+
+    p = str(tmp_path / "tbl")
+    g1, d1 = publish.new_generation(p)
+    f1 = os.path.join(d1, "a.parquet")
+    open(f1, "w").write("x")
+    publish.commit_generation(p, g1, d1, [f1])
+
+    # leaked: staged for gen 2, writer died pre-rename, 2 minutes ago
+    leaked = os.path.join(p, "._manifest-00000002-deadbeef.json")
+    open(leaked, "w").write(json.dumps({"generation": 2, "files": []}))
+    past = time.time() - 120
+    os.utime(leaked, (past, past))
+    # fresh: a concurrent writer staging gen 2 RIGHT NOW
+    fresh = os.path.join(p, "._manifest-00000002-cafebabe.json")
+    open(fresh, "w").write(json.dumps({"generation": 2, "files": []}))
+
+    # readers never see staged files either way
+    assert publish.current_files(p) == [f1]
+
+    g2, d2 = publish.new_generation(p)
+    f2 = os.path.join(d2, "b.parquet")
+    open(f2, "w").write("y")
+    publish.commit_generation(p, g2, d2, [f2])
+
+    assert not os.path.exists(leaked)  # aged + caught-up: swept
+    assert os.path.exists(fresh)  # fresh: never yanked mid-commit
+    assert publish.current_files(p) == [f2]

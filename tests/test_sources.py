@@ -622,3 +622,77 @@ def test_abi_trace_container_roundtrip(spark, tmp_path):
     assert r.ids == "sample7"
     assert r.sequences == "ACGTACGTAA"  # PBAS2 preferred over PBAS1
     assert list(r.qualities) == list(quals)
+
+
+def test_alignment_write_rerun_replaces_and_failure_preserves(spark, tmp_path):
+    """Reviewed r10: the alignment writers publish write-then-swap. A
+    rerun into the same path REPLACES the previous parts (uuid-named
+    appends would silently double every record on read), and a job that
+    fails mid-write leaves the previous committed output untouched."""
+    import pytest
+
+    from fireworks_spark import sources as src
+
+    rows = [(f"id{i}", "ACGT" * 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "ids string, sequences string")
+    p = str(tmp_path / "phy")
+    src.write_phylip(df.repartition(3), p)
+    src.write_phylip(df.repartition(3), p)  # rerun: the overwrite idiom
+    got = [(r.ids, r.sequences) for r in src.read_phylip(spark, p).collect()]
+    assert sorted(got) == sorted(rows)  # each taxon exactly once
+
+    # a failing rerun (strict 10-char name check raises in-task) must not
+    # corrupt the committed output
+    bad = spark.createDataFrame(
+        [("waytoolongname", "ACGTACGTACGT")], "ids string, sequences string"
+    )
+    with pytest.raises(Exception, match="10"):
+        src.write_phylip(bad, p)
+    got = [(r.ids, r.sequences) for r in src.read_phylip(spark, p).collect()]
+    assert sorted(got) == sorted(rows)
+
+    p2 = str(tmp_path / "aln")
+    src.write_clustal(df.repartition(3), p2, wrap=5)
+    src.write_clustal(df.repartition(3), p2, wrap=5)
+    got2 = [
+        (r.ids, r.sequences) for r in src.read_clustal(spark, p2).collect()
+    ]
+    assert sorted(got2) == sorted(rows)
+
+
+def test_clustal_count_column_conventions(spark, tmp_path):
+    """The trailing-count strip fires only when the digit token equals the
+    taxon's cumulative residue count (clustalw) or the line's own count
+    (per-line writers). A multi-token line whose LAST residue group is
+    all digits — hex/numeric alphabets — fails both checks and is kept."""
+    from fireworks_spark.sources import read_bioseq
+
+    # cumulative counts (clustalw convention): 10, then 20
+    f1 = tmp_path / "cum.aln"
+    f1.write_text(
+        "CLUSTAL W (1.0) multiple sequence alignment\n\n"
+        "tax1   ACGTACGTAC 10\n\n"
+        "tax1   ACGTACGTAC 20\n"
+    )
+    (r,) = read_bioseq(spark, str(f1), "clustal").collect()
+    assert r.sequences == "ACGTACGTACACGTACGTAC"
+
+    # per-line counts: 10 on both blocks
+    f2 = tmp_path / "line.aln"
+    f2.write_text(
+        "CLUSTAL W (1.0) multiple sequence alignment\n\n"
+        "tax1   ACGTACGTAC 10\n\n"
+        "tax1   ACGTACGTAC 10\n"
+    )
+    (r,) = read_bioseq(spark, str(f2), "clustal").collect()
+    assert r.sequences == "ACGTACGTACACGTACGTAC"
+
+    # all-digit final residue group, space-grouped hex writer, no count
+    # column: 33BFFAB4F3 + 5383537159 are BOTH sequence data
+    f3 = tmp_path / "hex.aln"
+    f3.write_text(
+        "CLUSTAL W (1.0) multiple sequence alignment\n\n"
+        "d96   33BFFAB4F3 5383537159\n"
+    )
+    (r,) = read_bioseq(spark, str(f3), "clustal").collect()
+    assert r.sequences == "33BFFAB4F35383537159"
