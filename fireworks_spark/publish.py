@@ -160,13 +160,22 @@ def sweep_generations(path: str, keep: int = 1) -> None:
     # committed history has caught up to — with an age grace so a
     # concurrent writer's milliseconds-old staging (stage -> rename is one
     # commit_generation call) is never yanked mid-commit.
+    # Two independent safety rails on the staged sweep: (a) only staged
+    # manifests whose generation is STRICTLY below the newest committed
+    # one — a writer that stalls between stage and rename still owns the
+    # newest+1 (or a contended newest) generation, and yanking its staging
+    # would make its commit_generation rename fail ENOENT; a staged
+    # manifest for an already-superseded generation can never commit
+    # usefully. (b) a wide mtime grace (10 min, not seconds) so GC pauses,
+    # NFS latency or server-side mtime skew on a *current*-generation
+    # writer can't be mistaken for death either.
     for s in glob.glob(os.path.join(path, "._manifest-*.json")):
         try:
             gen = int(os.path.basename(s).split("-")[1])
-            aged = time.time() - os.path.getmtime(s) > 60
+            aged = time.time() - os.path.getmtime(s) > 600
         except (IndexError, ValueError, OSError):
             continue
-        if gen <= newest and aged:
+        if gen < newest and aged:
             try:
                 os.remove(s)
             except OSError:

@@ -386,6 +386,24 @@ def _alignment_read(spark: SparkSession, path: str, parse) -> DataFrame:
         if _os.path.isdir(path)
         else [path]
     )
+    # Read-side retry/zombie dedup, mirroring read_sparse: a speculative
+    # or zombie task attempt that renames its part VISIBLE after
+    # _publish_alignment_dir's write-side scan leaves two part-<pid>-*
+    # files for one partition; without this, every taxon of that
+    # partition is read twice. Keep the lexicographically-first file per
+    # pid (files is sorted; any completed attempt holds the identical
+    # alignment) for names matching the writers' exact part scheme, and
+    # read all non-matching files as-is.
+    seen_pids: set = set()
+    kept = []
+    for f in files:
+        pid = _aln_part_pid(_os.path.basename(f))
+        if pid is not None:
+            if pid in seen_pids:
+                continue
+            seen_pids.add(pid)
+        kept.append(f)
+    files = kept
     if not files:
         raise FileNotFoundError(f"no alignment files under {path}")
 
@@ -566,11 +584,26 @@ def _parse_clustal(text: str) -> list:
         # truncate sequences silently.
         toks = rest.split()
         if len(toks) >= 2 and toks[-1].isdigit():
-            prior = sum(len(c) for c in chunks.get(name, ()))
-            lineres = sum(len(t) for t in toks[:-1])
-            # clustalw counts cumulatively; some writers count per line —
-            # accept either, reject anything else as residue data
-            if int(toks[-1]) in (prior + lineres, lineres):
+            # ClustalW SEQNOS counts RESIDUES — gap characters ('-', '.')
+            # are excluded — so a gapped line's count must be checked
+            # against gap-free totals or the count is misread as residue
+            # data and appended to the sequence. Some writers count
+            # alignment COLUMNS (gaps included) and some count per line
+            # instead of cumulatively; accept any of the four
+            # conventions, reject everything else as residue data.
+            def _res(s: str) -> int:
+                return len(s) - s.count("-") - s.count(".")
+
+            prior_all = sum(len(c) for c in chunks.get(name, ()))
+            prior_res = sum(_res(c) for c in chunks.get(name, ()))
+            line_all = sum(len(t) for t in toks[:-1])
+            line_res = sum(_res(t) for t in toks[:-1])
+            if int(toks[-1]) in {
+                prior_res + line_res,
+                line_res,
+                prior_all + line_all,
+                line_all,
+            }:
                 toks = toks[:-1]
         seq = "".join(toks)
         if not seq:

@@ -202,8 +202,10 @@ def test_keep_generations_reader_grace(spark, tmp_path):
 def test_staged_manifest_leak_swept(tmp_path):
     """A writer that dies BETWEEN staging and renaming its manifest leaks
     the dot-hidden ._manifest-*.json; the next successful commit's sweep
-    removes aged leaks the committed history has caught up to, while a
-    fresh staged file (a concurrent writer mid-commit) is left alone."""
+    removes aged leaks for generations STRICTLY below the newest committed
+    one, while a fresh staged file (a concurrent writer mid-commit) and
+    any staged file at the newest generation — even an old one, since a
+    stalled-but-alive writer may still own it — are left alone."""
     import time
 
     p = str(tmp_path / "tbl")
@@ -212,10 +214,11 @@ def test_staged_manifest_leak_swept(tmp_path):
     open(f1, "w").write("x")
     publish.commit_generation(p, g1, d1, [f1])
 
-    # leaked: staged for gen 2, writer died pre-rename, 2 minutes ago
+    # leaked: staged for gen 2, writer died pre-rename, 12 minutes ago
+    # (past the 10-minute grace)
     leaked = os.path.join(p, "._manifest-00000002-deadbeef.json")
     open(leaked, "w").write(json.dumps({"generation": 2, "files": []}))
-    past = time.time() - 120
+    past = time.time() - 720
     os.utime(leaked, (past, past))
     # fresh: a concurrent writer staging gen 2 RIGHT NOW
     fresh = os.path.join(p, "._manifest-00000002-cafebabe.json")
@@ -229,6 +232,15 @@ def test_staged_manifest_leak_swept(tmp_path):
     open(f2, "w").write("y")
     publish.commit_generation(p, g2, d2, [f2])
 
-    assert not os.path.exists(leaked)  # aged + caught-up: swept
-    assert os.path.exists(fresh)  # fresh: never yanked mid-commit
-    assert publish.current_files(p) == [f2]
+    # newest committed == 2: the aged gen-2 leak is NOT strictly below it,
+    # so it survives (a >10-min-stalled gen-2 writer could still be alive)
+    assert os.path.exists(leaked)
+
+    g3, d3 = publish.new_generation(p)
+    f3 = os.path.join(d3, "c.parquet")
+    open(f3, "w").write("z")
+    publish.commit_generation(p, g3, d3, [f3])
+
+    assert not os.path.exists(leaked)  # aged + strictly superseded: swept
+    assert os.path.exists(fresh)  # fresh mtime: never yanked mid-commit
+    assert publish.current_files(p) == [f3]

@@ -696,3 +696,73 @@ def test_clustal_count_column_conventions(spark, tmp_path):
     )
     (r,) = read_bioseq(spark, str(f3), "clustal").collect()
     assert r.sequences == "33BFFAB4F35383537159"
+
+
+def test_clustal_gapped_seqnos_stripped(spark, tmp_path):
+    """ADVICE r10 (high): ClustalW SEQNOS counts RESIDUES, excluding gap
+    characters — a gapped line like 'tax1 ACGT-ACGTC 9' must strip the
+    count (9 = 10 columns minus 1 gap), not append it to the sequence.
+    Cumulative gapless counts across blocks must strip too, and writers
+    that count alignment COLUMNS (gaps included) keep working."""
+    from fireworks_spark.sources import read_bioseq
+
+    # gapless residue counts, cumulative (the clustalw convention):
+    # block 1 has 9 residues in 10 columns; block 2 adds 6 in 9 columns
+    f = tmp_path / "gap.aln"
+    f.write_text(
+        "CLUSTAL W (1.83) multiple sequence alignment\n\n"
+        "tax1   ACGT-ACGTC 9\n"
+        "tax2   ACGTAACGTC 10\n\n"
+        "tax1   AC.--CGTC 15\n"
+        "tax2   ACGTACGTC 19\n"
+    )
+    got = {
+        r.ids: r.sequences
+        for r in read_bioseq(spark, str(f), "clustal").collect()
+    }
+    assert got == {
+        "tax1": "ACGT-ACGTCAC.--CGTC",
+        "tax2": "ACGTAACGTCACGTACGTC",
+    }
+
+    # column counts (gaps included) still accepted: 10 columns, 1 gap
+    f2 = tmp_path / "col.aln"
+    f2.write_text(
+        "CLUSTAL W (1.83) multiple sequence alignment\n\n"
+        "tax1   ACGT-ACGTC 10\n"
+    )
+    (r,) = read_bioseq(spark, str(f2), "clustal").collect()
+    assert r.sequences == "ACGT-ACGTC"
+
+
+def test_alignment_read_dedups_zombie_part_attempts(spark, tmp_path):
+    """ADVICE r10 (medium): a zombie/speculative task attempt that renames
+    its part file visible AFTER _publish_alignment_dir's write-side scan
+    leaves two part-<pid>-* files for one partition. The read side keeps
+    only the lexicographically-first file per pid (any completed attempt
+    holds the identical alignment), so no taxon is read twice; files
+    outside the writers' exact part scheme are read as-is."""
+    import glob
+    import os
+    import shutil
+
+    from fireworks_spark import sources as src
+
+    rows = [(f"id{i}", "ACGT" * 3) for i in range(6)]
+    df = spark.createDataFrame(rows, "ids string, sequences string")
+    p = str(tmp_path / "phy")
+    src.write_phylip(df.repartition(2), p)
+    parts = sorted(glob.glob(os.path.join(p, "part-*.phy")))
+    assert len(parts) == 2
+    # simulate the zombie attempt: same pid, different attempt uuid
+    pid = os.path.basename(parts[0]).split("-")[1]
+    zombie = os.path.join(p, f"part-{pid}-{'f' * 32}.phy")
+    shutil.copy(parts[0], zombie)
+    got = [(r.ids, r.sequences) for r in src.read_phylip(spark, p).collect()]
+    assert sorted(got) == sorted(rows)  # each taxon exactly once
+
+    # a non-part-scheme file in the dir is NOT deduped away
+    extra = os.path.join(p, "extra.phy")
+    shutil.copy(parts[1], extra)
+    got2 = src.read_phylip(spark, p).count()
+    assert got2 == len(rows) + 3  # parts[1] holds 3 of the 6 taxa
