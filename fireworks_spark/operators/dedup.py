@@ -321,25 +321,23 @@ def _prefix_candidate_stats(
     lifesaver: at t=0.5 the k=1 candidates are a flood of
     share-exactly-one-shingle pairs that the verify stage then drowns in.
 
-    Returns (cand, stats, caches): cand = (ida, idb, _common) where _common
-    counts the candidate join's surviving collision rows (an exact lower
-    bound on |A∩B|); stats = (_id, _sz, _hot) where _hot =
-    max(ceil(t'*_sz) - k, 0) is the per-document count of non-posted
-    shingles, closed-form from the size — no extra aggregation.
+    Returns (cand, stats, caches): cand = (ida, idb, _common) where
+    _common is the EXACT count of shared shingles inside both documents'
+    extended prefixes — at every k, including k=1, where the PPJoin
+    positional filter runs as a pair-survival test inside the aggregate
+    so it can no longer thin the count (r10 verdict #4); stats =
+    (_id, _sz, _hot) where _hot = max(ceil(t'*_sz) - k, 0) is the
+    per-document count of non-posted shingles, closed-form from the
+    size — no extra aggregation.
 
-    On the caller's prune bound |A∩B| <= _common + _hotA + _hotB: for
-    k > 1 this bound is exact (every shared shingle is either counted in
-    _common or outside one of the two extended prefixes, covered by the
-    allowances). For k = 1 it is NOT tight as written, because the PPJoin
-    positional filter also drops collision rows of TRUE pairs that are
-    not the order-earliest collision, which the allowances do NOT account
-    for. The prune in jaccard_pairs stays safe anyway: any surviving true
-    pair has _common >= 1 (its earliest collision row always passes the
-    positional filter), and _hotA + _hotB already nearly reaches
-    t'*max(|A|,|B|) on its own, so the bound is vacuous for every true
-    pair. Do NOT tighten the k=1 allowance based on a per-shingle
-    counting argument — compute _common before the positional filter
-    first, or false negatives appear.
+    The caller's prune bound |A∩B| <= _common + _hotA + _hotB is EXACT
+    for every k: each shared shingle is either inside both extended
+    prefixes (counted in _common — a shared shingle has df >= 2, so the
+    df=1 drop never loses one) or outside at least one prefix (covered
+    by that document's _hot allowance). The bound may therefore be
+    tightened freely; test_prefix_common_counts_all_collisions pins a
+    pair the pre-fix earliest-collision undercount would drop under a
+    tightened allowance.
     """
     t = threshold - 0.0005  # match the verify stage's rounding slack
     if k is None:
@@ -375,25 +373,38 @@ def _prefix_candidate_stats(
         F.least("_qa", "_qb") >= F.lit(t) * F.greatest("_qa", "_qb")
     )
     if k == 1:
-        # PPJoin positional filter (Xiao et al., WWW'08), per JOIN ROW
-        # before the pair groupBy: J >= t needs overlap
-        # c >= t(|A|+|B|)/(1+t), and for the ORDER-EARLIEST common
-        # element at positions (pa, pb) every other common element sits
-        # after it in BOTH lists, so c <= 1 + min(|A|-pa, |B|-pb). A row
-        # failing that bound cannot be a pair's earliest collision — and
-        # each qualifying pair's earliest collision row always passes —
-        # so dropping such rows loses no pair (it only thins duplicate
-        # evidence, making _common a lower bound, which it already is).
-        # ONLY valid at k=1: for k > 1 the count filter below needs ALL
-        # collision rows of a true pair, and this filter thins them.
+        # PPJoin positional filter (Xiao et al., WWW'08), applied as a
+        # pair-SURVIVAL test inside the aggregate rather than a row
+        # filter before it: J >= t needs overlap c >= t(|A|+|B|)/(1+t),
+        # and for the ORDER-EARLIEST common element at positions
+        # (pa, pb) every other common element sits after it in BOTH
+        # lists, so c <= 1 + min(|A|-pa, |B|-pb). A pair with NO row
+        # passing that bound cannot reach the threshold (its earliest
+        # collision row would have passed), so dropping such pairs loses
+        # nothing. _common deliberately counts ALL collision rows — not
+        # just positional survivors — so it is the EXACT count of shared
+        # shingles inside both prefixes, and the caller's prune bound
+        # |A∩B| <= _common + _hotA + _hotB is exact for every k (each
+        # shared shingle is either inside both prefixes, counted here,
+        # or outside at least one, covered by that document's _hot
+        # allowance; df=1 shingles cannot be shared). Filtering rows
+        # FIRST would undercount _common for true pairs whose later
+        # collisions fail the positional bound — safe only while the
+        # allowance stays loose, and one tightening away from silent
+        # recall loss (r10 verdict #4).
         alpha = F.lit(t) * (F.col("_qa") + F.col("_qb")) / F.lit(1.0 + t)
+        pos_ok = (
+            1 + F.least(F.col("_qa") - F.col("_pa"),
+                        F.col("_qb") - F.col("_pb"))
+        ) >= alpha
         cand = (
-            joined.filter(
-                1 + F.least(F.col("_qa") - F.col("_pa"),
-                            F.col("_qb") - F.col("_pb")) >= alpha
+            joined.groupBy("ida", "idb")
+            .agg(
+                F.count(F.lit(1)).alias("_common"),
+                F.max(pos_ok.cast("int")).alias("_pos"),
             )
-            .groupBy("ida", "idb")
-            .agg(F.count(F.lit(1)).alias("_common"))
+            .filter(F.col("_pos") == 1)
+            .select("ida", "idb", "_common")
         )
     else:
         # extended-prefix count filter (see _prefix_k): a true pair
@@ -1059,6 +1070,34 @@ _BAND_PAYS_OFF_BITS = 10
 # memory (rows * ~24 bytes should stay well inside executor memory).
 _BANDING_ROW_BUDGET = 64_000_000
 #
+# Routing-probe memo (r10 verdict #6): hamming_pairs' eager sizing
+# histogram costs a full pass over the distinct signatures (~1.5s at
+# sf0.1 — for simhash, a Python stage over the corpus) and is pure
+# plan-selection input, so one session re-running the SAME input plan
+# (idempotent pipelines, retries, interactive re-use) should pay it
+# once. Keyed on the ANALYZED plan's semanticHash + the banding shape;
+# the decision is a performance choice, never a correctness one, so a
+# stale entry after the underlying files change costs at most a
+# suboptimal route — call clear_routing_cache() to drop it.
+_ROUTING_CACHE: dict = {}
+_ROUTING_CACHE_MAX = 64
+
+
+def clear_routing_cache() -> None:
+    """Drop hamming_pairs' memoized sizing probes (e.g. after the files
+    behind a re-used input plan have been rewritten)."""
+    _ROUTING_CACHE.clear()
+
+
+def _routing_key(df: DataFrame, *shape):
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        ) + shape
+    except Exception:  # plan not hashable (foreign session internals)
+        return None
+
+
 # _BANDING_PRUNE_FACTOR — even inside the in-memory regime, banding
 # must actually PRUNE: its per-row cost (~75 ns: shuffle + hash join +
 # pair-dedup) is ~3x the blocked kernel's per-pair cost (~25 ns with
@@ -1258,22 +1297,33 @@ def hamming_pairs(
         # measured volume leaves banding's in-memory regime
         # (_BANDING_ROW_BUDGET) or stops genuinely pruning
         # (_BANDING_PRUNE_FACTOR); see the constants for calibration.
-        probe = (
-            bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
-                ).alias("p"),
-                F.coalesce(F.sum("c"), F.lit(0)).alias("tot"),
+        # Memoized per analyzed input plan (_ROUTING_CACHE): a second
+        # hamming_pairs over the same plan in one session re-uses the
+        # measured (D, candidate volume) and runs NO probe job.
+        mkey = _routing_key(dsig, num_bits, max_hamming)
+        if mkey is not None and mkey in _ROUTING_CACHE:
+            n, cand_est = _ROUTING_CACHE[mkey]
+        else:
+            probe = (
+                bands.groupBy("band_idx", "band_key")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+                    ).alias("p"),
+                    F.coalesce(F.sum("c"), F.lit(0)).alias("tot"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        cand_est = probe["p"]
-        # every distinct signature posts exactly nb band rows, so the
-        # histogram's row total carries D for free — one probe job, not
-        # a separate count (it also materializes the persist)
-        n = int(probe["tot"]) // nb
+            cand_est = probe["p"]
+            # every distinct signature posts exactly nb band rows, so the
+            # histogram's row total carries D for free — one probe job,
+            # not a separate count (it also materializes the persist)
+            n = int(probe["tot"]) // nb
+            if mkey is not None:
+                if len(_ROUTING_CACHE) >= _ROUTING_CACHE_MAX:
+                    _ROUTING_CACHE.clear()
+                _ROUTING_CACHE[mkey] = (n, cand_est)
         if (
             cand_est > _BANDING_ROW_BUDGET
             or cand_est > n * (n - 1) / 2 / _BANDING_PRUNE_FACTOR

@@ -825,3 +825,79 @@ def test_extended_prefix_k_equivalence(spark):
             assert verified == base, f"thr={thr} k={k}"
             for c in caches:
                 c.unpersist()
+
+
+def test_prefix_common_counts_all_collisions(spark):
+    """r10 verdict #4: at k=1 the PPJoin positional filter used to run as
+    a ROW filter before the pair groupBy, so _common counted only
+    positional survivors — an earliest-collision undercount that a future
+    tightened allowance would turn into silent recall loss. It now runs
+    as a pair-SURVIVAL test inside the aggregate: _common is the exact
+    count of shared shingles inside both extended prefixes, while pairs
+    with no row that could be an earliest collision are still pruned."""
+    rows = [
+        # identical 10-shingle docs: prefix L=4, all 4 prefix shingles
+        # shared, but only positions 1-2 pass the positional bound —
+        # the pre-fix code reported _common=2 for this TRUE pair
+        (0, list(range(1, 11))),
+        (1, list(range(1, 11))),
+        # docs 2/3 share exactly ONE shingle (50), engineered to rank 4
+        # in both prefixes (3 df=1 shingles rank first, 6 df=3 fillers
+        # rank last): a FALSE pair whose only collision row fails the
+        # earliest-collision bound -> pruned by the survival test
+        (2, [101, 102, 103, 50, 301, 302, 303, 304, 305, 306]),
+        (3, [111, 112, 113, 50, 401, 402, 403, 404, 405, 406]),
+        # df inflators for the fillers (8 unique pads keep their own
+        # prefixes df=1-only, so docs 4/5 emit no candidate rows)
+        (4, list(range(501, 509)) + [301, 302, 303, 304, 305, 306]
+            + [401, 402, 403, 404, 405, 406]),
+        (5, list(range(601, 609)) + [301, 302, 303, 304, 305, 306]
+            + [401, 402, 403, 404, 405, 406]),
+    ]
+    sets = spark.createDataFrame(rows, "doc_id long, shingles array<long>")
+    cand, stats, caches = dedup._prefix_candidate_stats(
+        sets, "doc_id", 0.7, k=1
+    )
+    got = {(r.ida, r.idb): r._common for r in cand.collect()}
+    # exact both-prefix intersection count (4), not the positional-
+    # survivor count (2); the late-collision-only false pair is pruned
+    assert got == {(0, 1): 4}
+    hot = {r._id: r._hot for r in stats.collect()}
+    # the documented bound |A∩B| <= _common + _hotA + _hotB is exact and
+    # can be tightened freely: 10 shared <= 4 + 6 + 6
+    assert 10 <= got[(0, 1)] + hot[0] + hot[1]
+    for c in caches:
+        c.unpersist()
+
+
+def test_hamming_routing_probe_memoized(spark):
+    """r10 verdict #6: the cost-based routing probe (an eager histogram
+    over the distinct signatures) is memoized on the analyzed input
+    plan's semanticHash — a second hamming_pairs over the SAME plan in
+    one session runs NO Spark job at plan-construction time."""
+    dedup.clear_routing_cache()
+    sig = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], "doc_id long, simhash long"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("hp-probe-1", "first construction")
+    out1 = dedup.hamming_pairs(sig, 3)
+    sc.setJobGroup("hp-probe-2", "second construction")
+    out2 = dedup.hamming_pairs(sig, 3)
+    sc.setJobGroup("hp-collect", "actions")
+    try:
+        first = sc.statusTracker().getJobIdsForGroup("hp-probe-1")
+        second = sc.statusTracker().getJobIdsForGroup("hp-probe-2")
+        assert len(first) >= 1  # the probe ran once...
+        assert len(second) == 0  # ...and was memoized the second time
+        # a different banding shape is a different key: probe re-runs
+        sc.setJobGroup("hp-probe-3", "different radius")
+        dedup.hamming_pairs(sig, 2)
+        sc.setJobGroup("hp-collect", "actions")
+        assert len(sc.statusTracker().getJobIdsForGroup("hp-probe-3")) >= 1
+        got1 = sorted(map(tuple, out1.collect()))
+        got2 = sorted(map(tuple, out2.collect()))
+        assert got1 == got2 and got1  # identical results either way
+    finally:
+        sc.setJobGroup(None, None)
+        dedup.clear_routing_cache()
