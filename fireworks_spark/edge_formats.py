@@ -936,6 +936,42 @@ def _sparse_part_pid(name: str) -> str | None:
     return m.group(1) if m else None
 
 
+def _savez_coo_part(
+    dirpath: str,
+    base: str,
+    nr: int,
+    nc: int,
+    row,
+    col,
+    data,
+    direct: bool,
+) -> str:
+    """Write one COO ``.npz`` part. ``direct=False`` (POSIX): write to a
+    dot-hidden scratch name and rename into place, so a task attempt
+    killed mid-write can never leave a truncated visible part that sorts
+    before the completed retry's file in the one-per-pid dedup.
+    ``direct=True`` (object-store semantics): write straight to the final
+    name — PUT visibility means a killed writer's partial object is never
+    listable, and rename may not exist at all. Runs executor-side; the
+    caller decides ``direct`` on the driver and ships the bool in the
+    task closure."""
+    import numpy as np
+
+    fname = os.path.join(dirpath, base)
+    target = fname if direct else os.path.join(dirpath, "." + base)
+    np.savez_compressed(
+        target,
+        format=np.array(b"coo"),
+        shape=np.array([nr, nc], dtype=np.int64),
+        row=row,
+        col=col,
+        data=data,
+    )
+    if not direct:
+        os.rename(target, fname)
+    return fname
+
+
 def write_sparse(
     df: DataFrame,
     path: str,
@@ -985,7 +1021,12 @@ def write_sparse(
     driver, so ``path`` must be on a filesystem shared by driver and
     executors (always true on local master; on a cluster NFS/fuse — or
     an object-store mount with ``commit_protocol="manifest"``, since
-    that protocol never renames). A remote executor writing into its
+    that protocol goes fully rename-free under object-store semantics:
+    when ``publish.object_store_semantics(path)`` is true — a
+    ``scheme://`` path or ``FIREWORKS_OBJECT_STORE=1`` — parts are
+    written straight to their final names (PUT visibility makes the
+    POSIX scratch+rename truncation guard unnecessary) and the manifest
+    commits with one direct write). A remote executor writing into its
     own local disk is detected after the job: the part-file count must
     equal the number of tasks that reported rows, else this raises
     RuntimeError."""
@@ -1018,6 +1059,11 @@ def write_sparse(
             f"write_sparse: unknown commit_protocol {commit_protocol!r} "
             "(expected 'rename' or 'manifest')"
         )
+    # Decided driver-side and captured in the task closure: executors must
+    # not re-derive it (their env can differ from the driver's).
+    from fireworks_spark import publish as _publish
+
+    direct_put = _publish.object_store_semantics(path)
     if commit_protocol == "manifest":
         from fireworks_spark import publish
 
@@ -1044,25 +1090,20 @@ def write_sparse(
             pdf = pd.concat(parts, ignore_index=True)
             pid = TaskContext.get().partitionId()
             base = f"part-{pid:05d}-{uuid.uuid4().hex}.npz"
-            fname = os.path.join(tmp, base)
-            # Write-then-rename so every *.npz ever visible under `tmp`
-            # is a COMPLETE part: savez writes in place, and a task
-            # attempt killed mid-write would otherwise leave a truncated
-            # file that can sort before the completed retry's file and
-            # survive the one-per-pid dedup below. The scratch name is
-            # dot-prefixed (hidden), which glob("*.npz") never matches,
-            # so neither the dedup scan nor read_sparse can observe a
-            # partial file; rename is atomic on a POSIX filesystem.
-            scratch = os.path.join(tmp, "." + base)
-            np.savez_compressed(
-                scratch,
-                format=np.array(b"coo"),
-                shape=np.array([nr, nc], dtype=np.int64),
-                row=pdf[row_col].to_numpy(dtype=np.int64),
-                col=pdf[col_col].to_numpy(dtype=np.int64),
-                data=pdf[val_col].to_numpy(dtype=np.float64),
+            # POSIX: scratch+rename so a killed attempt never leaves a
+            # truncated visible part; object-store semantics (direct_put,
+            # decided on the driver): straight to the final name, rename-
+            # free. Rationale in _savez_coo_part.
+            _savez_coo_part(
+                tmp,
+                base,
+                nr,
+                nc,
+                pdf[row_col].to_numpy(dtype=np.int64),
+                pdf[col_col].to_numpy(dtype=np.int64),
+                pdf[val_col].to_numpy(dtype=np.float64),
+                direct=direct_put,
             )
-            os.rename(scratch, fname)
             rows = len(pdf)
         yield pd.DataFrame({"rows": [rows]})
 

@@ -37,12 +37,42 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
 
 
 _MANIFEST_GLOB = "_manifest-*.json"
+
+
+def object_store_semantics(path: "str | None" = None) -> bool:
+    """True when ``path`` should be treated with PUT-visibility semantics:
+    a file becomes visible only once fully written (the object-store PUT
+    contract) and rename is NOT assumed atomic (or available at all).
+
+    Enabled by a URI scheme on the path (``s3://``, ``gs://``, ``abfs://``,
+    ... — anything ``scheme://``) or globally by ``FIREWORKS_OBJECT_STORE=1``
+    in the environment (the switch for an object-store *mount*, e.g.
+    s3fs/gcsfuse, where the path looks POSIX but rename is copy+delete).
+
+    Under these semantics every writer in this module and its callers goes
+    rename-free: manifests are committed with one direct write (the PUT is
+    the atomic commit point) and data parts are written straight to their
+    final names (a killed writer's partial PUT never becomes visible, so
+    the POSIX truncated-file hazard the scratch+rename dance guards against
+    does not exist). On POSIX this mode is still safe — a torn direct
+    manifest write is unparseable JSON, which readers skip — it just loses
+    the hard no-partial-file guarantee for data parts, which only object
+    stores provide natively.
+    """
+    if path and re.match(r"^[a-z][a-z0-9+.-]*://", path):
+        return True
+    return os.environ.get("FIREWORKS_OBJECT_STORE", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    )
 
 
 def _manifests(path: str) -> list[tuple[int, str]]:
@@ -80,14 +110,27 @@ def commit_generation(
     doc = {"generation": gen, "data_dir": os.path.relpath(data_dir, path),
            "files": sorted(rel)}
     name = f"_manifest-{gen:08d}-{uuid.uuid4().hex[:8]}.json"
-    staged = os.path.join(path, "." + name)
-    with open(staged, "w") as fh:
-        json.dump(doc, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    # same-directory rename of a single file: atomic on POSIX; on an object
-    # store this maps to the single PUT of the manifest object itself.
-    os.rename(staged, os.path.join(path, name))
+    if object_store_semantics(path):
+        # RENAME-FREE commit: one direct write of the manifest object. On
+        # an object store the PUT itself is the atomic visibility point (no
+        # partial object is ever listable); on POSIX a writer killed
+        # mid-write leaves a torn manifest that fails JSON parsing, which
+        # current_files() skips — the previous generation keeps serving.
+        with open(os.path.join(path, name), "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+    else:
+        staged = os.path.join(path, "." + name)
+        with open(staged, "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        # same-directory rename of a single file: atomic on POSIX; this is
+        # the ONLY rename in the protocol and exists purely to hide the
+        # torn-write window on local filesystems — object-store paths take
+        # the direct-PUT branch above and never rename.
+        os.rename(staged, os.path.join(path, name))
     sweep_generations(path, keep=keep)
 
 

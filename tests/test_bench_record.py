@@ -1,0 +1,57 @@
+"""bench.py's BENCH_LOCAL.json merge rule (VERDICT r10 #1): the record
+file keeps per-query MINIMA with a staleness cap, so one noisy run can
+never replace the regression baseline wholesale, while a deliberate
+slower-but-correct change still re-baselines after STALE_CAP runs."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_faster_run_lowers_record_and_resets_age():
+    rec, ages = bench.merge_records(
+        {"q1": 3.0}, {"q1": 2}, {"q1": 2.5}
+    )
+    assert rec == {"q1": 2.5} and ages == {"q1": 0}
+
+
+def test_noisy_run_cannot_overwrite_record():
+    # the r10 failure mode: a uniformly inflated window must not become
+    # the baseline — the record holds, only the age ticks
+    prev = {"q1": 1.0, "q2": 4.1}
+    rec, ages = bench.merge_records(prev, {}, {"q1": 1.3, "q2": 11.8})
+    assert rec == prev
+    assert ages == {"q1": 1, "q2": 1}
+
+
+def test_stale_cap_rebaselines_a_deliberate_slowdown():
+    rec, ages = {"q1": 1.0}, {"q1": 0}
+    for i in range(bench.STALE_CAP - 1):
+        rec, ages = bench.merge_records(rec, ages, {"q1": 2.0})
+        assert rec == {"q1": 1.0}, f"record moved early at run {i}"
+    rec, ages = bench.merge_records(rec, ages, {"q1": 2.0})
+    assert rec == {"q1": 2.0} and ages == {"q1": 0}
+
+
+def test_failure_carries_record_and_unknown_queries_drop():
+    rec, ages = bench.merge_records(
+        {"q1": 1.0, "q_gone": 9.9}, {"q1": 3}, {"q1": None, "q_new": 0.5}
+    )
+    # failed run: record and age survive untouched
+    assert rec["q1"] == 1.0 and ages["q1"] == 3
+    # renamed/removed queries leave the file; new ones enter at age 0
+    assert "q_gone" not in rec
+    assert rec["q_new"] == 0.5 and ages["q_new"] == 0
+
+
+def test_equal_reading_resets_age():
+    rec, ages = bench.merge_records({"q1": 1.0}, {"q1": 4}, {"q1": 1.0})
+    assert rec == {"q1": 1.0} and ages == {"q1": 0}

@@ -199,6 +199,142 @@ def test_keep_generations_reader_grace(spark, tmp_path):
     assert len(publish._manifests(p)) == 2
 
 
+def _forbid_renames(monkeypatch):
+    """Make every rename primitive in this (driver) process raise — the
+    object-store contract has no atomic rename, so any code path that
+    reaches for one under object-store semantics is a bug, not a detail."""
+
+    def _no(*a, **k):
+        raise AssertionError(
+            "rename attempted under object-store semantics: %r" % (a,)
+        )
+
+    import shutil
+
+    monkeypatch.setattr(os, "rename", _no)
+    monkeypatch.setattr(os, "renames", _no)
+    monkeypatch.setattr(os, "replace", _no)
+    monkeypatch.setattr(shutil, "move", _no)
+
+
+def test_object_store_semantics_switch(monkeypatch):
+    monkeypatch.delenv("FIREWORKS_OBJECT_STORE", raising=False)
+    assert not publish.object_store_semantics("/tmp/tbl")
+    assert not publish.object_store_semantics(None)
+    # URI schemes are object stores regardless of the env switch
+    assert publish.object_store_semantics("s3://bucket/table")
+    assert publish.object_store_semantics("gs://b/t")
+    assert publish.object_store_semantics("abfs://c@a.dfs/x")
+    monkeypatch.setenv("FIREWORKS_OBJECT_STORE", "1")
+    assert publish.object_store_semantics("/tmp/tbl")  # fuse-mounted store
+
+
+def test_manifest_protocol_rename_free_under_object_store(
+    monkeypatch, tmp_path
+):
+    """VERDICT r10 #3: under object-store semantics the whole protocol —
+    allocate, commit, supersede, sweep, crashed-writer recovery — runs
+    with every rename primitive monkeypatched to raise. The manifest is
+    committed by ONE direct write (the PUT), never staged+renamed."""
+    monkeypatch.setenv("FIREWORKS_OBJECT_STORE", "1")
+    _forbid_renames(monkeypatch)
+
+    p = str(tmp_path / "tbl")
+    g1, d1 = publish.new_generation(p)
+    f1 = os.path.join(d1, "a.parquet")
+    open(f1, "w").write("x")
+    publish.commit_generation(p, g1, d1, [f1])
+    assert publish.current_files(p) == [f1]
+    # no dot-hidden staged manifest is ever created in this mode
+    assert [n for n in os.listdir(p) if n.startswith("._manifest")] == []
+
+    # crashed writer: data files, no manifest -> invisible
+    g2, d2 = publish.new_generation(p)
+    open(os.path.join(d2, "orphan.parquet"), "w").write("dead")
+    # torn DIRECT manifest write (killed mid-PUT on a posix mount): the
+    # partial object is unparseable JSON and must not shadow gen 1
+    open(os.path.join(p, "_manifest-00000002-deadbeef.json"), "w").write(
+        '{"generation": 2, "files": ['
+    )
+    assert publish.current_files(p) == [f1]
+
+    # recovery commit supersedes and sweeps — rmtree/remove only, no rename
+    g3, d3 = publish.new_generation(p)
+    f3 = os.path.join(d3, "b.parquet")
+    open(f3, "w").write("y")
+    publish.commit_generation(p, g3, d3, [f3])
+    assert publish.current_files(p) == [f3]
+    assert not os.path.exists(d1) and not os.path.exists(d2)
+
+
+def test_savez_part_direct_mode_rename_free(monkeypatch, tmp_path):
+    """The executor-side part writer in object-store mode writes straight
+    to the final name (PUT visibility replaces the POSIX scratch+rename
+    truncation guard) — proven here at unit level with rename raising,
+    since a Spark worker subprocess is outside monkeypatch's reach."""
+    import numpy as np
+
+    from fireworks_spark import edge_formats as ef
+
+    _forbid_renames(monkeypatch)
+    f = ef._savez_coo_part(
+        str(tmp_path),
+        "part-00000-abc.npz",
+        4,
+        4,
+        np.array([1], dtype=np.int64),
+        np.array([2], dtype=np.int64),
+        np.array([3.0]),
+        direct=True,
+    )
+    with np.load(f) as z:
+        assert z["row"].tolist() == [1] and z["data"].tolist() == [3.0]
+    # and the posix mode still uses the scratch+rename guard
+    monkeypatch.undo()
+    f2 = ef._savez_coo_part(
+        str(tmp_path),
+        "part-00001-abc.npz",
+        4,
+        4,
+        np.array([1], dtype=np.int64),
+        np.array([2], dtype=np.int64),
+        np.array([3.0]),
+        direct=False,
+    )
+    assert os.path.exists(f2)
+    assert not os.path.exists(os.path.join(str(tmp_path), ".part-00001-abc.npz"))
+
+
+def test_write_sparse_object_store_roundtrip(monkeypatch, spark, tmp_path):
+    """write_sparse(commit_protocol='manifest') + read_sparse under
+    object-store semantics with driver-side renames forbidden: the flag is
+    decided on the driver and shipped in the task closure, so executor
+    part writes go direct; the commit is the single manifest PUT."""
+    from fireworks_spark import edge_formats as ef
+
+    monkeypatch.setenv("FIREWORKS_OBJECT_STORE", "1")
+    _forbid_renames(monkeypatch)
+
+    rows = [(0, 1, 2.0), (2, 0, -1.0), (5, 3, 0.5)]
+    df = spark.createDataFrame(rows, "r long, c long, v double")
+    p = str(tmp_path / "coo_os")
+    ef.write_sparse(
+        df.repartition(2), p, "r", "c", "v", commit_protocol="manifest"
+    )
+    back = sorted(
+        (x.row, x.col, x.value) for x in ef.read_sparse(spark, p).collect()
+    )
+    assert back == sorted(rows)
+    assert [n for n in os.listdir(p) if n.startswith("._manifest")] == []
+
+    # supersede under the same constraints
+    df2 = spark.createDataFrame([(1, 1, 7.0)], "r long, c long, v double")
+    ef.write_sparse(df2, p, "r", "c", "v", commit_protocol="manifest")
+    assert [
+        (x.row, x.col, x.value) for x in ef.read_sparse(spark, p).collect()
+    ] == [(1, 1, 7.0)]
+
+
 def test_staged_manifest_leak_swept(tmp_path):
     """A writer that dies BETWEEN staging and renaming its manifest leaks
     the dot-hidden ._manifest-*.json; the next successful commit's sweep
