@@ -468,6 +468,76 @@ def q180_clustal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q182_stockholm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stockholm alignment source end-to-end (BioSeqPipe
+    filetype='stockholm'): the q179 synthesized alignment written as
+    Pfam-style Stockholm with per-sequence #=GS DE descriptions, one
+    alignment file per partition, re-read with the file-parallel parse —
+    descriptions value-checked alongside the sequences."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_stockholm, write_stockholm
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias(
+            "descriptions"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_sto_")
+    path = f"{tmp}/sto"
+    try:
+        write_stockholm(src.repartition(8), path, desc_col="descriptions")
+        back = read_stockholm(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+                F.col("descriptions").alias("descr"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q183_nexus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEXUS alignment source end-to-end (BioSeqPipe
+    filetype='nexus'): the q179 synthesized alignment written as a NEXUS
+    data block per partition (datatype=standard, equal-length contract),
+    re-read with the comment-stripping, quote-aware file-parallel
+    parse."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_nexus, write_nexus
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_nex_")
+    path = f"{tmp}/nex"
+    try:
+        write_nexus(src.repartition(8), path)
+        back = read_nexus(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FASTQ source end-to-end: 4-line records synthesized from
     documents (sequence = upper md5, quality = the lowercase md5 — which
@@ -966,6 +1036,8 @@ DATABASE_QUERIES = {
     "q178_pir_roundtrip": q178_pir_roundtrip,
     "q179_phylip_roundtrip": q179_phylip_roundtrip,
     "q180_clustal_roundtrip": q180_clustal_roundtrip,
+    "q182_stockholm_roundtrip": q182_stockholm_roundtrip,
+    "q183_nexus_roundtrip": q183_nexus_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
@@ -1059,6 +1131,15 @@ DATABASE_ORACLE = {
         "ORDER BY doc_id"
     ),
     "q180_clustal_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
+        "ORDER BY doc_id"
+    ),
+    "q182_stockholm_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq, "
+        "'doc ' || doc_id::VARCHAR AS descr FROM documents "
+        "ORDER BY doc_id"
+    ),
+    "q183_nexus_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
         "ORDER BY doc_id"
     ),

@@ -411,7 +411,18 @@ def _alignment_read(spark: SparkSession, path: str, parse) -> DataFrame:
         for b in batches:
             for f in b["f"]:
                 with open(f, encoding="utf-8") as fh:
-                    yield _bioseq_rows(parse(fh.read()))
+                    out = parse(fh.read())
+                # stockholm carries per-sequence descriptions (#=GS DE):
+                # its parser returns (pairs, desc_map) instead of pairs
+                if isinstance(out, tuple):
+                    pairs, descs = out
+                    pdf = _bioseq_rows(pairs)
+                    pdf["descriptions"] = [
+                        descs.get(n, "") for n, _ in pairs
+                    ]
+                    yield pdf
+                else:
+                    yield _bioseq_rows(out)
 
     paths = spark.createDataFrame([(f,) for f in files], "f string")
     return paths.repartition(len(files)).mapInPandas(
@@ -628,7 +639,9 @@ def _aln_part_pid(name: str):
     part scheme (the retry/zombie dedup keys on it), else None."""
     import re
 
-    m = re.fullmatch(r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln)\Z", name)
+    m = re.fullmatch(
+        r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln|sto|nex)\Z", name
+    )
     return m.group(1) if m else None
 
 
@@ -785,6 +798,287 @@ def write_clustal(
                             chunk = seq[off:off + wrap]
                             if chunk:
                                 fh.write(f"{name:<{width}}{chunk}\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        return [
+            r["n"]
+            for r in df.select(id_col, seq_col)
+            .mapInPandas(_write, "n long")
+            .collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
+def _parse_stockholm(text: str):
+    """Stockholm 1.0 (Pfam/Rfam; Bio.SeqIO filetype='stockholm'): a
+    ``# STOCKHOLM 1.0`` header, interleaved ``name  chunk`` rows,
+    ``#=G[FCRS]`` annotation lines, ``//`` terminator. Returns
+    ``(pairs, desc_map)``: per-sequence descriptions come from
+    ``#=GS <seqname> DE <text>`` (concatenated when repeated, as SeqIO
+    does); all other annotations are metadata outside the Message
+    columns and are dropped. One alignment per FILE (the same contract
+    as clustal/phylip — content after the first ``//`` is rejected
+    loudly rather than silently merged into the same taxa)."""
+    lines = text.splitlines()
+    if not lines or not lines[0].strip().upper().startswith("# STOCKHOLM"):
+        raise ValueError(
+            "read_stockholm: missing '# STOCKHOLM 1.0' header line"
+        )
+    order: list = []
+    chunks: dict = {}
+    descs: dict = {}
+    done = False
+    for line in lines[1:]:
+        s = line.strip()
+        if not s:
+            continue
+        if done:
+            raise ValueError(
+                "read_stockholm: content after '//' — multiple alignments "
+                "per file are not supported (one alignment per file, the "
+                "clustal/phylip contract; split the file)"
+            )
+        if s == "//":
+            done = True
+            continue
+        if s.startswith("#"):
+            toks = s.split(None, 3)
+            if len(toks) == 4 and toks[0] == "#=GS" and toks[2] == "DE":
+                prev = descs.get(toks[1])
+                descs[toks[1]] = (
+                    f"{prev} {toks[3]}" if prev else toks[3]
+                )
+            continue
+        parts = s.split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(
+                f"read_stockholm: malformed sequence line {s[:60]!r} "
+                "(expected 'name sequence')"
+            )
+        name = parts[0]
+        seq = "".join(parts[1].split())
+        if name not in chunks:
+            order.append(name)
+            chunks[name] = []
+        chunks[name].append(seq)
+    return [(n, chunks[n]) for n in order], descs
+
+
+def read_stockholm(spark: SparkSession, path: str) -> DataFrame:
+    """Stockholm alignments (Bio.SeqIO filetype='stockholm', reference
+    BioSeqPipe pipes.py:33): interleaved blocks, #=GS DE descriptions
+    surfaced in the descriptions column. One alignment per FILE;
+    parallel across files (see _alignment_read)."""
+    return _alignment_read(spark, path, _parse_stockholm)
+
+
+def write_stockholm(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+    desc_col: "str | None" = None,
+) -> None:
+    """Distributed Stockholm write: each partition becomes one
+    ``part-*.sto`` alignment under ``path`` (canonical Pfam layout: one
+    unwrapped line per sequence, optional ``#=GS DE`` rows, ``//``
+    terminator). Publication is write-then-swap
+    (:func:`_publish_alignment_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                descs = (
+                    b[desc_col].astype(str)
+                    if desc_col is not None
+                    else [""] * len(b)
+                )
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str), descs)
+                )
+            if rows:
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.sto"
+                width = max(len(n) for n, _, _ in rows) + 2
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    fh.write("# STOCKHOLM 1.0\n")
+                    for name, _, desc in rows:
+                        if desc:
+                            fh.write(f"#=GS {name} DE {desc}\n")
+                    for name, seq, _ in rows:
+                        fh.write(f"{name:<{width}}{seq}\n")
+                    fh.write("//\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        cols = [id_col, seq_col] + ([desc_col] if desc_col else [])
+        return [
+            r["n"]
+            for r in df.select(*cols).mapInPandas(_write, "n long").collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
+def _parse_nexus(text: str) -> list:
+    """NEXUS data/characters matrix (Bio.SeqIO filetype='nexus', via
+    Bio.Nexus): ``#NEXUS`` header, a ``matrix`` command inside a block,
+    ``name sequence`` rows (interleaved blocks accumulate per taxon)
+    terminated by ``;``. Square-bracket comments are stripped (they
+    nest and may span lines); single/double-quoted taxon names may
+    contain spaces. Character-set semantics (datatype, gap, missing
+    symbols) are carried verbatim in the sequence text — this is a
+    structural parse, not a molecular validator."""
+    if not text.lstrip().upper().startswith("#NEXUS"):
+        raise ValueError("read_nexus: missing #NEXUS header")
+    # strip [comments] globally first — they nest and span lines, and a
+    # bracket inside quotes is taken literally (quotes tracked too)
+    out_chars: list = []
+    depth = 0
+    quote = ""
+    for ch in text:
+        if depth == 0 and quote:
+            out_chars.append(ch)
+            if ch == quote:
+                quote = ""
+            continue
+        if depth == 0 and ch in "'\"":
+            quote = ch
+            out_chars.append(ch)
+            continue
+        if ch == "[":
+            depth += 1
+            continue
+        if ch == "]" and depth:
+            depth -= 1
+            continue
+        if depth == 0:
+            out_chars.append(ch)
+    stripped = "".join(out_chars)
+
+    order: list = []
+    chunks: dict = {}
+    in_matrix = False
+    ended = False
+    for raw in stripped.splitlines():
+        s = raw.strip()
+        if not s:
+            continue
+        low = s.lower()
+        if not in_matrix:
+            if low == "matrix" or low.startswith("matrix "):
+                in_matrix = True
+                s = s[len("matrix"):].strip()
+                if not s:
+                    continue
+            else:
+                continue
+        if ended:
+            continue
+        body = s
+        if ";" in body:
+            body = body.split(";", 1)[0].strip()
+            ended = True
+        if not body:
+            continue
+        if body[0] in "'\"":
+            q = body[0]
+            j = body.find(q, 1)
+            if j < 0:
+                raise ValueError(
+                    f"read_nexus: unterminated quoted name {body[:60]!r}"
+                )
+            name = body[1:j]
+            seq = "".join(body[j + 1:].split())
+        else:
+            parts = body.split(None, 1)
+            name = parts[0]
+            seq = "".join(parts[1].split()) if len(parts) > 1 else ""
+        if not seq:
+            continue
+        if name not in chunks:
+            order.append(name)
+            chunks[name] = []
+        chunks[name].append(seq)
+    if not in_matrix:
+        raise ValueError("read_nexus: no 'matrix' command found")
+    return [(n, chunks[n]) for n in order]
+
+
+def read_nexus(spark: SparkSession, path: str) -> DataFrame:
+    """NEXUS alignments (Bio.SeqIO filetype='nexus', reference
+    BioSeqPipe pipes.py:33). One alignment per FILE; parallel across
+    files (see _alignment_read)."""
+    return _alignment_read(spark, path, _parse_nexus)
+
+
+def write_nexus(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+) -> None:
+    """Distributed NEXUS write: each partition becomes one ``part-*.nex``
+    data block under ``path`` (``datatype=standard`` — sequences are
+    written verbatim; NEXUS is an ALIGNMENT format, so all sequences in
+    one file must share a length, enforced like write_phylip). Names
+    with whitespace are quoted. Publication is write-then-swap
+    (:func:`_publish_alignment_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str))
+                )
+            if rows:
+                nchar = {len(s) for _, s in rows}
+                if len(nchar) > 1:
+                    raise ValueError(
+                        "write_nexus: NEXUS is an alignment format — all "
+                        f"sequences in one file must share a length, got "
+                        f"{sorted(nchar)[:5]}"
+                    )
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.nex"
+
+                def _q(n: str) -> str:
+                    return f"'{n}'" if any(c.isspace() for c in n) else n
+
+                width = max(len(_q(n)) for n, _ in rows) + 2
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    fh.write("#NEXUS\n")
+                    fh.write("begin data;\n")
+                    fh.write(
+                        f"  dimensions ntax={len(rows)} "
+                        f"nchar={next(iter(nchar))};\n"
+                    )
+                    fh.write(
+                        "  format datatype=standard gap=- missing=?;\n"
+                    )
+                    fh.write("  matrix\n")
+                    for name, seq in rows:
+                        fh.write(f"    {_q(name):<{width}}{seq}\n")
+                    fh.write("  ;\n")
+                    fh.write("end;\n")
                 _os.rename(scratch, _os.path.join(tmp, base))
             yield pd.DataFrame({"n": [len(rows)]})
 
@@ -997,10 +1291,10 @@ def read_bioseq(
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
     syntactic subset the same record scan parses), fastq, qual, pir,
     genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed and
-    phylip-sequential), sff, abi — the full surface the reference's
-    BioSeqPipe callers exercise; remaining SeqIO formats (nexus,
-    stockholm, ace, ...) raise with this message until someone needs
-    them."""
+    phylip-sequential), sff, abi, stockholm, nexus — the full surface
+    the reference's BioSeqPipe callers exercise plus the two most-used
+    alignment interchange formats beyond it; remaining SeqIO formats
+    (ace, ig, ...) raise with this message until someone needs them."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -1030,9 +1324,14 @@ def read_bioseq(
         return read_sff(spark, path)
     if ft == "abi":
         return read_abi(spark, path)
+    if ft == "stockholm":
+        return read_stockholm(spark, path)
+    if ft == "nexus":
+        return read_nexus(spark, path)
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
         "pir, genbank, embl, swiss, tab, clustal, "
-        "phylip(-relaxed/-sequential), sff and abi have distributed "
-        "parses (reference BioSeqPipe accepts any Bio.SeqIO format)"
+        "phylip(-relaxed/-sequential), sff, abi, stockholm and nexus "
+        "have distributed parses (reference BioSeqPipe accepts any "
+        "Bio.SeqIO format)"
     )

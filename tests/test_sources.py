@@ -766,3 +766,127 @@ def test_alignment_read_dedups_zombie_part_attempts(spark, tmp_path):
     shutil.copy(parts[1], extra)
     got2 = src.read_phylip(spark, p).count()
     assert got2 == len(rows) + 3  # parts[1] holds 3 of the 6 taxa
+
+
+def test_stockholm_parse_interleaved_with_gs_de(spark, tmp_path):
+    """Stockholm parse: header required, #=GS DE descriptions surfaced
+    (repeats concatenated), GF/GC/GR annotations dropped, interleaved
+    chunks joined, content after '//' rejected loudly."""
+    import pytest
+
+    from fireworks_spark.sources import read_bioseq
+
+    sto = (
+        "# STOCKHOLM 1.0\n"
+        "#=GF ID   EXAMPLE\n"
+        "#=GS seq1 DE first half\n"
+        "#=GS seq1 DE and second\n"
+        "#=GS seq2 AC PF00001\n"
+        "\n"
+        "seq1         ACDE-FGH\n"
+        "seq2         ACDEQFGH\n"
+        "#=GC SS_cons <<<<>>>>\n"
+        "\n"
+        "seq1         IKLM\n"
+        "seq2         IK-M\n"
+        "//\n"
+    )
+    f = tmp_path / "x.sto"
+    f.write_text(sto)
+    rows = {r.ids: r for r in read_bioseq(spark, str(f), "stockholm").collect()}
+    assert rows["seq1"].sequences == "ACDE-FGHIKLM"
+    assert rows["seq2"].sequences == "ACDEQFGHIK-M"
+    assert rows["seq1"].descriptions == "first half and second"
+    assert rows["seq2"].descriptions == ""
+
+    f2 = tmp_path / "noheader.sto"
+    f2.write_text("seq1 ACGT\n//\n")
+    with pytest.raises(Exception, match="STOCKHOLM"):
+        read_bioseq(spark, str(f2), "stockholm").collect()
+
+    f3 = tmp_path / "two.sto"
+    f3.write_text("# STOCKHOLM 1.0\nseq1 ACGT\n//\nseq1 TTTT\n//\n")
+    with pytest.raises(Exception, match="multiple alignments"):
+        read_bioseq(spark, str(f3), "stockholm").collect()
+
+
+def test_nexus_parse_quoted_names_comments_interleaved(spark, tmp_path):
+    """NEXUS parse: #NEXUS header required, nested/multi-line [comments]
+    stripped (not inside quotes), quoted taxon names with spaces,
+    interleaved matrix blocks accumulated, ';' terminates the matrix."""
+    import pytest
+
+    from fireworks_spark.sources import read_bioseq
+
+    nex = (
+        "#NEXUS\n"
+        "[a file-level comment [nested] spanning\n"
+        "two lines]\n"
+        "begin data;\n"
+        "  dimensions ntax=2 nchar=12;\n"
+        "  format datatype=dna gap=- missing=?;\n"
+        "  matrix\n"
+        "    'taxon one'  ACGT-ACG [inline note]\n"
+        "    tax2         ACGTQACG\n"
+        "\n"
+        "    'taxon one'  TTTT\n"
+        "    tax2         AC-T\n"
+        "  ;\n"
+        "end;\n"
+    )
+    f = tmp_path / "x.nex"
+    f.write_text(nex)
+    got = {
+        r.ids: r.sequences
+        for r in read_bioseq(spark, str(f), "nexus").collect()
+    }
+    assert got == {"taxon one": "ACGT-ACGTTTT", "tax2": "ACGTQACGAC-T"}
+
+    f2 = tmp_path / "bad.nex"
+    f2.write_text("begin data;\nmatrix\nseq1 ACGT\n;\nend;\n")
+    with pytest.raises(Exception, match="NEXUS"):
+        read_bioseq(spark, str(f2), "nexus").collect()
+
+    f3 = tmp_path / "nomatrix.nex"
+    f3.write_text("#NEXUS\nbegin taxa;\nend;\n")
+    with pytest.raises(Exception, match="matrix"):
+        read_bioseq(spark, str(f3), "nexus").collect()
+
+
+def test_stockholm_nexus_distributed_roundtrip(spark, tmp_path):
+    """write_stockholm / write_nexus emit one alignment per partition
+    under the write-then-swap publisher; the file-parallel readers
+    reassemble all partitions, descriptions round-trip (stockholm), and
+    write_nexus enforces the equal-length alignment contract."""
+    import pytest
+
+    from fireworks_spark import sources as src
+
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", "ACGT" * 4, f"desc {i}") for i in range(12)],
+        "ids string, sequences string, descriptions string",
+    )
+    p1 = str(tmp_path / "sto_dir")
+    src.write_stockholm(
+        df.repartition(4), p1, desc_col="descriptions"
+    )
+    back1 = {
+        r.ids: (r.sequences, r.descriptions)
+        for r in src.read_stockholm(spark, p1).collect()
+    }
+    assert back1 == {
+        f"t{i:02d}": ("ACGT" * 4, f"desc {i}") for i in range(12)
+    }
+
+    p2 = str(tmp_path / "nex_dir")
+    src.write_nexus(df.repartition(3), p2)
+    back2 = {
+        r.ids: r.sequences for r in src.read_nexus(spark, p2).collect()
+    }
+    assert back2 == {f"t{i:02d}": "ACGT" * 4 for i in range(12)}
+
+    ragged = spark.createDataFrame(
+        [("a", "ACGT"), ("b", "ACGTACGT")], "ids string, sequences string"
+    )
+    with pytest.raises(Exception, match="share a length"):
+        src.write_nexus(ragged.coalesce(1), str(tmp_path / "bad"))
