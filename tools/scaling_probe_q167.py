@@ -86,7 +86,12 @@ def stage_slices(spark, sf_dir: str, d: str, n: int) -> str:
     from pyspark.sql import functions as F
 
     src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
-        "event_id", "ts", "user_id"
+        "event_id",
+        # pyarrow writes timestamp[us] as TIMESTAMP_NTZ; watermarks and
+        # the double cast below need a zoned TIMESTAMP (same normalize as
+        # fireworks_spark.tables.normalize_event_ts, session tz = UTC)
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
     )
     qs = src.select(F.col("ts").cast("double").alias("t")).approxQuantile(
         "t", [i / n for i in range(1, n)], 0.0001
