@@ -739,7 +739,14 @@ def maintain_rollup_table(
     committed by a single manifest write (fireworks_spark.publish) —
     object-store-safe, no rename, no crash window; read the table back
     with :func:`read_rollup_table` (plain ``spark.read.parquet`` on the
-    directory would also see superseded generations).
+    directory would also see superseded generations). Under
+    ``publish.object_store_semantics`` the manifest commit itself is
+    fully rename-free (one direct PUT); the generation's parquet DATA
+    files are written by Spark's own committer, which on a real object
+    store should be the cloud-native one (e.g. the S3A magic committer)
+    — a Hadoop-layer setting, orthogonal to this protocol, and safe
+    either way because uncommitted generations are invisible to
+    readers.
     ``keep_generations``: how many committed generations each merge
     retains (manifest protocol only). The default 1 keeps only the
     newest; a CONCURRENT external reader that resolved the manifest just

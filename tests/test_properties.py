@@ -211,3 +211,91 @@ def test_funnel_run_collapse_is_reach_neutral(spark, events):
     reach = {u: _greedy_reach(evs, steps) for u, evs in per_key.items()}
     for step in (1, 2, 3):
         assert got[step] == sum(1 for r in reach.values() if r >= step)
+
+
+# ---- alignment parser grammars (sources stockholm/nexus) -------------------
+
+_name_st = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="_.-"
+    ),
+    min_size=1,
+    max_size=16,
+)
+_seq_st = st.text(alphabet="ACGTN-.?", min_size=1, max_size=40)
+
+
+@given(
+    st.dictionaries(_name_st, _seq_st, min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=150, deadline=None)
+def test_parse_stockholm_recovers_interleaved_records(records, wrap):
+    """Any record set emitted as interleaved Stockholm blocks (chunks of
+    `wrap` sites, annotation noise interspersed) parses back exactly."""
+    from fireworks_spark.sources import _parse_stockholm
+
+    names = sorted(records)
+    longest = max(len(records[n]) for n in names)
+    lines = ["# STOCKHOLM 1.0", "#=GF ID RANDOM"]
+    for n in names:
+        lines.append(f"#=GS {n} DE desc of {n}")
+    for off in range(0, longest, wrap):
+        lines.append("")
+        for n in names:
+            chunk = records[n][off:off + wrap]
+            if chunk:
+                lines.append(f"{n}  {chunk}")
+        lines.append("#=GC SS_cons " + "." * wrap)
+    lines.append("//")
+    pairs, descs = _parse_stockholm("\n".join(lines) + "\n")
+    assert {n: "".join(cs) for n, cs in pairs} == records
+    assert descs == {n: f"desc of {n}" for n in names}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd"),
+                    whitelist_characters="_. -",
+                ),
+                min_size=1,
+                max_size=16,
+            ).filter(lambda s: s.strip() == s and "'" not in s),
+            st.text(alphabet="ACGTN-?", min_size=1, max_size=40),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=150, deadline=None)
+def test_parse_nexus_recovers_interleaved_matrix(rows, wrap):
+    """Any taxon set emitted as an interleaved NEXUS matrix (names quoted
+    when they contain spaces, bracket comments sprinkled in) parses back
+    exactly."""
+    from fireworks_spark.sources import _parse_nexus
+
+    longest = max(len(s) for _, s in rows)
+    out = [
+        "#NEXUS",
+        "[generated [nested comment]",
+        "spanning lines]",
+        "begin data;",
+        f"  dimensions ntax={len(rows)} nchar={longest};",
+        "  format datatype=standard gap=- missing=?;",
+        "  matrix",
+    ]
+    for off in range(0, longest, wrap):
+        for name, seq in rows:
+            chunk = seq[off:off + wrap]
+            if chunk:
+                q = f"'{name}'" if " " in name else name
+                out.append(f"    {q}  {chunk} [site {off}]")
+        out.append("")
+    out += ["  ;", "end;"]
+    got = _parse_nexus("\n".join(out) + "\n")
+    assert {n: "".join(cs) for n, cs in got} == dict(rows)
