@@ -1060,10 +1060,16 @@ def write_sparse(
             "(expected 'rename' or 'manifest')"
         )
     # Decided driver-side and captured in the task closure: executors must
-    # not re-derive it (their env can differ from the driver's).
+    # not re-derive it (their env can differ from the driver's). Direct
+    # part writes apply only under the manifest protocol — the rename
+    # protocol's tmp dir is visible-by-swap, so its parts keep the POSIX
+    # truncation guard even when the object-store switch is set (that
+    # combination is a user error the loud two-rename failure surfaces).
     from fireworks_spark import publish as _publish
 
-    direct_put = _publish.object_store_semantics(path)
+    direct_put = commit_protocol == "manifest" and _publish.object_store_semantics(
+        path
+    )
     if commit_protocol == "manifest":
         from fireworks_spark import publish
 

@@ -254,7 +254,15 @@ def q167_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed as two time-sliced micro-batches on BOTH sides; pairs that
     straddle the slice boundary only exist if batch-1 rows are still in
     the join state when batch 2 arrives, so the batch-SQL equality checks
-    cross-batch state retention, not just the per-batch join."""
+    cross-batch state retention, not just the per-batch join.
+
+    Scale note: the 365-day watermark over a 30-day span means NO state
+    is ever purged — deliberate, the value oracle needs every cross-batch
+    pair — so this harness's cost grows with total rows by design. The
+    operator's production state is bounded by trigger size + watermark
+    horizon: measured flat across batches and exactly proportional to
+    density at 1M and 10M events (tools/scaling_probe_q167.py, SCALE.md
+    round 11)."""
     src = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     d = tempfile.mkdtemp(prefix="fw_stream_")
     name = f"q167_{uuid.uuid4().hex[:8]}"

@@ -1092,6 +1092,146 @@ def write_nexus(
     _publish_alignment_dir(job, path)
 
 
+def _parse_ace(text: str) -> list:
+    """ACE assembly files (consed/phrap; Bio.SeqIO filetype='ace'): one
+    record per CONTIG, per the public consed ace-file spec. ``AS`` header
+    (contig/read counts, validated when present), then per contig: ``CO
+    <name> <nbases> <nreads> <nsegs> <U|C>`` + padded consensus lines
+    ('*' pads, rendered as '-' the way Bio.SeqIO.AceIO does), ``BQ`` +
+    whitespace-separated phred values for the UNPADDED positions (pad
+    positions get quality 0, again SeqIO's convention). Read-level
+    sections (AF/BS/RD/QA/DS) and tags (RT/CT/WA) are assembly metadata
+    outside the Message columns and are skipped. Returns
+    [(name, seq, [qual, ...]), ...]."""
+    lines = text.splitlines()
+    i = 0
+    n_contigs = None
+    contigs: list = []
+    name = None
+    nbases = 0
+    seq_parts: list = []
+    quals: list = []
+    in_bq = False
+
+    def _close() -> None:
+        if name is None:
+            return
+        seq = "".join(seq_parts).replace("*", "-")
+        if len(seq) != nbases:
+            raise ValueError(
+                f"read_ace: contig {name!r} declares {nbases} bases but "
+                f"its consensus has {len(seq)}"
+            )
+        # BQ covers unpadded positions only; expand with 0 at pads
+        it = iter(quals)
+        if quals:
+            full = [0 if c == "-" else next(it) for c in seq]
+            leftover = sum(1 for _ in it)
+            if leftover:
+                raise ValueError(
+                    f"read_ace: contig {name!r} has {len(quals)} BQ "
+                    f"values for {len(seq) - seq.count('-')} unpadded "
+                    "bases"
+                )
+        else:
+            full = []
+        contigs.append((name, seq, full))
+
+    for raw in lines:
+        s = raw.strip()
+        if s.startswith("AS ") and n_contigs is None:
+            toks = s.split()
+            if len(toks) >= 2 and toks[1].isdigit():
+                n_contigs = int(toks[1])
+            continue
+        if s.startswith("CO "):
+            _close()
+            toks = s.split()
+            if len(toks) < 3 or not toks[2].isdigit():
+                raise ValueError(
+                    f"read_ace: malformed CO line {s[:60]!r}"
+                )
+            name = toks[1]
+            nbases = int(toks[2])
+            seq_parts, quals, in_bq = [], [], False
+            continue
+        if s == "BQ":
+            in_bq = True
+            continue
+        if s.split(" ", 1)[0] in (
+            "AF", "BS", "RD", "QA", "DS", "RT{", "CT{", "WA{",
+        ) or s.startswith(("AF ", "BS ", "RD ", "QA ", "DS ")):
+            in_bq = False
+            continue
+        if name is None or not s:
+            continue
+        if in_bq:
+            quals.extend(int(t) for t in s.split())
+        elif not seq_parts or len("".join(seq_parts)) < nbases:
+            # consensus lines directly follow CO until BQ/blank
+            if all(c.isalpha() or c == "*" for c in s):
+                seq_parts.append(s)
+    _close()
+    if n_contigs is not None and len(contigs) != n_contigs:
+        raise ValueError(
+            f"read_ace: AS header declares {n_contigs} contigs, "
+            f"parsed {len(contigs)}"
+        )
+    if not contigs:
+        raise ValueError("read_ace: no CO contig records found")
+    return contigs
+
+
+def read_ace(spark: SparkSession, path: str) -> DataFrame:
+    """ACE assembly contigs (Bio.SeqIO filetype='ace', reference
+    BioSeqPipe pipes.py:33): whole-file records (contigs span interleaved
+    sections), one file per task like the other alignment codecs.
+    Columns mirror read_fastq/read_sff: ids/names/descriptions/sequences/
+    dbxrefs + ``qualities`` (phred per consensus position, 0 at '*'
+    pads — SeqIO's convention; empty array when the contig has no BQ
+    block)."""
+    import glob as _glob
+    import os as _os
+
+    files = (
+        sorted(
+            f
+            for f in _glob.glob(_os.path.join(path, "*"))
+            if _os.path.isfile(f)
+            and not _os.path.basename(f).startswith((".", "_"))
+        )
+        if _os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no ACE files under {path}")
+
+    def _read(batches):
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, encoding="utf-8") as fh:
+                    recs = _parse_ace(fh.read())
+                yield pd.DataFrame(
+                    {
+                        "ids": [n for n, _, _ in recs],
+                        "names": [n for n, _, _ in recs],
+                        "descriptions": [""] * len(recs),
+                        "sequences": [s for _, s, _ in recs],
+                        "dbxrefs": [[] for _ in recs],
+                        "qualities": [q for _, _, q in recs],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, sequences string, "
+        "dbxrefs array<string>, qualities array<int>",
+    )
+
+
 def _parse_sff(buf: bytes) -> list:
     """Parse one SFF (454 flowgram) container per the public spec
     (Roche 454 GS 'Genome Sequencer Data Analysis Software Manual',
@@ -1291,10 +1431,11 @@ def read_bioseq(
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
     syntactic subset the same record scan parses), fastq, qual, pir,
     genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed and
-    phylip-sequential), sff, abi, stockholm, nexus — the full surface
-    the reference's BioSeqPipe callers exercise plus the two most-used
-    alignment interchange formats beyond it; remaining SeqIO formats
-    (ace, ig, ...) raise with this message until someone needs them."""
+    phylip-sequential), sff, abi, stockholm, nexus, ace — the full
+    surface the reference's BioSeqPipe callers exercise plus the
+    most-used alignment/assembly interchange formats beyond it;
+    remaining SeqIO formats (ig, ...) raise with this message until
+    someone needs them."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -1328,10 +1469,12 @@ def read_bioseq(
         return read_stockholm(spark, path)
     if ft == "nexus":
         return read_nexus(spark, path)
+    if ft == "ace":
+        return read_ace(spark, path)
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
         "pir, genbank, embl, swiss, tab, clustal, "
-        "phylip(-relaxed/-sequential), sff, abi, stockholm and nexus "
-        "have distributed parses (reference BioSeqPipe accepts any "
+        "phylip(-relaxed/-sequential), sff, abi, stockholm, nexus and "
+        "ace have distributed parses (reference BioSeqPipe accepts any "
         "Bio.SeqIO format)"
     )

@@ -96,7 +96,7 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     # (reference BioSeqPipe accepts any SeqIO filetype; ours documents
     # exactly which have distributed parses)
     with _pytest.raises(NotImplementedError) as ei:
-        read_bioseq(spark, str(p), "nexus")
+        read_bioseq(spark, str(p), "ig")
     msg = str(ei.value)
     for fmt in ("fasta", "fasta-2line", "fastq", "qual", "pir", "genbank",
                 "embl", "swiss", "tab"):
@@ -890,3 +890,55 @@ def test_stockholm_nexus_distributed_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="share a length"):
         src.write_nexus(ragged.coalesce(1), str(tmp_path / "bad"))
+
+
+def test_ace_assembly_contigs(spark, tmp_path):
+    """ACE parse (consed spec): one record per CO contig, '*' pads
+    rendered '-', BQ phreds expanded with 0 at pad positions, read-level
+    sections (AF/RD/QA/DS) and tags skipped, AS count validated."""
+    import pytest
+
+    from fireworks_spark.sources import read_bioseq
+
+    ace = (
+        "AS 2 3\n"
+        "\n"
+        "CO Contig1 10 2 1 U\n"
+        "ACGT*ACGTA\n"
+        "\n"
+        "BQ\n"
+        "20 20 20 20 30 30 30 30 30\n"
+        "\n"
+        "AF read1 U 1\n"
+        "AF read2 C 3\n"
+        "BS 1 10 read1\n"
+        "RD read1 10 0 0\n"
+        "ACGT*ACGTA\n"
+        "QA 1 10 1 10\n"
+        "DS CHROMAT_FILE: read1 PHD_FILE: read1.phd.1\n"
+        "\n"
+        "CO Contig2 4 1 1 C\n"
+        "TT*G\n"
+        "\n"
+        "RD read3 4 0 0\n"
+        "TT*G\n"
+        "QA 1 4 1 4\n"
+    )
+    f = tmp_path / "asm.ace"
+    f.write_text(ace)
+    rows = {r.ids: r for r in read_bioseq(spark, str(f), "ace").collect()}
+    assert rows["Contig1"].sequences == "ACGT-ACGTA"
+    assert rows["Contig1"].qualities == [20, 20, 20, 20, 0, 30, 30, 30, 30, 30]
+    # no BQ block -> empty qualities, pads still rendered
+    assert rows["Contig2"].sequences == "TT-G"
+    assert rows["Contig2"].qualities == []
+
+    bad = tmp_path / "bad.ace"
+    bad.write_text("AS 2 3\nCO OnlyOne 4 1 1 U\nACGT\n")
+    with pytest.raises(Exception, match="declares 2 contigs"):
+        read_bioseq(spark, str(bad), "ace").collect()
+
+    short = tmp_path / "short.ace"
+    short.write_text("AS 1 1\nCO C1 9 1 1 U\nACGT\n")
+    with pytest.raises(Exception, match="declares 9 bases"):
+        read_bioseq(spark, str(short), "ace").collect()
