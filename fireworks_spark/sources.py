@@ -906,6 +906,12 @@ def write_stockholm(
                     zip(b[id_col].astype(str), b[seq_col].astype(str), descs)
                 )
             if rows:
+                bad = [n for n, _, _ in rows if any(c.isspace() for c in n)]
+                if bad:
+                    raise ValueError(
+                        "write_stockholm: sequence names cannot contain "
+                        f"whitespace (Stockholm has no quoting): {bad[:3]}"
+                    )
                 pid = TaskContext.get().partitionId()
                 base = f"part-{pid:05d}-{uuid.uuid4().hex}.sto"
                 width = max(len(n) for n, _, _ in rows) + 2

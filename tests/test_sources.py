@@ -891,6 +891,14 @@ def test_stockholm_nexus_distributed_roundtrip(spark, tmp_path):
     with pytest.raises(Exception, match="share a length"):
         src.write_nexus(ragged.coalesce(1), str(tmp_path / "bad"))
 
+    # Stockholm has no name quoting: whitespace names must fail LOUDLY on
+    # write (they would silently split into name+sequence on read)
+    spacey = spark.createDataFrame(
+        [("tax one", "ACGT")], "ids string, sequences string"
+    )
+    with pytest.raises(Exception, match="whitespace"):
+        src.write_stockholm(spacey.coalesce(1), str(tmp_path / "bad2"))
+
 
 def test_ace_assembly_contigs(spark, tmp_path):
     """ACE parse (consed spec): one record per CO contig, '*' pads
