@@ -1129,16 +1129,15 @@ def _parse_ace(text: str) -> list:
                 f"its consensus has {len(seq)}"
             )
         # BQ covers unpadded positions only; expand with 0 at pads
-        it = iter(quals)
         if quals:
-            full = [0 if c == "-" else next(it) for c in seq]
-            leftover = sum(1 for _ in it)
-            if leftover:
+            unpadded = len(seq) - seq.count("-")
+            if len(quals) != unpadded:
                 raise ValueError(
                     f"read_ace: contig {name!r} has {len(quals)} BQ "
-                    f"values for {len(seq) - seq.count('-')} unpadded "
-                    "bases"
+                    f"values for {unpadded} unpadded bases"
                 )
+            it = iter(quals)
+            full = [0 if c == "-" else next(it) for c in seq]
         else:
             full = []
         contigs.append((name, seq, full))
