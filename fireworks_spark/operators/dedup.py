@@ -2235,37 +2235,42 @@ def line_dedup(
        — a hot boilerplate line with 10^8 copies is collapsed map-side by
        partial aggregation before the shuffle, so the reduce task for that
        line receives one partial row per map task, not 10^8 rows.
-    3. keep = lines ⋈ keepers on (line, id, pos) — BOTH sides are unique per
-       composite key (keepers is one row per line; the composite includes the
-       winning position), so the shuffled join has no hot key: the copies of
-       a boilerplate line spread across (id, pos) values that simply find no
-       match.
+    3. keep = lines ⋈ keepers on (id, pos) ONLY — the winning (id, pos)
+       uniquely determines its line (one line per position), so the raw
+       line text is redundant in the join key: the keeper side ships two
+       longs per distinct line instead of the line text (≈1/3 less
+       shuffle for a mostly-unique corpus, and long-string key hashing/
+       comparison becomes two-long hashing). BOTH sides are unique per
+       (id, pos), so the shuffled join has no hot key: the copies of a
+       boilerplate line spread across (id, pos) values that simply find
+       no match.
     4. reassemble with sort_array(collect_list(struct(pos, line))) grouped by
        id, then left-join the original frame so fully-deduped documents
        survive with text = ''.
 
     Returns (id_col, text_col deduped, n_kept) — one row per input row.
     """
+    # Persisted: the exploded lines feed BOTH the first-occurrence agg and
+    # the keep-join's left side — unpersisted, the upstream lineation and
+    # explode run twice (caller releases via release_caches(result), the
+    # shared-frame convention at the top of this module).
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
             "pos", "line"
         ),
-    )
+    ).persist()
     keepers = (
         lines.groupBy("line")
         .agg(F.min(F.struct(id_col, "pos")).alias("first"))
         .select(
-            F.col("line").alias("k_line"),
             F.col("first")[id_col].alias("k_id"),
             F.col("first")["pos"].alias("k_pos"),
         )
     )
     kept = lines.join(
         keepers,
-        (F.col("line") == F.col("k_line"))
-        & (F.col(id_col) == F.col("k_id"))
-        & (F.col("pos") == F.col("k_pos")),
+        (F.col(id_col) == F.col("k_id")) & (F.col("pos") == F.col("k_pos")),
     ).select(id_col, "pos", "line")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
@@ -2277,14 +2282,15 @@ def line_dedup(
         ).alias("_kept_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    return (
+    return _attach_caches(
         df.select(id_col)
         .join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("_kept_text", F.lit("")).alias(text_col),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
+        ),
+        extra=[lines],
     )
 
 
