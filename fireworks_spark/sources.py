@@ -906,11 +906,19 @@ def write_stockholm(
                     zip(b[id_col].astype(str), b[seq_col].astype(str), descs)
                 )
             if rows:
-                bad = [n for n, _, _ in rows if any(c.isspace() for c in n)]
+                bad = [
+                    n
+                    for n, _, _ in rows
+                    if any(c.isspace() for c in n)
+                    or n.startswith("#")
+                    or n == "//"
+                ]
                 if bad:
                     raise ValueError(
                         "write_stockholm: sequence names cannot contain "
-                        f"whitespace (Stockholm has no quoting): {bad[:3]}"
+                        "whitespace, start with '#', or be '//' — the "
+                        "format has no quoting, so such names would be "
+                        f"read back as annotations/terminators: {bad[:3]}"
                     )
                 pid = TaskContext.get().partitionId()
                 base = f"part-{pid:05d}-{uuid.uuid4().hex}.sto"
@@ -1055,6 +1063,13 @@ def write_nexus(
                     zip(b[id_col].astype(str), b[seq_col].astype(str))
                 )
             if rows:
+                badq = [n for n, _ in rows if "'" in n or '"' in n]
+                if badq:
+                    raise ValueError(
+                        "write_nexus: taxon names cannot contain quote "
+                        "characters (the reader does not unescape doubled "
+                        f"quotes): {badq[:3]}"
+                    )
                 nchar = {len(s) for _, s in rows}
                 if len(nchar) > 1:
                     raise ValueError(

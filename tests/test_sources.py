@@ -891,13 +891,24 @@ def test_stockholm_nexus_distributed_roundtrip(spark, tmp_path):
     with pytest.raises(Exception, match="share a length"):
         src.write_nexus(ragged.coalesce(1), str(tmp_path / "bad"))
 
-    # Stockholm has no name quoting: whitespace names must fail LOUDLY on
-    # write (they would silently split into name+sequence on read)
+    # Stockholm has no name quoting: names that would read back as
+    # annotations/terminators (or split into name+sequence) fail LOUDLY
     spacey = spark.createDataFrame(
         [("tax one", "ACGT")], "ids string, sequences string"
     )
     with pytest.raises(Exception, match="whitespace"):
         src.write_stockholm(spacey.coalesce(1), str(tmp_path / "bad2"))
+    hashy = spark.createDataFrame(
+        [("#=GC", "ACGT")], "ids string, sequences string"
+    )
+    with pytest.raises(Exception, match="annotations"):
+        src.write_stockholm(hashy.coalesce(1), str(tmp_path / "bad3"))
+    # NEXUS quoting covers spaces but not embedded quotes
+    quoty = spark.createDataFrame(
+        [("o'hara", "ACGT")], "ids string, sequences string"
+    )
+    with pytest.raises(Exception, match="quote"):
+        src.write_nexus(quoty.coalesce(1), str(tmp_path / "bad4"))
 
 
 def test_ace_assembly_contigs(spark, tmp_path):
