@@ -299,3 +299,54 @@ def test_parse_nexus_recovers_interleaved_matrix(rows, wrap):
     out += ["  ;", "end;"]
     got = _parse_nexus("\n".join(out) + "\n")
     assert {n: "".join(cs) for n, cs in got} == dict(rows)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_alignment_parsers_fail_closed_on_arbitrary_text(text):
+    """Grammar fuzz: every whole-file alignment parser either parses or
+    raises ValueError — no IndexError/TypeError/StopIteration escapes on
+    malformed input (parsers run executor-side where a foreign exception
+    type surfaces as an opaque PythonException)."""
+    from fireworks_spark.sources import (
+        _parse_ace,
+        _parse_clustal,
+        _parse_nexus,
+        _parse_stockholm,
+    )
+
+    for parse in (_parse_stockholm, _parse_nexus, _parse_ace, _parse_clustal):
+        try:
+            parse(text)
+        except ValueError:
+            pass
+
+
+@given(
+    st.text(
+        alphabet="ACGT*#=/GSDE \n0123456789OBQUFRmatrixends;[]'\"-. ",
+        max_size=400,
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_alignment_parsers_fail_closed_on_formatlike_text(text):
+    """Same, over an alphabet biased toward the formats' own control
+    tokens (headers, counts, annotations) so the fuzz actually reaches
+    the deep branches instead of failing at the header check."""
+    from fireworks_spark.sources import (
+        _parse_ace,
+        _parse_clustal,
+        _parse_nexus,
+        _parse_stockholm,
+    )
+
+    for header, parse in (
+        ("# STOCKHOLM 1.0\n", _parse_stockholm),
+        ("#NEXUS\n", _parse_nexus),
+        ("AS 1 1\n", _parse_ace),
+        ("CLUSTAL W (1.0)\n", _parse_clustal),
+    ):
+        try:
+            parse(header + text)
+        except ValueError:
+            pass
