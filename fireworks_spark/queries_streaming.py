@@ -23,7 +23,7 @@ def q68_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     name = f"q68_{uuid.uuid4().hex[:8]}"
     try:
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
             stream = streaming.read_event_stream(spark, d)
             streaming.run_to_memory(
                 streaming.tumbling_agg(stream), name, "complete"
@@ -41,7 +41,7 @@ def q69_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     name = f"q69_{uuid.uuid4().hex[:8]}"
     try:
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
             stream = streaming.read_event_stream(spark, d)
             streaming.run_to_memory(
                 streaming.sliding_agg(stream), name, "complete"
@@ -104,13 +104,35 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession, n: int = 8):
+def _stream_shuffle(spark: SparkSession, n: "int | None" = None,
+                    src: "str | None" = None):
     """Scope spark.sql.shuffle.partitions down for a stateful streaming
     replay: every shuffle partition gets its own state store instance,
-    and store setup/commit per micro-batch is the dominant cost of these
+    and store setup/commit per micro-batch is the dominant cost of
     small-fixture replays (measured 9.9s -> 4.9s on the stream-stream
-    join at sf0.1 going 32 -> 8). A production deployment sizes this to
-    key volume; the operators themselves inherit the session setting."""
+    join at sf0.1 going 32 -> 8 in round 8; 9.6s -> 6.4s going 8 -> 4 in
+    round 11) — while at larger replays the DATA term dominates and
+    wants the parallelism back (q167 at sf3: 46.5s@8 vs 67.5s@4 vs
+    44.6s@12). With ``n=None`` the partition count is sized to the
+    replayed source: one base of 4 plus one per 6 MB of source parquet,
+    clamped to [4, 24] — landing on the measured optimum at both ends
+    (sf0.01/sf0.1 -> 4, sf1 -> 6, sf3 -> 12). A production deployment
+    sizes this to key volume; the operators themselves inherit the
+    session setting."""
+    if n is None:
+        size = 0
+        if src is not None:
+            import os as _os
+
+            if _os.path.isdir(src):
+                size = sum(
+                    _os.path.getsize(_os.path.join(src, f))
+                    for f in _os.listdir(src)
+                    if not f.startswith((".", "_"))
+                )
+            elif _os.path.exists(src):
+                size = _os.path.getsize(src)
+        n = max(4, min(24, 4 + int(size // (6 << 20))))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -230,7 +252,7 @@ def q166_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst = os.path.join(stage, f"part-{i:03d}.parquet")
             shutil.copy(f"{sf_dir}/events.parquet", dst)
             os.utime(dst, (base_mtime + i + 1, base_mtime + i + 1))
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
             stream = streaming.read_event_stream(
                 spark, stage, max_files_per_trigger=1
             )
@@ -268,7 +290,7 @@ def q167_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q167_{uuid.uuid4().hex[:8]}"
     try:
         stage = _stage_time_slices(src, d, n=2)
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
             left = streaming.read_event_stream(
                 spark, stage, max_files_per_trigger=1
             )
@@ -347,7 +369,7 @@ def q169_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     try:
         stage = _stage_time_slices(src, d, n=3)
         tbl = os.path.join(d, "rollup")
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
             stream = streaming.read_event_stream(
                 spark, stage, max_files_per_trigger=1
             )
@@ -587,7 +609,7 @@ def q175_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q175_{uuid.uuid4().hex[:8]}"
     try:
         stage = _stage_time_slices(src, d, n=2)
-        with _stream_shuffle(spark):
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
             stream = spark.readStream.schema(
                 "user_id long, ts timestamp"
             ).option("maxFilesPerTrigger", "1").parquet(stage)
