@@ -45,6 +45,14 @@ import uuid
 
 _MANIFEST_GLOB = "_manifest-*.json"
 
+# Schemes with object-store PUT-visibility semantics (no atomic rename).
+# Deliberately excludes file:// and hdfs://, which both provide atomic
+# rename and must keep the scratch+rename torn-part guard.
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "gcs", "abfs", "abfss",
+     "wasb", "wasbs", "oss", "cos", "swift", "r2"}
+)
+
 
 def object_store_semantics(path: "str | None" = None) -> bool:
     """True when ``path`` should be treated with PUT-visibility semantics:
@@ -66,8 +74,16 @@ def object_store_semantics(path: "str | None" = None) -> bool:
     the hard no-partial-file guarantee for data parts, which only object
     stores provide natively.
     """
-    if path and re.match(r"^[a-z][a-z0-9+.-]*://", path):
-        return True
+    if path:
+        m = re.match(r"^([a-z][a-z0-9+.-]*)://", path)
+        # Allowlist of schemes that actually carry PUT semantics. file://
+        # has full POSIX atomic rename and hdfs:// has atomic rename too —
+        # routing either through the direct-write branch would silently
+        # drop the torn-part scratch+rename guard for filesystems that
+        # need it (and this module opens paths with POSIX APIs anyway, so
+        # only file:// could even have worked).
+        if m and m.group(1) in _OBJECT_STORE_SCHEMES:
+            return True
     return os.environ.get("FIREWORKS_OBJECT_STORE", "").lower() in (
         "1",
         "true",

@@ -943,11 +943,20 @@ def q98_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n",
     )
     lines_df = (
-        d.select("doc_id", F.split("text", " ").alias("_w"))
+        # coalesce: a NULL text must survive as text='' (line_dedup's left
+        # join preserves it), not be dropped by the size filter below —
+        # size(split(NULL)) is NULL, which the >= 1 barrier would filter.
+        d.select(
+            "doc_id",
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("_w"),
+        )
         .filter(F.size("_w") >= 1)
         .select("doc_id", lineated.alias("text"))
     )
-    return dedup.line_dedup(lines_df).orderBy("doc_id")
+    out = dedup.line_dedup(lines_df)
+    # orderBy returns a NEW DataFrame without the _fw_caches attribute —
+    # re-attach so release_caches(result) frees the persisted lines frame.
+    return dedup._attach_caches(out.orderBy("doc_id"), out)
 
 
 

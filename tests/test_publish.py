@@ -225,6 +225,10 @@ def test_object_store_semantics_switch(monkeypatch):
     assert publish.object_store_semantics("s3://bucket/table")
     assert publish.object_store_semantics("gs://b/t")
     assert publish.object_store_semantics("abfs://c@a.dfs/x")
+    # ADVICE r11: file:// and hdfs:// have atomic rename — they must KEEP
+    # the scratch+rename torn-part guard, not take the direct-write branch
+    assert not publish.object_store_semantics("file:///tmp/tbl")
+    assert not publish.object_store_semantics("hdfs://nn:8020/tbl")
     monkeypatch.setenv("FIREWORKS_OBJECT_STORE", "1")
     assert publish.object_store_semantics("/tmp/tbl")  # fuse-mounted store
 
