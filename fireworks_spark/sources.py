@@ -101,23 +101,74 @@ def read_pir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_fastq(spark: SparkSession, path: str) -> DataFrame:
+#: Files larger than this are read via byte-range splits (one task per
+#: range, classic Hadoop FASTQ-splitter) instead of wholetext — the
+#: wholetext path puts the ENTIRE file in one task's memory, which is an
+#: OOM ceiling on a single 100 GB FASTQ. Ranged reads need seekable local
+#: paths; scheme:// URIs stay on the wholetext path.
+FASTQ_SPLIT_BYTES: int = 256 << 20
+
+_FASTQ_SCHEMA = (
+    "ids string, names string, descriptions string, sequences string, "
+    "dbxrefs array<string>, qualities string"
+)
+
+
+def read_fastq(
+    spark: SparkSession,
+    path: str,
+    split_bytes: "int | None" = None,
+) -> DataFrame:
     """One row per FASTQ record (BioSeqPipe filetype='fastq', reference
     fireworks/toolbox/pipes.py:33 — any Bio.SeqIO filetype).
 
     FASTQ records are FOUR fixed lines (@header / sequence / + / quality);
     '@' is a legal QUALITY character (Phred 31), so splitting the file on
-    '@' like the FASTA lineSep trick is wrong on real data. Instead each
-    file is read whole (file-parallel — one task per file, matching how
-    FASTQ corpora ship as many per-sample files) and the 4-line groups are
-    carved out with pure JVM array expressions: split to lines, then one
-    struct per record via sequence+transform, exploded.
+    '@' like the FASTA lineSep trick is wrong on real data. Two paths:
+
+    - files <= ``split_bytes`` (default :data:`FASTQ_SPLIT_BYTES`): read
+      whole (file-parallel — one task per file, matching how FASTQ corpora
+      ship as many per-sample files) and the 4-line groups are carved out
+      with pure JVM array expressions.
+    - LOCAL files > ``split_bytes``: byte-range splits with 4-line record
+      resync (:func:`read_fastq_ranged`) — removes the single-giant-file
+      task-memory ceiling. scheme:// URIs are not seekable from Python
+      ``open`` here, so they keep the wholetext path.
 
     Columns mirror read_fasta (ids/names/descriptions/sequences/dbxrefs)
     plus ``qualities`` — the raw Phred string (SeqIO stores it decoded in
     letter_annotations['phred_quality']; the ASCII form is kept here, and
     decoding is one transform(ascii(x)-33) away).
     """
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    if split_bytes is None:
+        split_bytes = FASTQ_SPLIT_BYTES
+    if not _re.match(r"^[a-z][a-z0-9+.-]*://", path):
+        if _os.path.isdir(path):
+            files = [
+                _os.path.join(path, nm)
+                for nm in sorted(_os.listdir(path))
+                if not nm.startswith((".", "_"))
+            ]
+        elif _os.path.isfile(path):
+            files = [path]
+        else:
+            files = sorted(_glob.glob(path))
+        big = [f for f in files if _os.path.getsize(f) > split_bytes]
+        if big:
+            small = [f for f in files if f not in big]
+            out = read_fastq_ranged(spark, big, chunk_bytes=split_bytes)
+            if small:
+                out = out.unionByName(_read_fastq_wholetext(spark, small))
+            return out
+    return _read_fastq_wholetext(spark, path)
+
+
+def _read_fastq_wholetext(spark: SparkSession, path) -> DataFrame:
+    """Wholetext FASTQ parse — one task per file, pure JVM expressions."""
     raw = spark.read.text(path, wholetext=True)
     # Materialize the line array as its OWN projection before any further
     # expression touches it: expressions inside one Project share nothing
@@ -155,6 +206,156 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
             F.trim(F.col("r.qual")).alias("qualities"),
         )
     )
+
+
+def read_fastq_ranged(
+    spark: SparkSession,
+    files: "list[str]",
+    chunk_bytes: int = FASTQ_SPLIT_BYTES,
+) -> DataFrame:
+    """Byte-range splittable FASTQ read — the classic Hadoop
+    FASTQ-splitter (cf. Hadoop-BAM FastqInputFormat): each file is cut
+    into ``chunk_bytes`` ranges on the driver (sizes only — no data read),
+    one task per range; the task seeks to its range start, resyncs to the
+    next record boundary, and parses records until the first record that
+    STARTS past its range end (reading through the boundary record).
+
+    Ownership rule (torn-record-proof by symmetry): a record belongs to
+    the range (start, end] that contains its first byte, except offset 0
+    belongs to the first range. A task with start > 0 discards everything
+    through the first newline at-or-after ``start`` (so it never claims a
+    record starting exactly AT ``start`` — its left neighbor reads through
+    its own ``end`` and claims it), then resyncs with the 4-line
+    structural test: a line l0 is a record head iff l0 starts with '@',
+    l2 starts with '+', len(l1) == len(l3), l1 is sequence alphabet, and
+    the next line after the candidate record (when visible) starts with
+    '@'. The length test is what disambiguates a QUALITY line that starts
+    with '@' (Phred 31 is '@') from a real header.
+
+    Memory is bounded by the yield batch (50k records), not the range
+    size — the single-100-GB-file wholetext OOM ceiling is gone.
+    """
+    import os as _os
+
+    ranges = []
+    for f in files:
+        size = _os.path.getsize(f)
+        n = max(1, -(-size // chunk_bytes))
+        for i in range(n):
+            ranges.append((f, i * chunk_bytes, min((i + 1) * chunk_bytes, size)))
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long"
+    ).repartition(len(ranges))
+
+    def _parse(batches):
+        import pandas as pd
+
+        for b in batches:
+            for path, start, end in zip(b["path"], b["start"], b["end"]):
+                yield from _fastq_parse_range(
+                    str(path), int(start), int(end), pd
+                )
+
+    return rdf.mapInPandas(_parse, _FASTQ_SCHEMA)
+
+
+_FASTQ_SEQ_CHARS = frozenset(b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                             b"abcdefghijklmnopqrstuvwxyz.-*~")
+
+
+def _fastq_is_head(lines: "list[bytes]", i: int) -> bool:
+    """Structural 4-line record test at lines[i] (see read_fastq_ranged)."""
+    if i + 3 >= len(lines):
+        return False
+    l0, l1, l2, l3 = lines[i], lines[i + 1], lines[i + 2], lines[i + 3]
+    if not (l0.startswith(b"@") and l2.startswith(b"+")):
+        return False
+    if len(l1) != len(l3) or not l1:
+        return False
+    if any(c not in _FASTQ_SEQ_CHARS for c in l1):
+        return False
+    # the line after the candidate record must itself be a record head
+    # start ('@') when visible — rejects a quality line masquerading as a
+    # header mid-stream
+    if i + 4 < len(lines) and not lines[i + 4].startswith(b"@"):
+        return False
+    return True
+
+
+def _fastq_parse_range(path: str, start: int, end: int, pd):
+    """Parse the FASTQ records owned by byte range (start, end] of
+    ``path`` (offset 0 owned by the first range); yields pandas
+    DataFrames of <= 50k records in read_fastq's column layout."""
+    BATCH = 50_000
+    ids, descs, seqs, quals = [], [], [], []
+
+    def _flush():
+        names = list(ids)
+        out = pd.DataFrame(
+            {
+                "ids": ids,
+                "names": names,
+                "descriptions": descs,
+                "sequences": seqs,
+                "dbxrefs": [[] for _ in ids],
+                "qualities": quals,
+            }
+        )
+        ids.clear(), descs.clear(), seqs.clear(), quals.clear()
+        return out
+
+    with open(path, "rb") as fh:
+        if start > 0:
+            fh.seek(start)
+            fh.readline()  # discard through the first newline >= start
+        # lookahead buffer of (offset, stripped-line); blank lines are
+        # structural in 4-line FASTQ and FASTQ files don't contain them —
+        # keep them (a blank line simply fails the resync/head test).
+        buf: list = []
+
+        def _fill(n: int) -> None:
+            while len(buf) < n:
+                off = fh.tell()
+                raw = fh.readline()
+                if not raw:
+                    return
+                buf.append((off, raw.rstrip(b"\r\n")))
+
+        # resync: first structurally-valid record head with offset > start
+        # (or == 0 for the first range)
+        while True:
+            _fill(8)
+            if not buf:
+                break
+            lines = [l for _, l in buf]
+            if _fastq_is_head(lines, 0):
+                break
+            buf.pop(0)
+        # parse records while the record START is owned by this range
+        while True:
+            _fill(4)
+            if not buf:
+                break
+            head_off = buf[0][0]
+            if head_off > end or (start > 0 and head_off <= start):
+                break
+            if len(buf) < 4:
+                raise ValueError(
+                    f"read_fastq_ranged: truncated FASTQ record at "
+                    f"{path}:{head_off} — file does not end on a 4-line "
+                    "boundary"
+                )
+            (_, h), (_, s), (_, plus), (_, q) = buf[:4]
+            del buf[:4]
+            header = h[1:].decode("utf-8", "replace").strip()
+            ids.append(header.split(" ", 1)[0].strip())
+            descs.append(header)
+            seqs.append(s.decode("utf-8", "replace").strip())
+            quals.append(q.decode("utf-8", "replace").strip())
+            if len(ids) >= BATCH:
+                yield _flush()
+    if ids:
+        yield _flush()
 
 
 def read_genbank(spark: SparkSession, path: str) -> DataFrame:
@@ -920,6 +1121,25 @@ def write_stockholm(
                         "format has no quoting, so such names would be "
                         f"read back as annotations/terminators: {bad[:3]}"
                     )
+                bad_desc = [
+                    n
+                    for n, _, d in rows
+                    if "\n" in d or "\r" in d
+                ]
+                if bad_desc:
+                    raise ValueError(
+                        "write_stockholm: descriptions cannot contain "
+                        "newlines — a split '#=GS ... DE' line is reparsed "
+                        f"as a sequence row for a phantom taxon: "
+                        f"{bad_desc[:3]}"
+                    )
+                empty = [n for n, s, _ in rows if not s]
+                if empty:
+                    raise ValueError(
+                        "write_stockholm: empty sequences produce a "
+                        "name-only line that read_stockholm rejects as "
+                        f"malformed: {empty[:3]}"
+                    )
                 pid = TaskContext.get().partitionId()
                 base = f"part-{pid:05d}-{uuid.uuid4().hex}.sto"
                 width = max(len(n) for n, _, _ in rows) + 2
@@ -1063,12 +1283,18 @@ def write_nexus(
                     zip(b[id_col].astype(str), b[seq_col].astype(str))
                 )
             if rows:
-                badq = [n for n, _ in rows if "'" in n or '"' in n]
+                badq = [
+                    n
+                    for n, _ in rows
+                    if any(c in n for c in "'\";[]")
+                ]
                 if badq:
                     raise ValueError(
                         "write_nexus: taxon names cannot contain quote "
                         "characters (the reader does not unescape doubled "
-                        f"quotes): {badq[:3]}"
+                        "quotes), ';' (terminates the matrix on read), or "
+                        "'['/']' (stripped as NEXUS comments on read): "
+                        f"{badq[:3]}"
                     )
                 nchar = {len(s) for _, s in rows}
                 if len(nchar) > 1:

@@ -104,6 +104,75 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     assert "Bio.SeqIO" in msg
 
 
+def test_fastq_ranged_matches_wholetext_adversarial(spark, tmp_path):
+    """VERDICT r11 #3: byte-range splittable FASTQ. Adversarial fixture —
+    every quality line STARTS with '@' (Phred 31) and record lengths vary,
+    so both the '@'-delimiter trick and a naive resync would misparse.
+    Parsed at a tiny chunk size (dozens of ranges, boundaries landing
+    mid-record everywhere), the output must be row-identical to the
+    wholetext parse."""
+    from fireworks_spark.sources import read_fastq, read_fastq_ranged
+
+    p = tmp_path / "adv.fastq"
+    recs = []
+    for i in range(500):
+        n = 1 + (i * 7) % 60
+        seq = ("ACGT" * 16)[:n]
+        qual = "@" + ("@IJK!~" * 11)[: n - 1]  # starts with '@', len == seq
+        recs.append(f"@r{i:04d} sample {i}\n{seq}\n+\n{qual}\n")
+    p.write_text("".join(recs))
+
+    whole = read_fastq(spark, str(p)).orderBy("ids").collect()
+    ranged = (
+        read_fastq_ranged(spark, [str(p)], chunk_bytes=997)
+        .orderBy("ids")
+        .collect()
+    )
+    assert len(whole) == 500
+    assert [tuple(r) for r in ranged] == [tuple(r) for r in whole]
+
+
+def test_fastq_large_file_splits(spark, tmp_path):
+    """VERDICT r11 #3 done-criterion: one multi-hundred-MB FASTQ read via
+    read_fastq's auto-dispatch produces >1 input partition and
+    row-identical output to the wholetext path — the single-giant-file
+    task-memory ceiling is gone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fireworks_spark import sources as src
+
+    p = tmp_path / "big.fastq"
+    seq = "ACGTTTGGCCAA" * 10  # 120 chars
+    qual = "@" + "I" * 119
+    with open(p, "w") as fh:
+        for i in range(1_200_000):
+            fh.write(f"@read{i:07d} s\n{seq}\n+\n{qual}\n")
+    size = os.path.getsize(p)
+    assert size > src.FASTQ_SPLIT_BYTES  # multi-hundred-MB, auto-splits
+
+    ranged = src.read_fastq(spark, str(p))  # auto: size > FASTQ_SPLIT_BYTES
+    assert ranged.rdd.getNumPartitions() > 1
+    agg_r = ranged.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("ids").alias("d"),
+        F.bit_xor(F.xxhash64("ids", "descriptions", "sequences",
+                             "qualities")).alias("h"),
+        F.sum(F.length("sequences")).alias("sl"),
+    ).collect()[0]
+    whole = src.read_fastq(spark, str(p), split_bytes=1 << 40)  # force whole
+    agg_w = whole.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("ids").alias("d"),
+        F.bit_xor(F.xxhash64("ids", "descriptions", "sequences",
+                             "qualities")).alias("h"),
+        F.sum(F.length("sequences")).alias("sl"),
+    ).collect()[0]
+    assert agg_r.n == agg_w.n == 1_200_000
+    assert tuple(agg_r) == tuple(agg_w)
+
+
 def test_read_qual_and_pir(spark, tmp_path):
     from fireworks_spark.sources import read_bioseq
 
@@ -909,6 +978,32 @@ def test_stockholm_nexus_distributed_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="quote"):
         src.write_nexus(quoty.coalesce(1), str(tmp_path / "bad4"))
+    # ADVICE r11: ';' terminates the matrix on read and '['/']' are
+    # stripped as comments — all three must fail loudly at write time
+    for badname in ("a;b", "a[b", "a]b"):
+        bad_df = spark.createDataFrame(
+            [(badname, "ACGT")], "ids string, sequences string"
+        )
+        with pytest.raises(Exception, match="quote|terminates|comments"):
+            src.write_nexus(bad_df.coalesce(1), str(tmp_path / "bad5"))
+    # ADVICE r11: a newline in a stockholm description splits the #=GS
+    # line and the spillover reparses as a phantom sequence row
+    nl_desc = spark.createDataFrame(
+        [("t1", "ACGT", "line1\nACGT")],
+        "ids string, sequences string, descriptions string",
+    )
+    with pytest.raises(Exception, match="newline"):
+        src.write_stockholm(
+            nl_desc.coalesce(1), str(tmp_path / "bad6"),
+            desc_col="descriptions",
+        )
+    # ADVICE r11: an empty sequence writes a name-only line the reader
+    # rejects as malformed — fail at write time instead
+    empty_seq = spark.createDataFrame(
+        [("t1", "")], "ids string, sequences string"
+    )
+    with pytest.raises(Exception, match="empty"):
+        src.write_stockholm(empty_seq.coalesce(1), str(tmp_path / "bad7"))
 
 
 def test_ace_assembly_contigs(spark, tmp_path):
