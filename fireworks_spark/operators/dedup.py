@@ -37,6 +37,12 @@ def _attach_caches(out: DataFrame, *sources: DataFrame, extra=()) -> DataFrame:
     handles: list = []
     for s in sources:
         handles += getattr(s, _CACHES_ATTR, [])
+        # harvest toolbox.with_row_index / with_running_total's legacy
+        # single-handle convention too, so one wrapper re-attach call
+        # propagates EVERY release handle a source carries
+        rc = getattr(s, "_row_index_cache", None)
+        if rc is not None:
+            handles.append(rc)
     handles += list(extra)
     if handles:
         setattr(out, _CACHES_ATTR, handles)

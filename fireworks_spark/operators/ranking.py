@@ -389,11 +389,19 @@ def pack_sequences(
     run = with_running_total(
         counted, [id_col], "n_tokens", total_col="_end"
     )
-    return run.select(
-        id_col,
-        "n_tokens",
-        (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
-        F.floor((F.col("_end") - F.col("n_tokens")) / budget).alias("pack_id"),
+    from fireworks_spark.operators.dedup import _attach_caches
+
+    # select drops python attributes — carry the running-total range cache
+    return _attach_caches(
+        run.select(
+            id_col,
+            "n_tokens",
+            (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
+            F.floor(
+                (F.col("_end") - F.col("n_tokens")) / budget
+            ).alias("pack_id"),
+        ),
+        run,
     )
 
 

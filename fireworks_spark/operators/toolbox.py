@@ -200,11 +200,16 @@ def interleave(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
     global position comes from with_row_index (distributed two-pass
     zipWithIndex), so no single-partition window anywhere.
     """
+    from fireworks_spark.operators.dedup import _attach_caches
+
     k = len(dfs)
     parts = []
+    handles = []
     for i, d in enumerate(dfs):
+        ri = with_row_index(d, order_cols, "_j")
+        handles.append(ri._row_index_cache)
         parts.append(
-            with_row_index(d, order_cols, "_j").select(
+            ri.select(
                 *d.columns,
                 (F.col("_j") * k + i).cast("long").alias("pos"),
                 F.lit(i).cast("long").alias("src"),
@@ -213,7 +218,9 @@ def interleave(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # the select/union wrappers drop python attributes, so the per-source
+    # row-index caches are re-attached here (release_caches frees them)
+    return _attach_caches(out, extra=handles)
 
 
 def hstack(
@@ -234,9 +241,13 @@ def hstack(
     dup = set(a.columns) & set(b.columns)
     if dup:
         raise ValueError(f"hstack requires disjoint columns; shared: {dup}")
+    from fireworks_spark.operators.dedup import _attach_caches
+
     ra = with_row_index(a, a_order, "_pos")
     rb = with_row_index(b, b_order, "_pos")
-    return ra.join(rb, "_pos", "inner").drop("_pos")
+    # join/drop return new DataFrames without python attributes — carry
+    # both sides' row-index caches on the result for release_caches
+    return _attach_caches(ra.join(rb, "_pos", "inner").drop("_pos"), ra, rb)
 
 
 def index_map(

@@ -133,12 +133,15 @@ def q147_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("media")
     )
-    return (
-        multimodal.media_dup_pairs(
-            d, "media", "doc_id", max_hamming=8, num_bits=48
-        )
-        .withColumn("hamming", F.col("hamming").cast("long"))
-        .orderBy("ida", "idb")
+    out = multimodal.media_dup_pairs(
+        d, "media", "doc_id", max_hamming=8, num_bits=48
+    )
+    from fireworks_spark.operators.dedup import _attach_caches
+
+    return _attach_caches(
+        out.withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("ida", "idb"),
+        out,
     )
 
 
@@ -150,10 +153,13 @@ def q140_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fireworks_spark import mlfeed
 
     d = table(spark, sf_dir, "documents")
-    return (
-        mlfeed.negative_samples(d, k=4)
-        .select("doc_id", "neg_id", F.col("j").cast("long").alias("j"))
-        .orderBy("doc_id", "j")
+    out = mlfeed.negative_samples(d, k=4)
+    from fireworks_spark.operators.dedup import _attach_caches
+
+    return _attach_caches(
+        out.select("doc_id", "neg_id", F.col("j").cast("long").alias("j"))
+        .orderBy("doc_id", "j"),
+        out,
     )
 
 

@@ -71,9 +71,20 @@ def _cos(a: str, b: str) -> str:
 # --------------------------------------------------------------------------
 
 
+
+def _keep_caches(out, src):
+    """Re-attach the _fw_caches release handles through a wrapper
+    transformation: orderBy/select/withColumn return NEW DataFrames
+    without python attributes, so returning a wrapped operator result
+    directly would orphan its persisted frames (release_caches(result)
+    would no-op and only bench.py's clearCache backstop would free them —
+    the leak class tests/test_cache_hygiene.py pins down)."""
+    return dedup._attach_caches(out, src)
+
 def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(d).orderBy("keep_id")
+    out = dedup.exact_dedup(d)
+    return _keep_caches(out.orderBy("keep_id"), out)
 
 
 def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +94,8 @@ def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf1 (50k docs) real near-dup pairs share only shingles hotter than
     the cap, silently losing pairs (caught by the round-9 sf1 sweep)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, threshold=0.5).orderBy("ida", "idb")
+    out = dedup.jaccard_pairs(d, threshold=0.5)
+    return _keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q134_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,11 +105,12 @@ def q134_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning as the self-join q31; verify uses all shingles so values are
     exact."""
     d = table(spark, sf_dir, "documents")
-    return dedup.jaccard_join(
+    out = dedup.jaccard_join(
         d.filter(F.col("doc_id") % 2 == 0),
         d.filter(F.col("doc_id") % 2 == 1),
         threshold=0.5,
-    ).orderBy("lid", "rid")
+    )
+    return _keep_caches(out.orderBy("lid", "rid"), out)
 
 
 def q135_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,18 +119,20 @@ def q135_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify. 16x2 banding makes recall at J>=0.8 ~certain, so the
     exact-SQL cross-Jaccard is the value oracle (same argument as q32)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.minhash_join(
+    out = dedup.minhash_join(
         d.filter(F.col("doc_id") % 2 == 0),
         d.filter(F.col("doc_id") % 2 == 1),
         threshold=0.8,
-    ).orderBy("lid", "rid")
+    )
+    return _keep_caches(out.orderBy("lid", "rid"), out)
 
 
 def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact-Jaccard verify at threshold 0.8 (the
     regime where 16x2 banding has ~certain recall; see module docstring)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(d, threshold=0.8).orderBy("ida", "idb")
+    out = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    return _keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,9 +143,10 @@ def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-based portable token hash so DuckDB derives bit-identical
     signatures from the raw text (xxhash64 has no SQL equivalent)."""
     d = table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(
+    out = dedup.simhash_pairs(
         d, max_hamming=3, token_hash=dedup.portable_token_hash60
-    ).orderBy("ida", "idb")
+    )
+    return _keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +154,8 @@ def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates meet on a bounded (band_idx, band_key) equi-join; auto-tuned
     bands give miss probability <= 1e-6 at the 0.5 boundary)."""
     e = table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(e, threshold=0.5).orderBy("ida", "idb")
+    out = dedup.embedding_dup_pairs(e, threshold=0.5)
+    return _keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,10 +167,10 @@ def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups. Oracle: DuckDB recursive-CTE transitive closure."""
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
-    return (
-        dedup.dup_clusters(pairs)
-        .select(F.col("id").alias("doc_id"), "cluster")
-        .orderBy("doc_id")
+    out = dedup.dup_clusters(pairs)
+    return _keep_caches(
+        out.select(F.col("id").alias("doc_id"), "cluster").orderBy("doc_id"),
+        out,
     )
 
 
@@ -163,7 +180,8 @@ def q43_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the same LSH-candidate route as q42 (recall-certain at 0.8)."""
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
-    return dedup.keep_canonical(d, pairs).select("doc_id").orderBy("doc_id")
+    out = dedup.keep_canonical(d, pairs)
+    return _keep_caches(out.select("doc_id").orderBy("doc_id"), out)
 
 
 # --------------------------------------------------------------------------
@@ -234,6 +252,26 @@ def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         similarity.lsh_bucket_topk(
             e, q, k=5, num_bits=6, portable=True, dim=64
+        )
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("qid", "rk")
+    )
+
+
+def q184_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN (Lv et al., VLDB'07 fixed-radius variant):
+    each query probes its own bucket plus the num_bits Hamming-1 neighbor
+    buckets — the recall repair for q102's fixed-bits decay as N/bucket
+    grows (probing is x(bits+1) candidates on the BROADCAST query side
+    only; the base stays one bucket per vector, still an equi-join). Same
+    md5-parity portable projections as q102 so the oracle re-derives the
+    buckets and joins on bit_count(xor) <= 1."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.lsh_bucket_topk(
+            e, q, k=5, num_bits=6, portable=True, dim=64,
+            probe_hamming1=True,
         )
         .withColumn("rk", F.col("rk").cast("long"))
         .orderBy("qid", "rk")
@@ -382,7 +420,8 @@ def q145_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence ranking, span coverage and document reassembly in
     SQL; the xxhash64 scale path is asserted equal in test_dedup."""
     d = table(spark, sf_dir, "documents")
-    return dedup.substring_dedup(d, k=20, use_hash=False).orderBy("doc_id")
+    out = dedup.substring_dedup(d, k=20, use_hash=False)
+    return _keep_caches(out.orderBy("doc_id"), out)
 
 
 def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,10 +684,11 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [by_label[lb][d] for d in sorted(by_label[lb])]
         for lb in sorted(by_label)
     ]
-    return (
-        dedup.semdedup(e, eps=0.5, centroids=centroids)
-        .withColumn("cluster", F.col("cluster").cast("long"))
-        .orderBy("vec_id")
+    out = dedup.semdedup(e, eps=0.5, centroids=centroids)
+    return _keep_caches(
+        out.withColumn("cluster", F.col("cluster").cast("long"))
+        .orderBy("vec_id"),
+        out,
     )
 
 
@@ -967,10 +1007,8 @@ def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair graph via the recall-certain LSH route of q42."""
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
-    return (
-        dedup.leakage_safe_split(d, pairs, k=5)
-        .orderBy("doc_id")
-    )
+    out = dedup.leakage_safe_split(d, pairs, k=5)
+    return _keep_caches(out.orderBy("doc_id"), out)
 
 
 PIPELINE_QUERIES = {
@@ -997,6 +1035,7 @@ PIPELINE_QUERIES = {
     "q149_mmr_rerank": q149_mmr_rerank,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
     "q102_ann_lsh_topk": q102_ann_lsh_topk,
+    "q184_lsh_multiprobe_topk": q184_lsh_multiprobe_topk,
     "q119_pq_adc_topk": q119_pq_adc_topk,
     "q127_fuzzy_join": q127_fuzzy_join,
     "q143_fuzzy_join_dist2": q143_fuzzy_join_dist2,
@@ -1101,6 +1140,26 @@ WITH bk AS (
   SELECT q.vec_id AS qid, b.vec_id AS nid,
          round({_cos('q.embedding', 'b.embedding')}, 4) AS sim
   FROM bk q JOIN bk b ON b.bucket = q.bucket AND b.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), r AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM p
+)
+SELECT qid, nid, sim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+# q184: q102's bucket computation, but candidates meet on Hamming<=1 keys
+_LSH_MULTIPROBE_SQL = f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), p AS (
+  SELECT q.vec_id AS qid, b.vec_id AS nid,
+         round({_cos('q.embedding', 'b.embedding')}, 4) AS sim
+  FROM bk q JOIN bk b
+    ON bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= 1
+   AND b.vec_id <> q.vec_id
   WHERE q.vec_id < 10
 ), r AS (
   SELECT qid, nid, sim,
@@ -1994,6 +2053,7 @@ PIPELINE_ORACLE = {
     "q36_ann_ivf_topk": _IVF_ANN_SQL,
     "q149_mmr_rerank": _mmr_sql(k=5, lam=0.7),
     "q102_ann_lsh_topk": _LSH_ANN_SQL,
+    "q184_lsh_multiprobe_topk": _LSH_MULTIPROBE_SQL,
     "q119_pq_adc_topk": _PQ_ADC_SQL,
     "q128_ivfpq_topk": _IVFPQ_SQL,
     "q127_fuzzy_join": """

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fireworks_spark.operators import ranking
+from fireworks_spark.operators import dedup, ranking
 from fireworks_spark.tables import table
 
 _BM25_TERMS = ["spark", "join", "window"]
@@ -92,7 +92,8 @@ def q86_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the id-ordered corpus token stream — distributed two-pass cumsum, no
     single-partition window."""
     d = table(spark, sf_dir, "documents")
-    return ranking.pack_sequences(d, budget=512).orderBy("doc_id")
+    out = ranking.pack_sequences(d, budget=512)
+    return dedup._attach_caches(out.orderBy("doc_id"), out)
 
 
 def q87_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,10 +174,11 @@ def q129_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 89 == 0)
     corpus = d.filter(F.col("doc_id") % 89 != 0)
-    return (
-        dedup.bloom_decontaminate(corpus, bench)
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
+    out = dedup.bloom_decontaminate(corpus, bench)
+    # re-attach the release handle through the wrapper (select/orderBy
+    # return new DataFrames without python attributes)
+    return dedup._attach_caches(
+        out.select("doc_id", "source", "n_chars").orderBy("doc_id"), out
     )
 
 
@@ -267,8 +269,13 @@ def q138_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = toolbox.weighted_sample(
         qual, "n_chars", k=10, key_col="doc_id", group_col="source", seed=7
     )
-    return mix.select("doc_id", "source", "n_chars").orderBy(
-        "source", "doc_id"
+    # carry bloom_decontaminate's release handle through the chain of
+    # wrapper DataFrames (filter/sample/select/orderBy drop attributes)
+    return dedup._attach_caches(
+        mix.select("doc_id", "source", "n_chars").orderBy(
+            "source", "doc_id"
+        ),
+        clean,
     )
 
 

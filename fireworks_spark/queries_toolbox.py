@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fireworks_spark.functions.text import pad, words
-from fireworks_spark.operators import textstats, toolbox
+from fireworks_spark.operators import dedup, textstats, toolbox
 from fireworks_spark.tables import table
 
 
@@ -50,7 +50,10 @@ def q53_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-robin interleave of two sources with explicit positions."""
     n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     r = table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
-    return toolbox.interleave([n, r], ["k"]).select("pos", "src", "k").orderBy("pos")
+    out = toolbox.interleave([n, r], ["k"])
+    return dedup._attach_caches(
+        out.select("pos", "src", "k").orderBy("pos"), out
+    )
 
 
 def q54_label_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,9 +112,8 @@ def q58_hstack(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     a = c.select("c_custkey", "c_mktsegment")
     b = c.select("c_acctbal", "c_name")
-    return toolbox.hstack(a, b, ["c_custkey"], ["c_acctbal", "c_name"]).orderBy(
-        "c_custkey"
-    )
+    out = toolbox.hstack(a, b, ["c_custkey"], ["c_acctbal", "c_name"])
+    return dedup._attach_caches(out.orderBy("c_custkey"), out)
 
 
 def q59_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +121,8 @@ def q59_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with range buckets + per-bucket windows (no single-partition
     window)."""
     c = table(spark, sf_dir, "customer").select("c_custkey")
-    return toolbox.with_row_index(c, ["c_custkey"], "idx").orderBy("c_custkey")
+    out = toolbox.with_row_index(c, ["c_custkey"], "idx")
+    return dedup._attach_caches(out.orderBy("c_custkey"), out)
 
 
 def q132_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
