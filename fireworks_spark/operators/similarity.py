@@ -74,13 +74,26 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     portable: bool = False,
     dim: int | None = None,
+    probe_hamming1: bool = False,
 ) -> DataFrame:
-    """ANN top-k searching only the query's sign-projection bucket.
+    """ANN top-k searching the query's sign-projection bucket.
 
     The crossJoin becomes an equi-join on the bucket id: at scale each of the
     2^num_bits buckets holds ~N/2^bits vectors and the shuffle is hash
-    partitioned by bucket. Recall < 1 by construction (probe only 1 bucket);
-    raise recall by lowering num_bits or probing neighboring buckets.
+    partitioned by bucket. Recall < 1 by construction (probe only 1 bucket)
+    and DECAYS as N/bucket grows at fixed bits; raise it by lowering
+    num_bits or setting ``probe_hamming1``.
+
+    ``probe_hamming1`` is multi-probe LSH (Lv et al., VLDB'07, the
+    fixed-radius variant): each query also probes its ``num_bits``
+    Hamming-1 neighbor buckets — band_key packs bits positionally, so the
+    neighbor keys are bucket XOR (1 << j). A true neighbor differing in
+    exactly one hyperplane sign (the dominant miss mode at small bits) is
+    then found. Still an equi-join: the QUERY side (broadcast, small)
+    explodes x(num_bits+1); the base side is untouched, and each (qid,
+    nid) pair can match at most once because a base vector lives in
+    exactly one bucket and the probed keys are distinct.
+
     Pass ``dim`` (the embedding dimensionality, known to every real index)
     so the projection matrix constant-folds instead of re-hashing per row.
     """
@@ -94,6 +107,15 @@ def lsh_bucket_topk(
     ).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
     )
+    if probe_hamming1:
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << j) for j in range(num_bits)]
+        )
+        qb = qb.withColumn("_flip", F.explode(flips)).select(
+            "qid",
+            "qv",
+            F.col("bucket").bitwiseXOR(F.col("_flip")).alias("bucket"),
+        )
     sim = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 4)
     pairs = (
         bb.join(F.broadcast(qb), "bucket")
