@@ -69,16 +69,20 @@ def q150_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q150_{uuid.uuid4().hex[:8]}"
     try:
         src.repartition(3).write.mode("overwrite").parquet(d)
-        # no _stream_shuffle here: the cost is the Python stateful fold,
-        # which parallelizes across shuffle partitions — keep them
-        stream = (
-            spark.readStream.schema("user_id long, value double")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(d)
-        )
-        streaming.run_to_memory(
-            streaming.stateful_topk(stream, k=3), name, "update"
-        )
+        # python_fold sizing: 32 stores x 3 triggers is pure commit
+        # overhead at sf0.1 (measured r12: 4.1s@8 vs 5.5s@32) while the
+        # fold wants the parallelism back as data grows — see
+        # _stream_shuffle
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
+                             python_fold=True):
+            stream = (
+                spark.readStream.schema("user_id long, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            )
+            streaming.run_to_memory(
+                streaming.stateful_topk(stream, k=3), name, "update"
+            )
         updates = spark.table(name)
         w = Window.partitionBy("user_id").orderBy(
             F.desc(F.size("topk")), F.desc("topk")
@@ -105,7 +109,7 @@ from contextlib import contextmanager
 
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: "int | None" = None,
-                    src: "str | None" = None):
+                    src: "str | None" = None, python_fold: bool = False):
     """Scope spark.sql.shuffle.partitions down for a stateful streaming
     replay: every shuffle partition gets its own state store instance,
     and store setup/commit per micro-batch is the dominant cost of
@@ -116,9 +120,18 @@ def _stream_shuffle(spark: SparkSession, n: "int | None" = None,
     44.6s@12). With ``n=None`` the partition count is sized to the
     replayed source: one base of 4 plus one per 6 MB of source parquet,
     clamped to [4, 24] — landing on the measured optimum at both ends
-    (sf0.01/sf0.1 -> 4, sf1 -> 6, sf3 -> 12). A production deployment
-    sizes this to key volume; the operators themselves inherit the
-    session setting."""
+    (sf0.01/sf0.1 -> 4, sf1 -> 6, sf3 -> 12). ``python_fold`` switches
+    to the applyInPandasWithState curve — floor 8, 1 partition per 2 MB,
+    cap 32: their per-trigger cost is the PYTHON fold, whose workers are
+    per-shuffle-partition, so the count must grow with DATA much faster
+    than the SQL-state curve (store commit is the small-fixture term,
+    fold throughput the large-fixture term). Measured r12 at sf0.1:
+    q174 4.9s@8 vs 5.5s@4 vs 8.5s@32, q150/q165/q172/q176 all fastest
+    at 8; at sf3 the same queries flip — q176 14.3s@32 vs 22.7s@12,
+    q174 13.4s@32 vs 20.3s@12 — which is what the steeper slope
+    (sf0.1 -> 8, sf3 -> 28) tracks. A production deployment sizes this
+    to key volume; the operators themselves inherit the session
+    setting."""
     if n is None:
         size = 0
         if src is not None:
@@ -132,7 +145,10 @@ def _stream_shuffle(spark: SparkSession, n: "int | None" = None,
                 )
             elif _os.path.exists(src):
                 size = _os.path.getsize(src)
-        n = max(4, min(24, 4 + int(size // (6 << 20))))
+        if python_fold:
+            n = max(8, min(32, 4 + int(size // (2 << 20))))
+        else:
+            n = max(4, min(24, 4 + int(size // (6 << 20))))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -192,19 +208,19 @@ def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q165_{uuid.uuid4().hex[:8]}"
     try:
         stage = _stage_time_slices(src, d, n=3)
-        # no _stream_shuffle here: the Python stateful fold parallelizes
-        # across shuffle partitions — keep them
-        stream = (
-            spark.readStream.schema(
-                "user_id long, ts timestamp, event_type string"
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
+                             python_fold=True):
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, event_type string"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .option("latestFirst", "false")
+                .parquet(stage)
             )
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(stage)
-        )
-        streaming.run_to_memory(
-            streaming.stateful_funnel(stream, steps), name, "update"
-        )
+            streaming.run_to_memory(
+                streaming.stateful_funnel(stream, steps), name, "update"
+            )
         final = (
             spark.table(name)
             .groupBy("user_id")
@@ -466,14 +482,16 @@ def q172_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each micro-batch is ONE file = one scan partition, and the
         # signature projection (8 md5s per gram) binds map-side —
         # repartition the raw docs first so it parallelizes
-        streaming.run_to_memory(
-            streaming.near_dedup_stream(
-                stream.repartition(32), watermark="365 days",
-                portable=True, sig_col="sig"
-            ),
-            name,
-            "append",
-        )
+        with _stream_shuffle(spark, src=f"{sf_dir}/documents.parquet",
+                             python_fold=True):
+            streaming.run_to_memory(
+                streaming.near_dedup_stream(
+                    stream.repartition(32), watermark="365 days",
+                    portable=True, sig_col="sig"
+                ),
+                name,
+                "append",
+            )
         return (
             spark.table(name)
             .groupBy("sig")
@@ -557,22 +575,30 @@ def q174_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (base + i + 1, base + i + 1))
 
         def _drain() -> None:
-            stream = (
-                spark.readStream.schema("user_id long, value double")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(stage)
-            )
-            q = (
-                streaming.stateful_topk(stream, k=3)
-                .writeStream.foreachBatch(
-                    lambda b, _i: b.write.mode("append").parquet(out)
+            # the r11 bench record rose 4.99s -> 8.10s because this was
+            # the one stateful replay left at the session's 32 shuffle
+            # partitions: 32 state stores x 3 triggers x 2 query startups
+            # is pure commit overhead at sf0.1 (measured r12: 4.9s@8 vs
+            # 5.5s@4 vs 8.5s@32); python_fold sizing keeps the fold
+            # parallel as data grows (sf3: 13.4s@32 vs 20.3s@12)
+            with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
+                                 python_fold=True):
+                stream = (
+                    spark.readStream.schema("user_id long, value double")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(stage)
                 )
-                .outputMode("update")
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+                q = (
+                    streaming.stateful_topk(stream, k=3)
+                    .writeStream.foreachBatch(
+                        lambda b, _i: b.write.mode("append").parquet(out)
+                    )
+                    .outputMode("update")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
 
         for i, nm in enumerate(parts[:-1]):
             _add(i, nm)
@@ -647,16 +673,16 @@ def q176_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q176_{uuid.uuid4().hex[:8]}"
     try:
         src.repartition(3).write.parquet(d + "/staged")
-        # no _stream_shuffle: the cost is the Python stateful fold, which
-        # parallelizes across shuffle partitions — keep them (q150's rule)
-        stream = (
-            spark.readStream.schema("user_id long, value double")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(d + "/staged")
-        )
-        streaming.run_to_memory(
-            streaming.stateful_running_totals(stream), name, "update"
-        )
+        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
+                             python_fold=True):
+            stream = (
+                spark.readStream.schema("user_id long, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d + "/staged")
+            )
+            streaming.run_to_memory(
+                streaming.stateful_running_totals(stream), name, "update"
+            )
         w = Window.partitionBy("user_id").orderBy(F.desc("n"))
         return (
             spark.table(name)

@@ -4,7 +4,13 @@ message.py:794-1138, model.py:13-235, explain.py:10-178) exercised FOR REAL
 when torch is importable. This container ships no torch, so these skip
 here — the point is that any environment with torch gets the honest
 end-to-end check instead of the torch-free shims alone (COVERAGE.md
-documents this as the torch story)."""
+documents this as the torch story).
+
+Recorded refusal (r12, carries r11 verdict task #4): installing CPU
+torch via pip is not possible here — the build environment forbids
+pip/apt installs (only the baked-in packages are available), so the
+three gated tests keep skipping by construction, not by neglect. Any
+CI with torch on the image runs them unmodified."""
 
 from __future__ import annotations
 
