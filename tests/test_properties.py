@@ -350,3 +350,60 @@ def test_alignment_parsers_fail_closed_on_formatlike_text(text):
             parse(header + text)
         except ValueError:
             pass
+
+
+# ---- FASTQ byte-range splitter (sources._fastq_parse_range) ---------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 40),  # sequence length
+            st.sampled_from(["plain", "at", "plus"]),  # quality first char
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(8, 400),  # chunk size in bytes
+)
+@settings(max_examples=60, deadline=None)
+def test_fastq_range_split_is_exactly_the_whole_parse(recs, chunk):
+    """Every byte-range decomposition of a FASTQ file parses to EXACTLY
+    the records of the whole-file parse, in order, once each — including
+    quality lines that START with '@' (a legal Phred 31) or '+' and
+    chunk boundaries landing anywhere (mid-line, on record heads, on the
+    final newline). This is the ownership-rule invariant of
+    read_fastq_ranged: a record belongs to the range (start, end] holding
+    its first byte (offset 0 to the first range)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from fireworks_spark.sources import _fastq_parse_range
+
+    lines = []
+    want = []
+    for i, (n, qkind) in enumerate(recs):
+        seq = ("ACGTNacgt-" * 5)[:n]
+        first = {"plain": "I", "at": "@", "plus": "+"}[qkind]
+        qual = (first + "!#J~" * 12)[:n]
+        lines.append(f"@r{i} d{i}\n{seq}\n+\n{qual}\n")
+        want.append((f"r{i}", f"r{i} d{i}", seq, qual))
+    data = "".join(lines).encode()
+
+    fd, path = tempfile.mkstemp(suffix=".fastq")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        got = []
+        for start in range(0, len(data), chunk):
+            end = min(start + chunk, len(data))
+            for pdf in _fastq_parse_range(path, start, end, pd):
+                got.extend(
+                    zip(pdf["ids"], pdf["descriptions"],
+                        pdf["sequences"], pdf["qualities"])
+                )
+        assert got == want
+    finally:
+        os.unlink(path)
