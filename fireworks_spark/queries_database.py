@@ -538,6 +538,158 @@ def q183_nexus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q185_ig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IntelliGenetics source end-to-end (BioSeqPipe filetype='ig'):
+    records synthesized from documents (sequence = upper md5, which can
+    legitimately end in the format's '1'/'2' topology digits — the
+    writer-appended terminator keeps the roundtrip exact), ';' comment
+    descriptions, one record stream per partition, re-read with the
+    file-parallel parse."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_ig, write_ig
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias(
+            "descriptions"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_ig_")
+    path = f"{tmp}/ig"
+    try:
+        write_ig(src.repartition(8), path, desc_col="descriptions")
+        back = read_ig(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+                F.col("descriptions").alias("descr"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q186_phd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PHRED .phd source end-to-end (BioSeqPipe filetype='phd'):
+    per-base quality scores synthesized as (doc_id + position) % 60,
+    written as 'base quality position' rows, re-read with the
+    file-parallel parse — both the sequence and every per-base score are
+    value-checked (qualities space-joined for the oracle compare)."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_phd, write_phd
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.md5(F.col("text").cast("binary")).alias("sequences"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda x: ((F.col("doc_id") + x) % 60).cast("int"),
+        ).alias("qualities"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_phd_")
+    path = f"{tmp}/phd"
+    try:
+        write_phd(src.repartition(8), path, qual_col="qualities")
+        back = read_phd(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+                F.array_join("qualities", " ").alias("quals"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q187_pdb_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDB SEQRES source end-to-end (BioSeqPipe filetype=
+    'pdb-seqres'): a 1-in-97 document subset (a PDB entry is ONE
+    structure — one file per record, so the query bounds the file count)
+    with hex md5 translated onto 16 amino-acid letters, written as
+    single-chain entries with 4-digit idCodes, re-read by the
+    fixed-column SEQRES parse; ids '<IDCODE>:A' map back to doc_id."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_pdb_seqres, write_pdb_seqres
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    src = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 4, "0").alias("ids"),
+        F.translate(
+            F.upper(F.md5(F.col("text").cast("binary"))),
+            "0123456789B",
+            "GHIKLMNPQRS",
+        ).alias("sequences"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_pdb_")
+    path = f"{tmp}/pdb"
+    try:
+        write_pdb_seqres(src.repartition(4), path)
+        back = read_pdb_seqres(spark, path)
+        return (
+            back.select(
+                F.substring_index("ids", ":", 1).cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+                F.col("descriptions").alias("descr"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q188_nib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UCSC .nib binary source end-to-end (BioSeqPipe filetype=
+    'nib'): the same 1-in-97 subset (one sequence per FILE by format
+    definition) with hex md5 translated onto the TCAGN/tcagn alphabet —
+    exercising the soft-mask bit on every lowercase base — written as
+    2-bases-per-byte binaries, re-read with the nibble decode."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_nib, write_nib
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.translate(
+            F.md5(F.col("text").cast("binary")),
+            "0123456789abcdef",
+            "ACGTNacgtnACGTNa",
+        ).alias("sequences"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_nib_")
+    path = f"{tmp}/nib"
+    try:
+        write_nib(src.repartition(4), path)
+        back = read_nib(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FASTQ source end-to-end: 4-line records synthesized from
     documents (sequence = upper md5, quality = the lowercase md5 — which
@@ -1038,6 +1190,10 @@ DATABASE_QUERIES = {
     "q180_clustal_roundtrip": q180_clustal_roundtrip,
     "q182_stockholm_roundtrip": q182_stockholm_roundtrip,
     "q183_nexus_roundtrip": q183_nexus_roundtrip,
+    "q185_ig_roundtrip": q185_ig_roundtrip,
+    "q186_phd_roundtrip": q186_phd_roundtrip,
+    "q187_pdb_seqres_roundtrip": q187_pdb_seqres_roundtrip,
+    "q188_nib_roundtrip": q188_nib_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
@@ -1142,6 +1298,28 @@ DATABASE_ORACLE = {
     "q183_nexus_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq FROM documents "
         "ORDER BY doc_id"
+    ),
+    "q185_ig_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq, "
+        "'doc ' || doc_id::VARCHAR AS descr FROM documents "
+        "ORDER BY doc_id"
+    ),
+    "q186_phd_roundtrip": (
+        "SELECT doc_id, md5(text) AS seq, "
+        "array_to_string(list_transform(generate_series(1, 32), "
+        "x -> (doc_id + x) % 60), ' ') AS quals "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q187_pdb_seqres_roundtrip": (
+        "SELECT doc_id, translate(upper(md5(text)), '0123456789B', "
+        "'GHIKLMNPQRS') AS seq, "
+        "'mol:protein length:32' AS descr "
+        "FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id"
+    ),
+    "q188_nib_roundtrip": (
+        "SELECT doc_id, translate(md5(text), '0123456789abcdef', "
+        "'ACGTNacgtnACGTNa') AS seq "
+        "FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id"
     ),
     "q122_fastq_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq, md5(text) AS qual "

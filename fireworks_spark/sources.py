@@ -569,12 +569,16 @@ def _bioseq_rows(names_chunks, descriptions=""):
     )
 
 
-def _alignment_read(spark: SparkSession, path: str, parse) -> DataFrame:
-    """Alignment formats (phylip, clustal) are whole-file records: one
-    file = one alignment whose taxa INTERLEAVE across blocks, so the
-    parallel unit is the FILE, not the line (the same shape as the
-    xlsx/msgpack codecs — file-parallel Python parse, never a driver
-    loop). ``parse(text) -> [(name, [chunk, ...]), ...]``."""
+def _source_files(path: str, label: str) -> "list[str]":
+    """Sorted non-hidden files under ``path`` (or ``[path]`` for a file),
+    with read-side retry/zombie dedup mirroring read_sparse: a speculative
+    or zombie task attempt that renames its part VISIBLE after
+    :func:`_publish_alignment_dir`'s write-side scan leaves two
+    part-<pid>-* files for one partition; without this, every record of
+    that partition is read twice. Keep the lexicographically-first file
+    per pid (the list is sorted; any completed attempt holds identical
+    content) for names matching the writers' exact part scheme, and keep
+    all non-matching files as-is."""
     import glob as _glob
     import os as _os
 
@@ -587,14 +591,6 @@ def _alignment_read(spark: SparkSession, path: str, parse) -> DataFrame:
         if _os.path.isdir(path)
         else [path]
     )
-    # Read-side retry/zombie dedup, mirroring read_sparse: a speculative
-    # or zombie task attempt that renames its part VISIBLE after
-    # _publish_alignment_dir's write-side scan leaves two part-<pid>-*
-    # files for one partition; without this, every taxon of that
-    # partition is read twice. Keep the lexicographically-first file per
-    # pid (files is sorted; any completed attempt holds the identical
-    # alignment) for names matching the writers' exact part scheme, and
-    # read all non-matching files as-is.
     seen_pids: set = set()
     kept = []
     for f in files:
@@ -604,9 +600,18 @@ def _alignment_read(spark: SparkSession, path: str, parse) -> DataFrame:
                 continue
             seen_pids.add(pid)
         kept.append(f)
-    files = kept
-    if not files:
-        raise FileNotFoundError(f"no alignment files under {path}")
+    if not kept:
+        raise FileNotFoundError(f"no {label} files under {path}")
+    return kept
+
+
+def _alignment_read(spark: SparkSession, path: str, parse) -> DataFrame:
+    """Alignment formats (phylip, clustal) are whole-file records: one
+    file = one alignment whose taxa INTERLEAVE across blocks, so the
+    parallel unit is the FILE, not the line (the same shape as the
+    xlsx/msgpack codecs — file-parallel Python parse, never a driver
+    loop). ``parse(text) -> [(name, [chunk, ...]), ...]``."""
+    files = _source_files(path, "alignment")
 
     def _read(batches):
         for b in batches:
@@ -841,7 +846,7 @@ def _aln_part_pid(name: str):
     import re
 
     m = re.fullmatch(
-        r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln|sto|nex)\Z", name
+        r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln|sto|nex|ig|phd)\Z", name
     )
     return m.group(1) if m else None
 
@@ -1670,6 +1675,748 @@ def read_abi(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# IntelliGenetics / MASE (Bio.SeqIO filetype='ig')
+# --------------------------------------------------------------------------
+
+
+def _parse_ig(text: str) -> list:
+    """IntelliGenetics/MASE record stream (Bio.SeqIO filetype='ig'): each
+    record is one-or-more ``;`` comment lines, a title line, then sequence
+    lines until the next ``;`` line or EOF. The sequence may end with a
+    topology terminator digit — ``1`` (linear) or ``2`` (circular) — which
+    is stripped, as SeqIO's IgIterator does. Comment text (minus the
+    ``;``) becomes the description, space-joined across comment lines.
+    Returns ``[(title, description, sequence), ...]``."""
+    lines = text.splitlines()
+    recs: list = []
+    i, n = 0, len(lines)
+    while i < n:
+        if not lines[i].strip():
+            i += 1
+            continue
+        if not lines[i].startswith(";"):
+            raise ValueError(
+                "read_ig: expected a ';' comment line before the record "
+                f"title, got {lines[i][:40]!r}"
+            )
+        desc_parts: list = []
+        while i < n and lines[i].startswith(";"):
+            c = lines[i][1:].strip()
+            if c:
+                desc_parts.append(c)
+            i += 1
+        while i < n and not lines[i].strip():
+            i += 1
+        if i >= n:
+            raise ValueError(
+                "read_ig: comment block at end of file with no record title"
+            )
+        title = lines[i].strip()
+        i += 1
+        seq_parts: list = []
+        while i < n and not lines[i].startswith(";"):
+            seq_parts.append("".join(lines[i].split()))
+            i += 1
+        seq = "".join(seq_parts)
+        if seq[-1:] in ("1", "2"):
+            seq = seq[:-1]  # topology terminator: 1=linear, 2=circular
+        if not seq:
+            raise ValueError(f"read_ig: record {title!r} has an empty sequence")
+        recs.append((title, " ".join(desc_parts), seq))
+    return recs
+
+
+def read_ig(spark: SparkSession, path: str) -> DataFrame:
+    """IntelliGenetics records (Bio.SeqIO filetype='ig', reference
+    BioSeqPipe pipes.py:33): file-parallel parse (one task per file, the
+    ACE/alignment shape); descriptions carry the ``;`` comment text."""
+    files = _source_files(path, "IntelliGenetics")
+
+    def _read(batches):
+        for b in batches:
+            for f in b["f"]:
+                with open(f, encoding="utf-8") as fh:
+                    recs = _parse_ig(fh.read())
+                pdf = _bioseq_rows([(t, [s]) for t, _, s in recs])
+                pdf["descriptions"] = [d for _, d, _ in recs]
+                yield pdf
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, "
+        "sequences string, dbxrefs array<string>",
+    )
+
+
+def write_ig(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+    desc_col: "str | None" = None,
+    wrap: int = 80,
+) -> None:
+    """Distributed IntelliGenetics write: each partition becomes one
+    ``part-*.ig`` record stream under ``path``. The topology terminator
+    ``1`` is always appended on write and always stripped on read, so a
+    sequence legitimately ending in '1'/'2' survives the roundtrip
+    exactly. Publication is write-then-swap
+    (:func:`_publish_alignment_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                descs = (
+                    b[desc_col].astype(str)
+                    if desc_col is not None
+                    else [""] * len(b)
+                )
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str), descs)
+                )
+            if rows:
+                bad = [
+                    n
+                    for n, _, _ in rows
+                    if not n or any(c.isspace() for c in n) or n.startswith(";")
+                ]
+                if bad:
+                    raise ValueError(
+                        "write_ig: record names cannot be empty, contain "
+                        "whitespace, or start with ';' — the title line is "
+                        f"read back verbatim as the id: {bad[:3]}"
+                    )
+                bad_seq = [
+                    n
+                    for n, s, _ in rows
+                    if not s or any(c.isspace() or c == ";" for c in s)
+                ]
+                if bad_seq:
+                    raise ValueError(
+                        "write_ig: sequences cannot be empty or contain "
+                        "whitespace/';' — a ';' sequence line terminates "
+                        f"the record on read: {bad_seq[:3]}"
+                    )
+                bad_desc = [
+                    n for n, _, d in rows if "\n" in d or "\r" in d
+                ]
+                if bad_desc:
+                    raise ValueError(
+                        "write_ig: descriptions cannot contain newlines — "
+                        "a split comment line would be reparsed as a title "
+                        f"line: {bad_desc[:3]}"
+                    )
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.ig"
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    for name, seq, desc in rows:
+                        fh.write(f";{desc}\n{name}\n")
+                        body = seq + "1"  # topology terminator (linear)
+                        for j in range(0, len(body), wrap):
+                            fh.write(body[j : j + wrap] + "\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        cols = [id_col, seq_col] + ([desc_col] if desc_col else [])
+        return [
+            r["n"]
+            for r in df.select(*cols).mapInPandas(_write, "n long").collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
+# --------------------------------------------------------------------------
+# PHRED PHD (Bio.SeqIO filetype='phd')
+# --------------------------------------------------------------------------
+
+
+def _parse_phd(text: str) -> list:
+    """PHRED .phd record stream (Bio.SeqIO filetype='phd'): records are
+    ``BEGIN_SEQUENCE <name>`` ... ``BEGIN_DNA`` / one ``base quality
+    [position]`` line per base / ``END_DNA`` ... ``END_SEQUENCE``; the
+    comment block and any trailing sections are skipped. Returns
+    ``[(name, sequence, [quality, ...]), ...]``."""
+    lines = text.splitlines()
+    recs: list = []
+    i, n = 0, len(lines)
+    while i < n:
+        s = lines[i].strip()
+        if not s:
+            i += 1
+            continue
+        toks = s.split(None, 1)
+        if toks[0] != "BEGIN_SEQUENCE":
+            raise ValueError(
+                f"read_phd: expected BEGIN_SEQUENCE, got {s[:40]!r}"
+            )
+        if len(toks) != 2 or not toks[1].strip():
+            raise ValueError("read_phd: BEGIN_SEQUENCE without a name")
+        name = toks[1].strip()
+        i += 1
+        while i < n and lines[i].strip() != "BEGIN_DNA":
+            if lines[i].strip() == "END_SEQUENCE":
+                raise ValueError(
+                    f"read_phd: record {name!r} has no BEGIN_DNA block"
+                )
+            i += 1
+        if i >= n:
+            raise ValueError(f"read_phd: record {name!r} has no BEGIN_DNA")
+        i += 1
+        bases: list = []
+        quals: list = []
+        while i < n and lines[i].strip() != "END_DNA":
+            t = lines[i].split()
+            if len(t) < 2:
+                raise ValueError(
+                    f"read_phd: malformed base line {lines[i][:40]!r} "
+                    "(expected 'base quality [position]')"
+                )
+            bases.append(t[0])
+            quals.append(int(t[1]))
+            i += 1
+        if i >= n:
+            raise ValueError(f"read_phd: record {name!r}: unterminated "
+                             "BEGIN_DNA (no END_DNA)")
+        i += 1
+        while i < n and lines[i].strip() != "END_SEQUENCE":
+            i += 1
+        if i >= n:
+            raise ValueError(f"read_phd: record {name!r}: missing "
+                             "END_SEQUENCE")
+        i += 1
+        if not bases:
+            raise ValueError(f"read_phd: record {name!r} has an empty "
+                             "DNA block")
+        recs.append((name, "".join(bases), quals))
+    return recs
+
+
+def read_phd(spark: SparkSession, path: str) -> DataFrame:
+    """PHRED .phd records (Bio.SeqIO filetype='phd', reference BioSeqPipe
+    pipes.py:33): file-parallel parse; per-base PHRED scores surface in
+    the ``qualities`` column (SeqIO stores them in
+    letter_annotations['phred_quality'])."""
+    files = _source_files(path, "PHD")
+
+    def _read(batches):
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, encoding="utf-8") as fh:
+                    recs = _parse_phd(fh.read())
+                yield pd.DataFrame(
+                    {
+                        "ids": [n for n, _, _ in recs],
+                        "names": [n for n, _, _ in recs],
+                        "descriptions": [""] * len(recs),
+                        "sequences": [s for _, s, _ in recs],
+                        "dbxrefs": [[] for _ in recs],
+                        "qualities": [q for _, _, q in recs],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, sequences string, "
+        "dbxrefs array<string>, qualities array<int>",
+    )
+
+
+def write_phd(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+    qual_col: "str | None" = None,
+) -> None:
+    """Distributed PHD write: each partition becomes one ``part-*.phd``
+    record stream under ``path`` (PHRED layout: BEGIN_SEQUENCE /
+    BEGIN_DNA 'base quality position' rows / END_DNA / END_SEQUENCE).
+    Without ``qual_col`` every base gets quality 30. Publication is
+    write-then-swap (:func:`_publish_alignment_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                quals = (
+                    list(b[qual_col])
+                    if qual_col is not None
+                    else [None] * len(b)
+                )
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str), quals)
+                )
+            if rows:
+                bad = [
+                    n
+                    for n, _, _ in rows
+                    if not n or any(c.isspace() for c in n)
+                ]
+                if bad:
+                    raise ValueError(
+                        "write_phd: record names cannot be empty or contain "
+                        "whitespace (the BEGIN_SEQUENCE line is "
+                        f"whitespace-tokenized on read): {bad[:3]}"
+                    )
+                bad_seq = [
+                    n
+                    for n, s, _ in rows
+                    if not s or any(c.isspace() for c in s)
+                ]
+                if bad_seq:
+                    raise ValueError(
+                        "write_phd: sequences cannot be empty or contain "
+                        f"whitespace: {bad_seq[:3]}"
+                    )
+                bad_q = [
+                    n
+                    for n, s, q in rows
+                    if q is not None and len(q) != len(s)
+                ]
+                if bad_q:
+                    raise ValueError(
+                        "write_phd: qualities must have one score per "
+                        f"base: {bad_q[:3]}"
+                    )
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.phd"
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    for name, seq, q in rows:
+                        fh.write(f"BEGIN_SEQUENCE {name}\n\nBEGIN_COMMENT\n"
+                                 "\nEND_COMMENT\n\nBEGIN_DNA\n")
+                        for j, c in enumerate(seq):
+                            qq = 30 if q is None else int(q[j])
+                            fh.write(f"{c} {qq} {j + 1}\n")
+                        fh.write("END_DNA\n\nEND_SEQUENCE\n\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        cols = [id_col, seq_col] + ([qual_col] if qual_col else [])
+        return [
+            r["n"]
+            for r in df.select(*cols).mapInPandas(_write, "n long").collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
+# --------------------------------------------------------------------------
+# PDB SEQRES / ATOM sequences (Bio.SeqIO filetypes 'pdb-seqres',
+# 'pdb-atom') and the UCSC nib binary nucleotide format
+# --------------------------------------------------------------------------
+
+_AA_3TO1 = {
+    "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C",
+    "GLN": "Q", "GLU": "E", "GLY": "G", "HIS": "H", "ILE": "I",
+    "LEU": "L", "LYS": "K", "MET": "M", "PHE": "F", "PRO": "P",
+    "SER": "S", "THR": "T", "TRP": "W", "TYR": "Y", "VAL": "V",
+    "SEC": "U", "PYL": "O", "ASX": "B", "GLX": "Z", "UNK": "X",
+}
+_AA_1TO3 = {one: three for three, one in _AA_3TO1.items()}
+
+
+def _parse_pdb_seqres(text: str) -> tuple:
+    """SEQRES records of one PDB entry (fixed columns per the wwPDB
+    format spec v3.3: serNum 8-10, chainID 12, numRes 14-17, residue
+    names from col 20). Returns ``(idcode, [(chain, one_letter_seq)])``
+    in first-appearance chain order; residue counts are validated
+    against numRes. Unknown residue names map to 'X' (SeqIO behavior)."""
+    idcode = ""
+    order: list = []
+    chains: dict = {}
+    declared: dict = {}
+    for line in text.splitlines():
+        rec = line[:6]
+        if rec == "HEADER":
+            idcode = line[62:66].strip()
+        elif rec == "SEQRES":
+            chain = line[11:12].strip() or " "
+            try:
+                declared[chain] = int(line[13:17])
+            except ValueError:
+                raise ValueError(
+                    f"read_pdb_seqres: malformed numRes field in "
+                    f"{line[:20]!r}"
+                ) from None
+            if chain not in chains:
+                order.append(chain)
+                chains[chain] = []
+            chains[chain] += [
+                _AA_3TO1.get(r.upper(), "X") for r in line[19:].split()
+            ]
+    for chain in order:
+        if len(chains[chain]) != declared[chain]:
+            raise ValueError(
+                f"read_pdb_seqres: chain {chain!r} declares "
+                f"{declared[chain]} residues but {len(chains[chain])} "
+                "were listed"
+            )
+    return idcode, [(c, "".join(chains[c])) for c in order]
+
+
+def _parse_pdb_atom(text: str) -> tuple:
+    """ATOM records of one PDB entry -> per-chain sequences (fixed
+    columns: atom name 13-16, altLoc 17, resName 18-20, chainID 22,
+    resSeq+iCode 23-27). One residue per CA atom (altLoc blank or 'A'),
+    in file order, deduped on (resSeq, iCode) against the previous CA of
+    the same chain. Returns ``(idcode, [(chain, one_letter_seq)])``."""
+    idcode = ""
+    order: list = []
+    seqs: dict = {}
+    last_res: dict = {}
+    for line in text.splitlines():
+        rec = line[:6]
+        if rec == "HEADER":
+            idcode = line[62:66].strip()
+            continue
+        if rec != "ATOM  ":
+            continue
+        if line[12:16].strip() != "CA" or line[16] not in (" ", "A"):
+            continue
+        chain = line[21].strip() or " "
+        res_key = line[22:27]
+        if last_res.get(chain) == res_key:
+            continue
+        last_res[chain] = res_key
+        if chain not in seqs:
+            order.append(chain)
+            seqs[chain] = []
+        seqs[chain].append(_AA_3TO1.get(line[17:20].strip().upper(), "X"))
+    return idcode, [(c, "".join(seqs[c])) for c in order]
+
+
+def _read_pdb(spark: SparkSession, path: str, parse) -> DataFrame:
+    """Shared file-parallel read for the two PDB sequence views: one row
+    per chain, ids '<IDCODE>:<chain>' (the Bio.SeqIO pdb-seqres id
+    scheme), descriptions 'mol:protein length:<n>'."""
+    files = _source_files(path, "PDB")
+
+    def _read(batches):
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, encoding="utf-8") as fh:
+                    idcode, chains = parse(fh.read())
+                ids = [f"{idcode}:{c}" for c, _ in chains]
+                yield pd.DataFrame(
+                    {
+                        "ids": ids,
+                        "names": ids,
+                        "descriptions": [
+                            f"mol:protein length:{len(s)}" for _, s in chains
+                        ],
+                        "sequences": [s for _, s in chains],
+                        "dbxrefs": [[] for _ in chains],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, "
+        "sequences string, dbxrefs array<string>",
+    )
+
+
+def read_pdb_seqres(spark: SparkSession, path: str) -> DataFrame:
+    """PDB SEQRES sequences (Bio.SeqIO filetype='pdb-seqres', reference
+    BioSeqPipe pipes.py:33): one row per chain from the declared SEQRES
+    records."""
+    return _read_pdb(spark, path, _parse_pdb_seqres)
+
+
+def read_pdb_atom(spark: SparkSession, path: str) -> DataFrame:
+    """PDB ATOM-derived sequences (Bio.SeqIO filetype='pdb-atom'): one
+    row per chain, reconstructed from CA atoms — the residues actually
+    resolved in the structure, which can be a subset of SEQRES."""
+    return _read_pdb(spark, path, _parse_pdb_atom)
+
+
+def _publish_record_dir(job, path: str) -> None:
+    """Write-then-swap publication for one-file-per-RECORD writers
+    (write_pdb_seqres, write_nib) — same protocol as
+    :func:`_publish_alignment_dir`, but parts are named by record id, so
+    retried/speculative attempts are idempotent overwrites of the same
+    target name and the invariant is files == written rows. A mismatch
+    means duplicate record ids (two rows fought over one filename) or a
+    non-shared filesystem — both are loud."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    try:
+        total = sum(job(tmp))
+        files = [
+            f
+            for f in os.listdir(tmp)
+            if not f.startswith((".", "_"))
+        ]
+        if len(files) != total:
+            raise RuntimeError(
+                f"record write: tasks reported {total} records but "
+                f"{len(files)} files landed in {tmp} — duplicate record "
+                "ids collapse onto one filename, or driver and executors "
+                "do not share this filesystem (see edge_formats."
+                "write_sparse's filesystem contract)"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def write_pdb_seqres(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+) -> None:
+    """Distributed PDB write, SEQRES only: each ROW becomes one
+    single-chain (chain A) entry file ``<idcode>.ent`` under ``path``
+    (a PDB entry is one structure — many records per file is not
+    representable, unlike the alignment formats). Ids must be 1-4
+    alphanumeric characters (the HEADER idCode field is 4 columns) and
+    unique; sequences must use the one-letter amino-acid alphabet.
+    Publication is write-then-swap (:func:`_publish_record_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+
+            import pandas as pd
+
+            n = 0
+            for b in batches:
+                for name, seq in zip(
+                    b[id_col].astype(str), b[seq_col].astype(str)
+                ):
+                    if not (1 <= len(name) <= 4 and name.isalnum()):
+                        raise ValueError(
+                            "write_pdb_seqres: ids must be 1-4 alphanumeric "
+                            "characters (the HEADER idCode field is 4 "
+                            f"columns): {name!r}"
+                        )
+                    bad = [c for c in seq if c not in _AA_1TO3]
+                    if not seq or bad:
+                        raise ValueError(
+                            "write_pdb_seqres: sequences must be non-empty "
+                            "one-letter amino-acid codes; "
+                            f"{name!r} has {bad[:5]!r}"
+                        )
+                    up = name.upper()
+                    lines = [
+                        f"HEADER    {'SYNTHETIC':<40}{'':9}   {up:<4}"
+                    ]
+                    res3 = [_AA_1TO3[c] for c in seq]
+                    for ser, j in enumerate(range(0, len(res3), 13), 1):
+                        row = " ".join(res3[j : j + 13])
+                        lines.append(
+                            f"SEQRES {ser:>3} A {len(res3):>4}  {row}"
+                        )
+                    lines.append("END")
+                    scratch = _os.path.join(tmp, f".{name.lower()}.ent")
+                    with open(scratch, "w", encoding="utf-8") as fh:
+                        fh.write("\n".join(lines) + "\n")
+                    _os.rename(
+                        scratch, _os.path.join(tmp, f"{name.lower()}.ent")
+                    )
+                    n += 1
+            yield pd.DataFrame({"n": [n]})
+
+        return [
+            r["n"]
+            for r in df.select(id_col, seq_col)
+            .mapInPandas(_write, "n long")
+            .collect()
+        ]
+
+    _publish_record_dir(job, path)
+
+
+_NIB_MAGIC = 0x6BE93D3A
+_NIB_DECODE = "TCAGN"
+_NIB_ENCODE = {c: i for i, c in enumerate(_NIB_DECODE)}
+
+
+def read_nib(spark: SparkSession, path: str) -> DataFrame:
+    """UCSC .nib nucleotide files (Bio.SeqIO filetype='nib'): binary,
+    one sequence per file — 4-byte magic 0x6BE93D3A (either byte order),
+    4-byte base count, then two 4-bit codes per byte (high nibble first:
+    0=T 1=C 2=A 3=G 4=N, bit 0x8 = soft-masked/lowercase). The format
+    carries no name; ids come from the file stem. File-parallel,
+    deterministic byte math in the task."""
+    import os as _os
+
+    files = _source_files(path, "nib")
+
+    # 256-entry byte -> two-char lookup, built once on the driver and
+    # shipped in the closure (cheap, avoids per-nibble branching)
+    lut = []
+    for byte in range(256):
+        two = []
+        for nib in (byte >> 4, byte & 0xF):
+            code, masked = nib & 0x7, nib & 0x8
+            ch = _NIB_DECODE[code] if code < 5 else None
+            two.append(ch.lower() if ch and masked else ch)
+        lut.append(tuple(two))
+
+    def _read(batches):
+        import struct
+
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, "rb") as fh:
+                    buf = fh.read()
+                if len(buf) < 8:
+                    raise ValueError(f"read_nib: {f} is too short to be nib")
+                if struct.unpack("<I", buf[:4])[0] == _NIB_MAGIC:
+                    endian = "<"
+                elif struct.unpack(">I", buf[:4])[0] == _NIB_MAGIC:
+                    endian = ">"
+                else:
+                    raise ValueError(
+                        f"read_nib: {f} missing nib magic 0x6BE93D3A"
+                    )
+                n = struct.unpack(endian + "I", buf[4:8])[0]
+                need = (n + 1) // 2
+                data = buf[8 : 8 + need]
+                if len(data) < need:
+                    raise ValueError(
+                        f"read_nib: {f} declares {n} bases but holds "
+                        f"{len(data) * 2}"
+                    )
+                chars: list = []
+                for byte in data:
+                    chars.extend(lut[byte])
+                bad = [c for c in chars[:n] if c is None]
+                if bad:
+                    raise ValueError(
+                        f"read_nib: {f} contains invalid nibble codes"
+                    )
+                stem = _os.path.splitext(_os.path.basename(f))[0]
+                yield pd.DataFrame(
+                    {
+                        "ids": [stem],
+                        "names": [stem],
+                        "descriptions": [""],
+                        "sequences": ["".join(chars[:n])],
+                        "dbxrefs": [[]],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, "
+        "sequences string, dbxrefs array<string>",
+    )
+
+
+def write_nib(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+) -> None:
+    """Distributed .nib write: each ROW becomes one ``<id>.nib`` file
+    under ``path`` (the format holds exactly one unnamed sequence per
+    file; the id becomes the file stem, so it must be a safe unique
+    filename). Alphabet: TCAGN upper (plain) / lower (soft-masked).
+    Little-endian header, the byte order UCSC tools write on x86.
+    Publication is write-then-swap (:func:`_publish_record_dir`)."""
+    import re as _re
+
+    name_ok = _re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*\Z")
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import struct
+
+            import pandas as pd
+
+            n_rows = 0
+            for b in batches:
+                for name, seq in zip(
+                    b[id_col].astype(str), b[seq_col].astype(str)
+                ):
+                    if not name_ok.fullmatch(name):
+                        raise ValueError(
+                            "write_nib: ids become file stems and must "
+                            "match [A-Za-z0-9][A-Za-z0-9._-]* (readers "
+                            "skip dot/underscore-prefixed files): "
+                            f"{name!r}"
+                        )
+                    codes = []
+                    for c in seq:
+                        base = _NIB_ENCODE.get(c.upper())
+                        if base is None:
+                            raise ValueError(
+                                "write_nib: nib holds only TCAGN/tcagn "
+                                f"bases; {name!r} has {c!r}"
+                            )
+                        codes.append(base | (0x8 if c.islower() else 0))
+                    if not codes:
+                        raise ValueError(
+                            f"write_nib: empty sequence for {name!r}"
+                        )
+                    if len(codes) % 2:
+                        codes.append(0)  # pad nibble, ignored on read
+                    body = bytes(
+                        (codes[j] << 4) | codes[j + 1]
+                        for j in range(0, len(codes), 2)
+                    )
+                    scratch = _os.path.join(tmp, f".{name}.nib")
+                    with open(scratch, "wb") as fh:
+                        fh.write(struct.pack("<II", _NIB_MAGIC, len(seq)))
+                        fh.write(body)
+                    _os.rename(scratch, _os.path.join(tmp, f"{name}.nib"))
+                    n_rows += 1
+            yield pd.DataFrame({"n": [n_rows]})
+
+        return [
+            r["n"]
+            for r in df.select(id_col, seq_col)
+            .mapInPandas(_write, "n long")
+            .collect()
+        ]
+
+    _publish_record_dir(job, path)
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
@@ -1677,11 +2424,11 @@ def read_bioseq(
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
     syntactic subset the same record scan parses), fastq, qual, pir,
     genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed and
-    phylip-sequential), sff, abi, stockholm, nexus, ace — the full
-    surface the reference's BioSeqPipe callers exercise plus the
-    most-used alignment/assembly interchange formats beyond it;
-    remaining SeqIO formats (ig, ...) raise with this message until
-    someone needs them."""
+    phylip-sequential), sff, abi, stockholm, nexus, ace, ig, phd,
+    pdb-seqres, pdb-atom, nib — the full surface the reference's
+    BioSeqPipe callers exercise plus the most-used interchange formats
+    beyond it; remaining SeqIO formats (uniprot-xml, seqxml, ...) raise
+    with this message until someone needs them."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -1717,10 +2464,20 @@ def read_bioseq(
         return read_nexus(spark, path)
     if ft == "ace":
         return read_ace(spark, path)
+    if ft == "ig":
+        return read_ig(spark, path)
+    if ft == "phd":
+        return read_phd(spark, path)
+    if ft == "pdb-seqres":
+        return read_pdb_seqres(spark, path)
+    if ft == "pdb-atom":
+        return read_pdb_atom(spark, path)
+    if ft == "nib":
+        return read_nib(spark, path)
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
         "pir, genbank, embl, swiss, tab, clustal, "
-        "phylip(-relaxed/-sequential), sff, abi, stockholm, nexus and "
-        "ace have distributed parses (reference BioSeqPipe accepts any "
-        "Bio.SeqIO format)"
+        "phylip(-relaxed/-sequential), sff, abi, stockholm, nexus, ace, "
+        "ig, phd, pdb-seqres, pdb-atom and nib have distributed parses "
+        "(reference BioSeqPipe accepts any Bio.SeqIO format)"
     )

@@ -1056,3 +1056,215 @@ def test_ace_assembly_contigs(spark, tmp_path):
     short.write_text("AS 1 1\nCO C1 9 1 1 U\nACGT\n")
     with pytest.raises(Exception, match="declares 9 bases"):
         read_bioseq(spark, str(short), "ace").collect()
+
+
+def test_ig_parse_and_distributed_roundtrip(spark, tmp_path):
+    """IntelliGenetics: ';' comments become descriptions, the trailing
+    topology digit is stripped, and the distributed writer/reader pair
+    round-trips exactly — including sequences that legitimately end in
+    '1'/'2' (the writer always appends its own terminator)."""
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    ig = (
+        "; circular plasmid\n"
+        "; from lab X\n"
+        "pUC19\n"
+        "ACGT\nACGT2\n"
+        ";\n"
+        "frag1\n"
+        "TTTT1\n"
+    )
+    f = tmp_path / "x.ig"
+    f.write_text(ig)
+    rows = {r.ids: r for r in read_bioseq(spark, str(f), "ig").collect()}
+    assert rows["pUC19"].sequences == "ACGTACGT"
+    assert rows["pUC19"].descriptions == "circular plasmid from lab X"
+    assert rows["frag1"].sequences == "TTTT"
+    assert rows["frag1"].descriptions == ""
+
+    # distributed roundtrip: sequences ending in the terminator digits
+    data = [
+        ("s1", "ACGT1", "ends in one"),
+        ("s2", "ACGT2", "ends in two"),
+        ("s3", "ACGTACGT", ""),
+    ]
+    df = spark.createDataFrame(
+        data, "ids string, sequences string, descriptions string"
+    )
+    out = tmp_path / "ig_out"
+    src.write_ig(df.repartition(2), str(out), desc_col="descriptions")
+    back = {
+        r.ids: r for r in src.read_ig(spark, str(out)).collect()
+    }
+    assert {k: v.sequences for k, v in back.items()} == {
+        "s1": "ACGT1", "s2": "ACGT2", "s3": "ACGTACGT"
+    }
+    assert back["s1"].descriptions == "ends in one"
+    assert back["s3"].descriptions == ""
+
+    # fail-loud writer guards: whitespace names, ';' sequences
+    for bad in [("a b", "ACGT", "")], [("ok", "AC;GT", "")]:
+        with pytest.raises(Exception, match="whitespace|';'"):
+            src.write_ig(
+                spark.createDataFrame(
+                    bad, "ids string, sequences string, descriptions string"
+                ).coalesce(1),
+                str(tmp_path / "bad_ig"),
+                desc_col="descriptions",
+            )
+
+
+def test_phd_parse_and_distributed_roundtrip(spark, tmp_path):
+    """PHD: BEGIN_DNA 'base quality position' rows parse into sequences +
+    per-base qualities; the writer/reader pair round-trips both."""
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    phd = (
+        "BEGIN_SEQUENCE read1\n\n"
+        "BEGIN_COMMENT\nCHROMAT_FILE: read1\nEND_COMMENT\n\n"
+        "BEGIN_DNA\na 9 6\nc 10 15\ng 40 22\nt 0 28\nEND_DNA\n\n"
+        "END_SEQUENCE\n"
+    )
+    f = tmp_path / "x.phd"
+    f.write_text(phd)
+    rows = read_bioseq(spark, str(f), "phd").collect()
+    assert rows[0].ids == "read1"
+    assert rows[0].sequences == "acgt"
+    assert rows[0].qualities == [9, 10, 40, 0]
+
+    df = spark.createDataFrame(
+        [("r1", "acgt", [1, 2, 3, 4]), ("r2", "gg", [50, 60])],
+        "ids string, sequences string, qualities array<int>",
+    )
+    out = tmp_path / "phd_out"
+    src.write_phd(df.repartition(2), str(out), qual_col="qualities")
+    back = {r.ids: r for r in src.read_phd(spark, str(out)).collect()}
+    assert back["r1"].sequences == "acgt" and back["r1"].qualities == [1, 2, 3, 4]
+    assert back["r2"].qualities == [50, 60]
+
+    # default quality, and the one-score-per-base guard
+    src.write_phd(df.select("ids", "sequences").coalesce(1),
+                  str(tmp_path / "phd_q30"))
+    q30 = {r.ids: r for r in src.read_phd(
+        spark, str(tmp_path / "phd_q30")).collect()}
+    assert q30["r1"].qualities == [30, 30, 30, 30]
+    short = spark.createDataFrame(
+        [("r1", "acgt", [1])],
+        "ids string, sequences string, qualities array<int>",
+    )
+    with pytest.raises(Exception, match="one score per"):
+        src.write_phd(short.coalesce(1), str(tmp_path / "bad_phd"),
+                      qual_col="qualities")
+
+
+def test_pdb_seqres_atom_and_roundtrip(spark, tmp_path):
+    """PDB: SEQRES parses by the spec's fixed columns with numRes
+    validated; pdb-atom reconstructs per-chain sequences from CA atoms
+    (altLoc-deduped); the one-entry-per-row writer round-trips through
+    pdb-seqres with '<IDCODE>:A' ids."""
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    pdb = (
+        "HEADER    HYDROLASE                               01-JAN-00   1ABC\n"
+        "SEQRES   1 A    3  ALA GLY TRP\n"
+        "SEQRES   1 B    2  MET LYS\n"
+        "ATOM      1  N   ALA A   1      11.104   6.134  -6.504  1.00  0.00           N\n"
+        "ATOM      2  CA  ALA A   1      11.639   6.071  -5.147  1.00  0.00           C\n"
+        "ATOM      3  CA AGLY A   2      12.000   7.000  -4.000  1.00  0.00           C\n"
+        "ATOM      4  CA BGLY A   2      12.100   7.100  -4.100  1.00  0.00           C\n"
+        "ATOM      5  CA  MET B   1       1.000   2.000   3.000  1.00  0.00           C\n"
+        "END\n"
+    )
+    f = tmp_path / "1abc.ent"
+    f.write_text(pdb)
+    seqres = {r.ids: r for r in read_bioseq(
+        spark, str(f), "pdb-seqres").collect()}
+    assert seqres["1ABC:A"].sequences == "AGW"
+    assert seqres["1ABC:B"].sequences == "MK"
+    assert seqres["1ABC:A"].descriptions == "mol:protein length:3"
+    atom = {r.ids: r for r in read_bioseq(
+        spark, str(f), "pdb-atom").collect()}
+    # ATOM view: only resolved CA residues (chain A misses TRP; altLoc B
+    # of GLY 2 is not double-counted), chain B's SEQRES LYS is unresolved
+    assert atom["1ABC:A"].sequences == "AG"
+    assert atom["1ABC:B"].sequences == "M"
+
+    # numRes mismatch is loud
+    bad = pdb.replace("SEQRES   1 A    3", "SEQRES   1 A    4")
+    (tmp_path / "bad.ent").write_text(bad)
+    with pytest.raises(Exception, match="declares 4"):
+        read_bioseq(spark, str(tmp_path / "bad.ent"), "pdb-seqres").collect()
+
+    # distributed roundtrip: one entry file per row, 14+ residues so the
+    # SEQRES 13-per-line wrap is exercised
+    df = spark.createDataFrame(
+        [("1foo", "ACDEFGHIKLMNPQRSTVWY"), ("2bar", "MKVLA")],
+        "ids string, sequences string",
+    )
+    out = tmp_path / "pdb_out"
+    src.write_pdb_seqres(df.repartition(2), str(out))
+    back = {r.ids: r for r in src.read_pdb_seqres(spark, str(out)).collect()}
+    assert back["1FOO:A"].sequences == "ACDEFGHIKLMNPQRSTVWY"
+    assert back["2BAR:A"].sequences == "MKVLA"
+    with pytest.raises(Exception, match="1-4 alphanumeric"):
+        src.write_pdb_seqres(
+            spark.createDataFrame(
+                [("toolong", "MK")], "ids string, sequences string"
+            ).coalesce(1),
+            str(tmp_path / "bad_pdb"),
+        )
+
+
+def test_nib_binary_roundtrip(spark, tmp_path):
+    """UCSC nib: 2-bases-per-byte binary with the soft-mask bit; odd and
+    even lengths round-trip, the big-endian variant reads, and the
+    alphabet/filename guards are loud."""
+    import struct
+
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    df = spark.createDataFrame(
+        [("chr1", "ACGTNacgtn"), ("chr2", "TTT")],
+        "ids string, sequences string",
+    )
+    out = tmp_path / "nib_out"
+    src.write_nib(df.repartition(2), str(out))
+    back = {r.ids: r for r in src.read_nib(spark, str(out)).collect()}
+    assert back["chr1"].sequences == "ACGTNacgtn"
+    assert back["chr2"].sequences == "TTT"  # odd length: pad nibble dropped
+
+    # big-endian header variant (opposite byte order) also reads
+    be = tmp_path / "be"
+    be.mkdir()
+    (be / "x.nib").write_bytes(
+        struct.pack(">II", 0x6BE93D3A, 3) + bytes([0x01, 0x20])
+    )
+    rows = read_bioseq(spark, str(be / "x.nib"), "nib").collect()
+    assert rows[0].sequences == "TCA" and rows[0].ids == "x"
+
+    with pytest.raises(Exception, match="TCAGN"):
+        src.write_nib(
+            spark.createDataFrame(
+                [("x", "ACGU")], "ids string, sequences string"
+            ).coalesce(1),
+            str(tmp_path / "bad_nib"),
+        )
+    with pytest.raises(Exception, match="file stems"):
+        src.write_nib(
+            spark.createDataFrame(
+                [("_x", "ACG")], "ids string, sequences string"
+            ).coalesce(1),
+            str(tmp_path / "bad_nib2"),
+        )
