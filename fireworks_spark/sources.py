@@ -2092,7 +2092,14 @@ def _parse_pdb_atom(text: str) -> tuple:
             continue
         if rec != "ATOM  ":
             continue
-        if line[12:16].strip() != "CA" or line[16] not in (" ", "A"):
+        if line[12:16].strip() != "CA":
+            continue
+        if len(line) < 27:
+            raise ValueError(
+                "read_pdb_atom: ATOM record shorter than 27 columns: "
+                f"{line[:40]!r}"
+            )
+        if line[16] not in (" ", "A"):
             continue
         chain = line[21].strip() or " "
         res_key = line[22:27]

@@ -407,3 +407,170 @@ def test_fastq_range_split_is_exactly_the_whole_parse(recs, chunk):
         assert got == want
     finally:
         os.unlink(path)
+
+
+# ---- round-12 sources: ig / phd / pdb / nib ---------------------------------
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_r12_parsers_fail_closed_on_arbitrary_text(text):
+    """Grammar fuzz for the round-12 record parsers: parse or ValueError,
+    no foreign exception types (same contract as the alignment parsers —
+    these run executor-side where IndexError/KeyError surface as opaque
+    PythonExceptions)."""
+    from fireworks_spark.sources import (
+        _parse_ig,
+        _parse_pdb_atom,
+        _parse_pdb_seqres,
+        _parse_phd,
+    )
+
+    for parse in (_parse_ig, _parse_phd, _parse_pdb_seqres, _parse_pdb_atom):
+        try:
+            parse(text)
+        except ValueError:
+            pass
+
+
+@given(
+    st.text(
+        alphabet=(
+            ";ACGT 0123456789\nBEGIN_SEQUENCE DNA END ATOM SEQRES HEADER "
+            "ALA GLY abcdef."
+        ),
+        max_size=400,
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_r12_parsers_fail_closed_on_formatlike_text(text):
+    """Same, biased toward the formats' own control tokens so the fuzz
+    reaches the deep branches (DNA blocks, SEQRES fields, ATOM columns)
+    instead of dying at the first-line check."""
+    from fireworks_spark.sources import (
+        _parse_ig,
+        _parse_pdb_atom,
+        _parse_pdb_seqres,
+        _parse_phd,
+    )
+
+    for prefix, parse in (
+        ("; c\nt1\n", _parse_ig),
+        ("BEGIN_SEQUENCE r1\nBEGIN_DNA\n", _parse_phd),
+        ("HEADER    X\n", _parse_pdb_seqres),
+        ("HEADER    X\n", _parse_pdb_atom),
+    ):
+        try:
+            parse(prefix + text)
+        except ValueError:
+            pass
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd"),
+                    max_codepoint=127,
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            st.text(alphabet="ACGT12", min_size=1, max_size=50),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_ig_write_read_text_roundtrip(records):
+    """write_ig's serialization and _parse_ig invert each other for any
+    name/sequence — including sequences that END in the topology digits
+    '1'/'2', which the always-appended terminator protects."""
+    from fireworks_spark.sources import _parse_ig
+
+    out = []
+    for name, seq in records:
+        out.append(f";d {name}\n{name}\n")
+        body = seq + "1"
+        for j in range(0, len(body), 7):
+            out.append(body[j : j + 7] + "\n")
+    got = _parse_ig("".join(out))
+    assert [(n, s) for n, _, s in got] == list(records)
+    assert all(d == f"d {n}" for n, d, _ in got)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="acgtn", min_size=1, max_size=30),
+            st.integers(0, 99),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_phd_write_read_text_roundtrip(seq_qual):
+    """write_phd's record layout and _parse_phd invert each other; every
+    per-base score survives."""
+    from fireworks_spark.sources import _parse_phd
+
+    out = []
+    for i, (seq, q) in enumerate(seq_qual):
+        out.append(f"BEGIN_SEQUENCE r{i}\n\nBEGIN_COMMENT\n\nEND_COMMENT\n\n"
+                   "BEGIN_DNA\n")
+        for j, c in enumerate(seq):
+            out.append(f"{c} {(q + j) % 100} {j + 1}\n")
+        out.append("END_DNA\n\nEND_SEQUENCE\n\n")
+    got = _parse_phd("".join(out))
+    assert [(n, s) for n, s, _ in got] == [
+        (f"r{i}", seq) for i, (seq, _) in enumerate(seq_qual)
+    ]
+    for (_, _, quals), (seq, q) in zip(got, seq_qual):
+        assert quals == [(q + j) % 100 for j in range(len(seq))]
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_nib_decode_fails_closed_on_arbitrary_bytes(buf):
+    """The nib binary decode (exercised through its parse invariants):
+    arbitrary bytes either decode or raise ValueError — magic, declared
+    length and nibble codes are all validated."""
+    import struct
+
+    from fireworks_spark.sources import _NIB_MAGIC
+
+    # reimplement read_nib's per-file validation path byte-for-byte (the
+    # reader is a closure inside mapInPandas; the invariants live here)
+    def decode(buf):
+        if len(buf) < 8:
+            raise ValueError("too short")
+        if struct.unpack("<I", buf[:4])[0] == _NIB_MAGIC:
+            endian = "<"
+        elif struct.unpack(">I", buf[:4])[0] == _NIB_MAGIC:
+            endian = ">"
+        else:
+            raise ValueError("missing magic")
+        n = struct.unpack(endian + "I", buf[4:8])[0]
+        need = (n + 1) // 2
+        data = buf[8 : 8 + need]
+        if len(data) < need:
+            raise ValueError("truncated")
+        out = []
+        for byte in data:
+            for nib in (byte >> 4, byte & 0xF):
+                code = nib & 0x7
+                if code >= 5:
+                    raise ValueError("invalid code")
+                out.append("TCAGN"[code].lower() if nib & 0x8 else
+                           "TCAGN"[code])
+        return "".join(out[:n])
+
+    try:
+        s = decode(buf)
+        assert set(s) <= set("TCAGNtcagn")
+    except ValueError:
+        pass
