@@ -690,6 +690,81 @@ def q188_nib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q189_seqxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SeqXML source end-to-end (BioSeqPipe filetype='seqxml'):
+    records synthesized from documents with XML-hostile descriptions
+    ('<' '&' '\"' all present, exercising escape/unescape), one document
+    per partition, re-read with the file-parallel XML parse."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_seqxml, write_seqxml
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
+        F.concat(
+            F.lit('doc <'), F.col("doc_id").cast("string"),
+            F.lit('> & "x"'),
+        ).alias("descriptions"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_sxml_")
+    path = f"{tmp}/sxml"
+    try:
+        write_seqxml(src.repartition(8), path, desc_col="descriptions")
+        back = read_seqxml(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+                F.col("descriptions").alias("descr"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q190_twobit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UCSC .2bit source end-to-end (BioSeqPipe filetype='twobit'):
+    hex md5 translated onto the ACGTN/acgtn alphabet — every sequence
+    carries N blocks, soft-mask blocks and masked-N overlap — written as
+    one MULTI-sequence 2bit binary per partition (unlike nib's
+    one-file-per-record cap, so the full table roundtrips), re-read with
+    the 2-bit unpack + block overlay."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_twobit, write_twobit
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("ids"),
+        F.translate(
+            F.md5(F.col("text").cast("binary")),
+            "0123456789abcdef",
+            "ACGTNacgtnACGTNa",
+        ).alias("sequences"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_2bit_")
+    path = f"{tmp}/tb"
+    try:
+        write_twobit(src.repartition(8), path)
+        back = read_twobit(spark, path)
+        return (
+            back.select(
+                F.col("ids").cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FASTQ source end-to-end: 4-line records synthesized from
     documents (sequence = upper md5, quality = the lowercase md5 — which
@@ -1194,6 +1269,8 @@ DATABASE_QUERIES = {
     "q186_phd_roundtrip": q186_phd_roundtrip,
     "q187_pdb_seqres_roundtrip": q187_pdb_seqres_roundtrip,
     "q188_nib_roundtrip": q188_nib_roundtrip,
+    "q189_seqxml_roundtrip": q189_seqxml_roundtrip,
+    "q190_twobit_roundtrip": q190_twobit_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
@@ -1320,6 +1397,16 @@ DATABASE_ORACLE = {
         "SELECT doc_id, translate(md5(text), '0123456789abcdef', "
         "'ACGTNacgtnACGTNa') AS seq "
         "FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id"
+    ),
+    "q189_seqxml_roundtrip": (
+        "SELECT doc_id, upper(md5(text)) AS seq, "
+        "'doc <' || doc_id::VARCHAR || '> & \"x\"' AS descr "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q190_twobit_roundtrip": (
+        "SELECT doc_id, translate(md5(text), '0123456789abcdef', "
+        "'ACGTNacgtnACGTNa') AS seq "
+        "FROM documents ORDER BY doc_id"
     ),
     "q122_fastq_roundtrip": (
         "SELECT doc_id, upper(md5(text)) AS seq, md5(text) AS qual "

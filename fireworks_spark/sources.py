@@ -846,7 +846,8 @@ def _aln_part_pid(name: str):
     import re
 
     m = re.fullmatch(
-        r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln|sto|nex|ig|phd)\Z", name
+        r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln|sto|nex|ig|phd|xml|2bit)\Z",
+        name,
     )
     return m.group(1) if m else None
 
@@ -2424,18 +2425,425 @@ def write_nib(
     _publish_record_dir(job, path)
 
 
+# --------------------------------------------------------------------------
+# SeqXML (Bio.SeqIO filetype='seqxml') and UCSC 2bit ('twobit')
+# --------------------------------------------------------------------------
+
+
+def _parse_seqxml(text: str) -> list:
+    """SeqXML (seqxml.org, Bio.SeqIO filetype='seqxml'): a ``<seqXML>``
+    root of ``<entry id=...>`` elements, each with one ``<DNAseq>`` /
+    ``<RNAseq>`` / ``<AAseq>`` child, optional ``<description>`` and
+    ``<DBRef source=... id=...>`` cross-references. Returns
+    ``[(id, description, sequence, [dbxref, ...]), ...]``; dbxrefs render
+    as 'source:id' like SeqIO. Malformed XML raises ValueError."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as exc:
+        raise ValueError(f"read_seqxml: malformed XML: {exc}") from None
+    if root.tag != "seqXML":
+        raise ValueError(
+            f"read_seqxml: root element is {root.tag!r}, expected 'seqXML'"
+        )
+    recs: list = []
+    for entry in root:
+        if entry.tag != "entry":
+            continue
+        eid = entry.get("id")
+        if not eid:
+            raise ValueError("read_seqxml: <entry> without an id attribute")
+        desc, seq, refs = "", None, []
+        for child in entry:
+            if child.tag == "description":
+                desc = (child.text or "").strip()
+            elif child.tag in ("DNAseq", "RNAseq", "AAseq"):
+                if seq is not None:
+                    raise ValueError(
+                        f"read_seqxml: entry {eid!r} has more than one "
+                        "sequence element"
+                    )
+                seq = "".join((child.text or "").split())
+            elif child.tag == "DBRef":
+                refs.append(
+                    f"{child.get('source', '')}:{child.get('id', '')}"
+                )
+        if not seq:
+            raise ValueError(
+                f"read_seqxml: entry {eid!r} has no sequence element"
+            )
+        recs.append((eid, desc, seq, refs))
+    return recs
+
+
+def read_seqxml(spark: SparkSession, path: str) -> DataFrame:
+    """SeqXML records (Bio.SeqIO filetype='seqxml', reference BioSeqPipe
+    pipes.py:33): file-parallel parse; DBRef cross-references surface in
+    the dbxrefs column (the one source format here that populates it)."""
+    files = _source_files(path, "SeqXML")
+
+    def _read(batches):
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, encoding="utf-8") as fh:
+                    recs = _parse_seqxml(fh.read())
+                yield pd.DataFrame(
+                    {
+                        "ids": [i for i, _, _, _ in recs],
+                        "names": [i for i, _, _, _ in recs],
+                        "descriptions": [d for _, d, _, _ in recs],
+                        "sequences": [s for _, _, s, _ in recs],
+                        "dbxrefs": [r for _, _, _, r in recs],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, "
+        "sequences string, dbxrefs array<string>",
+    )
+
+
+def write_seqxml(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+    desc_col: "str | None" = None,
+    seq_tag: str = "AAseq",
+) -> None:
+    """Distributed SeqXML write: each partition becomes one
+    ``part-*.xml`` document under ``path``. Ids and descriptions are
+    XML-escaped (so any text roundtrips); sequences must be non-empty
+    and whitespace-free (the reader strips whitespace, so it would not
+    roundtrip). Publication is write-then-swap
+    (:func:`_publish_alignment_dir`)."""
+    if seq_tag not in ("DNAseq", "RNAseq", "AAseq"):
+        raise ValueError(
+            f"write_seqxml: seq_tag must be DNAseq/RNAseq/AAseq, got "
+            f"{seq_tag!r}"
+        )
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
+            from xml.sax.saxutils import escape, quoteattr
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                descs = (
+                    b[desc_col].astype(str)
+                    if desc_col is not None
+                    else [""] * len(b)
+                )
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str), descs)
+                )
+            if rows:
+                bad = [
+                    n
+                    for n, s, _ in rows
+                    if not s or any(c.isspace() for c in s)
+                ]
+                if bad:
+                    raise ValueError(
+                        "write_seqxml: sequences cannot be empty or contain "
+                        "whitespace (the reader joins split sequence text): "
+                        f"{bad[:3]}"
+                    )
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.xml"
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+                    fh.write('<seqXML seqXMLversion="0.4">\n')
+                    for name, seq, desc in rows:
+                        fh.write(f"  <entry id={quoteattr(name)}>\n")
+                        if desc:
+                            fh.write(
+                                f"    <description>{escape(desc)}"
+                                "</description>\n"
+                            )
+                        fh.write(f"    <{seq_tag}>{seq}</{seq_tag}>\n")
+                        fh.write("  </entry>\n")
+                    fh.write("</seqXML>\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        cols = [id_col, seq_col] + ([desc_col] if desc_col else [])
+        return [
+            r["n"]
+            for r in df.select(*cols).mapInPandas(_write, "n long").collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
+_TWOBIT_MAGIC = 0x1A412743
+_TWOBIT_DECODE = "TCAG"
+_TWOBIT_ENCODE = {c: i for i, c in enumerate(_TWOBIT_DECODE)}
+
+
+def _runs(flags: "list[bool]") -> "list[tuple[int, int]]":
+    """(start, size) runs of True in a boolean sequence."""
+    out = []
+    start = None
+    for i, f in enumerate(flags):
+        if f and start is None:
+            start = i
+        elif not f and start is not None:
+            out.append((start, i - start))
+            start = None
+    if start is not None:
+        out.append((start, len(flags) - start))
+    return out
+
+
+def read_twobit(spark: SparkSession, path: str) -> DataFrame:
+    """UCSC .2bit files (Bio.SeqIO filetype='twobit'): binary,
+    MULTI-sequence per file — header (magic 0x1A412743 in either byte
+    order, version 0, sequenceCount), a name->offset index, then per
+    sequence: dnaSize, N-block and mask-block run lists, and packed DNA
+    at 4 bases/byte (first base in the high bits, T=0 C=1 A=2 G=3).
+    N blocks overlay 'N', mask blocks render lowercase (the genomics
+    soft-mask convention). File-parallel; pure byte math in the task."""
+    files = _source_files(path, "twobit")
+
+    def _read(batches):
+        import struct
+
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, "rb") as fh:
+                    buf = fh.read()
+                if len(buf) < 16:
+                    raise ValueError(f"read_twobit: {f} too short")
+                if struct.unpack("<I", buf[:4])[0] == _TWOBIT_MAGIC:
+                    e = "<"
+                elif struct.unpack(">I", buf[:4])[0] == _TWOBIT_MAGIC:
+                    e = ">"
+                else:
+                    raise ValueError(
+                        f"read_twobit: {f} missing 2bit magic 0x1A412743"
+                    )
+                version, count, _zero = struct.unpack(e + "III", buf[4:16])
+                if version != 0:
+                    raise ValueError(
+                        f"read_twobit: {f} unsupported version {version}"
+                    )
+                pos, index = 16, []
+                try:
+                    for _ in range(count):
+                        nlen = buf[pos]
+                        name = buf[pos + 1 : pos + 1 + nlen].decode("ascii")
+                        off = struct.unpack(
+                            e + "I", buf[pos + 1 + nlen : pos + 5 + nlen]
+                        )[0]
+                        index.append((name, off))
+                        pos += 5 + nlen
+                except (IndexError, struct.error):
+                    raise ValueError(
+                        f"read_twobit: {f} truncated sequence index"
+                    ) from None
+                names, seqs = [], []
+                for name, off in index:
+                    try:
+                        (dna_size,) = struct.unpack(
+                            e + "I", buf[off : off + 4]
+                        )
+                        p = off + 4
+
+                        def blocks(p):
+                            (k,) = struct.unpack(e + "I", buf[p : p + 4])
+                            p += 4
+                            starts = struct.unpack(
+                                e + f"{k}I", buf[p : p + 4 * k]
+                            )
+                            p += 4 * k
+                            sizes = struct.unpack(
+                                e + f"{k}I", buf[p : p + 4 * k]
+                            )
+                            return list(zip(starts, sizes)), p + 4 * k
+
+                        nblocks, p = blocks(p)
+                        mblocks, p = blocks(p)
+                        p += 4  # reserved
+                        need = (dna_size + 3) // 4
+                        packed = buf[p : p + need]
+                        if len(packed) < need:
+                            raise ValueError(
+                                f"read_twobit: {f}:{name} declares "
+                                f"{dna_size} bases but the packed DNA is "
+                                "truncated"
+                            )
+                    except struct.error:
+                        raise ValueError(
+                            f"read_twobit: {f}:{name} truncated record"
+                        ) from None
+                    chars = []
+                    for byte in packed:
+                        chars += [
+                            _TWOBIT_DECODE[(byte >> sh) & 3]
+                            for sh in (6, 4, 2, 0)
+                        ]
+                    chars = chars[:dna_size]
+                    for start, size in nblocks:
+                        chars[start : start + size] = "N" * size
+                    for start, size in mblocks:
+                        chars[start : start + size] = [
+                            c.lower() for c in chars[start : start + size]
+                        ]
+                    names.append(name)
+                    seqs.append("".join(chars))
+                yield pd.DataFrame(
+                    {
+                        "ids": names,
+                        "names": names,
+                        "descriptions": [""] * len(names),
+                        "sequences": seqs,
+                        "dbxrefs": [[] for _ in names],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, "
+        "sequences string, dbxrefs array<string>",
+    )
+
+
+def write_twobit(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+) -> None:
+    """Distributed .2bit write: each partition becomes one multi-sequence
+    ``part-*.2bit`` file under ``path``. Alphabet ACGTN upper (plain) /
+    lower (soft-masked): N runs become N blocks (packed as T bits under
+    the block, the UCSC convention), lowercase runs become mask blocks.
+    Little-endian. The format's offsets are uint32, so one part file is
+    capped at 4 GiB — repartition up if a partition's sequences exceed
+    that (the writer fails loudly). Publication is write-then-swap
+    (:func:`_publish_alignment_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import struct
+            import uuid
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str))
+                )
+            if rows:
+                recs = []
+                for name, seq in rows:
+                    nb = name.encode("ascii", "strict") if name else b""
+                    if not 1 <= len(nb) <= 255:
+                        raise ValueError(
+                            "write_twobit: names must be 1-255 ASCII "
+                            f"bytes: {name!r}"
+                        )
+                    if not seq:
+                        raise ValueError(
+                            f"write_twobit: empty sequence for {name!r}"
+                        )
+                    up = seq.upper()
+                    bad = set(up) - set("ACGTN")
+                    if bad:
+                        raise ValueError(
+                            "write_twobit: 2bit holds only ACGTN/acgtn "
+                            f"bases; {name!r} has {sorted(bad)[:5]!r}"
+                        )
+                    nruns = _runs([c == "N" for c in up])
+                    mruns = _runs([c.islower() for c in seq])
+                    codes = [
+                        _TWOBIT_ENCODE.get(c, 0) for c in up
+                    ]  # N packs as T(0) under its N block
+                    packed = bytearray()
+                    for j in range(0, len(codes), 4):
+                        quad = codes[j : j + 4] + [0] * (4 - len(codes[j:j + 4]))
+                        packed.append(
+                            (quad[0] << 6) | (quad[1] << 4)
+                            | (quad[2] << 2) | quad[3]
+                        )
+                    body = struct.pack("<I", len(seq))
+                    for runs in (nruns, mruns):
+                        body += struct.pack("<I", len(runs))
+                        body += struct.pack(
+                            f"<{len(runs)}I", *[s for s, _ in runs]
+                        )
+                        body += struct.pack(
+                            f"<{len(runs)}I", *[z for _, z in runs]
+                        )
+                    body += struct.pack("<I", 0) + bytes(packed)
+                    recs.append((nb, body))
+                index_size = sum(5 + len(nb) for nb, _ in recs)
+                off = 16 + index_size
+                header = struct.pack("<IIII", _TWOBIT_MAGIC, 0, len(recs), 0)
+                index = bytearray()
+                for nb, body in recs:
+                    if off > 0xFFFFFFFF:
+                        raise ValueError(
+                            "write_twobit: part file exceeds the format's "
+                            "4 GiB uint32 offset limit — repartition the "
+                            "DataFrame into more (smaller) partitions"
+                        )
+                    index += bytes([len(nb)]) + nb + struct.pack("<I", off)
+                    off += len(body)
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.2bit"
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "wb") as fh:
+                    fh.write(header)
+                    fh.write(index)
+                    for _, body in recs:
+                        fh.write(body)
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        return [
+            r["n"]
+            for r in df.select(id_col, seq_col)
+            .mapInPandas(_write, "n long")
+            .collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
 def read_bioseq(
     spark: SparkSession, path: str, filetype: str = "fasta"
 ) -> DataFrame:
     """Dispatch on ``filetype`` like the reference BioSeqPipe(path,
     filetype=...) (pipes.py:33). Supported: fasta (+ fasta-2line, a
-    syntactic subset the same record scan parses), fastq, qual, pir,
-    genbank, embl, swiss, tab, clustal, phylip (+ phylip-relaxed and
+    syntactic subset the same record scan parses), fastq (+ the -solexa
+    and -illumina quality-offset variants), qual, pir, genbank, embl,
+    imgt, swiss, tab, clustal, phylip (+ phylip-relaxed and
     phylip-sequential), sff, abi, stockholm, nexus, ace, ig, phd,
-    pdb-seqres, pdb-atom, nib — the full surface the reference's
-    BioSeqPipe callers exercise plus the most-used interchange formats
-    beyond it; remaining SeqIO formats (uniprot-xml, seqxml, ...) raise
-    with this message until someone needs them."""
+    pdb-seqres, pdb-atom, nib, seqxml, twobit — the full surface the
+    reference's BioSeqPipe callers exercise plus the most-used
+    interchange formats beyond it; the remaining SeqIO names raise with
+    this message (uniprot-xml's deep schema until someone needs it;
+    gck/snapgene/xdna are proprietary vendor formats without public
+    specs)."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -2481,10 +2889,27 @@ def read_bioseq(
         return read_pdb_atom(spark, path)
     if ft == "nib":
         return read_nib(spark, path)
+    if ft == "seqxml":
+        return read_seqxml(spark, path)
+    if ft == "twobit":
+        return read_twobit(spark, path)
+    if ft == "imgt":
+        # IMGT/LIGM is the EMBL flat-file format with an extended feature
+        # table; the record frame, ID/DE lines and sequence block are
+        # EMBL's, so the EMBL parse reads it (features are metadata
+        # outside the Message columns in both).
+        return read_embl(spark, path)
+    if ft in ("fastq-solexa", "fastq-illumina"):
+        # same 4-line record structure; the variants differ only in the
+        # quality ENCODING (64-based offsets). read_fastq keeps the raw
+        # ASCII quality string, so the parse is identical — decoding to
+        # scores is one transform(ascii(x) - offset) away.
+        return read_fastq(spark, path)
     raise NotImplementedError(
-        f"filetype {filetype!r}: only fasta, fasta-2line, fastq, qual, "
-        "pir, genbank, embl, swiss, tab, clustal, "
-        "phylip(-relaxed/-sequential), sff, abi, stockholm, nexus, ace, "
-        "ig, phd, pdb-seqres, pdb-atom and nib have distributed parses "
-        "(reference BioSeqPipe accepts any Bio.SeqIO format)"
+        f"filetype {filetype!r}: only fasta, fasta-2line, "
+        "fastq(-solexa/-illumina), qual, pir, genbank, embl, imgt, swiss, "
+        "tab, clustal, phylip(-relaxed/-sequential), sff, abi, stockholm, "
+        "nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, seqxml and "
+        "twobit have distributed parses (reference BioSeqPipe accepts "
+        "any Bio.SeqIO format)"
     )

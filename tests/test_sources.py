@@ -1268,3 +1268,129 @@ def test_nib_binary_roundtrip(spark, tmp_path):
             ).coalesce(1),
             str(tmp_path / "bad_nib2"),
         )
+
+
+def test_seqxml_roundtrip_and_dbrefs(spark, tmp_path):
+    """SeqXML: entries parse with descriptions and DBRef dbxrefs; the
+    writer XML-escapes ids/descriptions so arbitrary text roundtrips;
+    whitespace sequences fail loudly."""
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    xml = (
+        '<?xml version="1.0"?>\n<seqXML seqXMLversion="0.4">\n'
+        '  <entry id="P1">\n'
+        "    <description>test protein</description>\n"
+        "    <AAseq>MKVLA</AAseq>\n"
+        '    <DBRef source="GenBank" id="U378"/>\n'
+        '    <DBRef source="PDB" id="1ABC"/>\n'
+        "  </entry>\n"
+        '  <entry id="D1"><DNAseq>ACGT</DNAseq></entry>\n'
+        "</seqXML>\n"
+    )
+    f = tmp_path / "x.xml"
+    f.write_text(xml)
+    rows = {r.ids: r for r in read_bioseq(spark, str(f), "seqxml").collect()}
+    assert rows["P1"].sequences == "MKVLA"
+    assert rows["P1"].descriptions == "test protein"
+    assert rows["P1"].dbxrefs == ["GenBank:U378", "PDB:1ABC"]
+    assert rows["D1"].sequences == "ACGT"
+
+    # roundtrip with XML-hostile ids/descriptions
+    df = spark.createDataFrame(
+        [("a&b", "MKV", 'desc <with> "specials" &'), ("c", "LA", "")],
+        "ids string, sequences string, descriptions string",
+    )
+    out = tmp_path / "xml_out"
+    src.write_seqxml(df.repartition(2), str(out), desc_col="descriptions")
+    back = {r.ids: r for r in src.read_seqxml(spark, str(out)).collect()}
+    assert back["a&b"].sequences == "MKV"
+    assert back["a&b"].descriptions == 'desc <with> "specials" &'
+    assert back["c"].descriptions == ""
+
+    with pytest.raises(Exception, match="whitespace"):
+        src.write_seqxml(
+            spark.createDataFrame(
+                [("x", "M K", "")],
+                "ids string, sequences string, descriptions string",
+            ).coalesce(1),
+            str(tmp_path / "bad_xml"),
+            desc_col="descriptions",
+        )
+    # malformed XML is a loud ValueError, not a parse crash
+    (tmp_path / "broken.xml").write_text("<seqXML><entry></seqXML>")
+    with pytest.raises(Exception, match="malformed XML"):
+        src.read_seqxml(spark, str(tmp_path / "broken.xml")).collect()
+
+
+def test_twobit_roundtrip_blocks_and_endianness(spark, tmp_path):
+    """UCSC 2bit: multi-sequence files with N blocks and soft-mask
+    blocks roundtrip (including masked N); the big-endian variant reads;
+    alphabet and name-length guards are loud."""
+    import struct
+
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    df = spark.createDataFrame(
+        [
+            ("chr1", "ACGTNNNacgtnACGT"),  # N run, mask run, masked N
+            ("chr2", "TTT"),               # non-multiple-of-4 length
+            ("chr3", "acgt"),              # fully masked
+        ],
+        "ids string, sequences string",
+    )
+    out = tmp_path / "tb_out"
+    src.write_twobit(df.repartition(2), str(out))
+    back = {r.ids: r for r in src.read_twobit(spark, str(out)).collect()}
+    assert back["chr1"].sequences == "ACGTNNNacgtnACGT"
+    assert back["chr2"].sequences == "TTT"
+    assert back["chr3"].sequences == "acgt"
+
+    # hand-built big-endian single-sequence file: 'TCAG' packed 0b00011011
+    be = tmp_path / "be.2bit"
+    body = struct.pack(">I", 4) + struct.pack(">I", 0) + struct.pack(
+        ">I", 0
+    ) + struct.pack(">I", 0) + bytes([0b00011011])
+    hdr = struct.pack(">IIII", 0x1A412743, 0, 1, 0)
+    idx = bytes([1]) + b"s" + struct.pack(">I", 16 + 6)
+    be.write_bytes(hdr + idx + body)
+    rows = read_bioseq(spark, str(be), "twobit").collect()
+    assert rows[0].ids == "s" and rows[0].sequences == "TCAG"
+
+    with pytest.raises(Exception, match="ACGTN"):
+        src.write_twobit(
+            spark.createDataFrame(
+                [("x", "ACGU")], "ids string, sequences string"
+            ).coalesce(1),
+            str(tmp_path / "bad_tb"),
+        )
+
+
+def test_bioseq_dispatch_aliases(spark, tmp_path):
+    """imgt reads via the EMBL frame; fastq-solexa/-illumina read via the
+    FASTQ 4-line parse (raw ASCII qualities in both encodings)."""
+    from fireworks_spark.sources import read_bioseq
+
+    fq = "@r1\nACGT\n+\nhhhh\n"  # 'h' = Q40 in the 64-offset encodings
+    f = tmp_path / "x.fastq"
+    f.write_text(fq)
+    for ft in ("fastq-solexa", "fastq-illumina"):
+        rows = read_bioseq(spark, str(f), ft).collect()
+        assert rows[0].sequences == "ACGT" and rows[0].qualities == "hhhh"
+
+    embl = (
+        "ID   AB000001; SV 1; linear; mRNA; STD; HUM; 4 BP.\n"
+        "DE   test imgt record\n"
+        "SQ   Sequence 4 BP;\n"
+        "     acgt                                                   4\n"
+        "//\n"
+    )
+    g = tmp_path / "x.imgt"
+    g.write_text(embl)
+    rows = read_bioseq(spark, str(g), "imgt").collect()
+    assert rows[0].ids == "AB000001" and rows[0].sequences.upper() == "ACGT"
