@@ -2229,11 +2229,15 @@ def write_pdb_seqres(
                 for name, seq in zip(
                     b[id_col].astype(str), b[seq_col].astype(str)
                 ):
-                    if not (1 <= len(name) <= 4 and name.isalnum()):
+                    if not (
+                        1 <= len(name) <= 4
+                        and name.isalnum()
+                        and name.isascii()
+                    ):
                         raise ValueError(
-                            "write_pdb_seqres: ids must be 1-4 alphanumeric "
-                            "characters (the HEADER idCode field is 4 "
-                            f"columns): {name!r}"
+                            "write_pdb_seqres: ids must be 1-4 ASCII "
+                            "alphanumeric characters (the HEADER idCode "
+                            f"field is 4 fixed columns): {name!r}"
                         )
                     bad = [c for c in seq if c not in _AA_1TO3]
                     if not seq or bad:
@@ -2277,6 +2281,50 @@ _NIB_DECODE = "TCAGN"
 _NIB_ENCODE = {c: i for i, c in enumerate(_NIB_DECODE)}
 
 
+def _parse_nib(buf: bytes, label: str = "<buffer>") -> str:
+    """Decode one .nib buffer to its sequence string (see read_nib for
+    the layout). Fails closed: bad magic, truncation and invalid nibble
+    codes all raise ValueError."""
+    import struct
+
+    if len(buf) < 8:
+        raise ValueError(f"read_nib: {label} is too short to be nib")
+    if struct.unpack("<I", buf[:4])[0] == _NIB_MAGIC:
+        endian = "<"
+    elif struct.unpack(">I", buf[:4])[0] == _NIB_MAGIC:
+        endian = ">"
+    else:
+        raise ValueError(f"read_nib: {label} missing nib magic 0x6BE93D3A")
+    n = struct.unpack(endian + "I", buf[4:8])[0]
+    need = (n + 1) // 2
+    data = buf[8 : 8 + need]
+    if len(data) < need:
+        raise ValueError(
+            f"read_nib: {label} declares {n} bases but holds {len(data) * 2}"
+        )
+    chars: list = []
+    for byte in data:
+        chars.extend(_NIB_LUT[byte])
+    if None in chars[:n]:
+        raise ValueError(f"read_nib: {label} contains invalid nibble codes")
+    return "".join(chars[:n])
+
+
+# 256-entry byte -> two-char lookup (None marks an invalid nibble code)
+_NIB_LUT = [
+    tuple(
+        (
+            (_NIB_DECODE[nib & 0x7].lower() if nib & 0x8
+             else _NIB_DECODE[nib & 0x7])
+            if (nib & 0x7) < 5
+            else None
+        )
+        for nib in (byte >> 4, byte & 0xF)
+    )
+    for byte in range(256)
+]
+
+
 def read_nib(spark: SparkSession, path: str) -> DataFrame:
     """UCSC .nib nucleotide files (Bio.SeqIO filetype='nib'): binary,
     one sequence per file — 4-byte magic 0x6BE93D3A (either byte order),
@@ -2288,59 +2336,20 @@ def read_nib(spark: SparkSession, path: str) -> DataFrame:
 
     files = _source_files(path, "nib")
 
-    # 256-entry byte -> two-char lookup, built once on the driver and
-    # shipped in the closure (cheap, avoids per-nibble branching)
-    lut = []
-    for byte in range(256):
-        two = []
-        for nib in (byte >> 4, byte & 0xF):
-            code, masked = nib & 0x7, nib & 0x8
-            ch = _NIB_DECODE[code] if code < 5 else None
-            two.append(ch.lower() if ch and masked else ch)
-        lut.append(tuple(two))
-
     def _read(batches):
-        import struct
-
         import pandas as pd
 
         for b in batches:
             for f in b["f"]:
                 with open(f, "rb") as fh:
-                    buf = fh.read()
-                if len(buf) < 8:
-                    raise ValueError(f"read_nib: {f} is too short to be nib")
-                if struct.unpack("<I", buf[:4])[0] == _NIB_MAGIC:
-                    endian = "<"
-                elif struct.unpack(">I", buf[:4])[0] == _NIB_MAGIC:
-                    endian = ">"
-                else:
-                    raise ValueError(
-                        f"read_nib: {f} missing nib magic 0x6BE93D3A"
-                    )
-                n = struct.unpack(endian + "I", buf[4:8])[0]
-                need = (n + 1) // 2
-                data = buf[8 : 8 + need]
-                if len(data) < need:
-                    raise ValueError(
-                        f"read_nib: {f} declares {n} bases but holds "
-                        f"{len(data) * 2}"
-                    )
-                chars: list = []
-                for byte in data:
-                    chars.extend(lut[byte])
-                bad = [c for c in chars[:n] if c is None]
-                if bad:
-                    raise ValueError(
-                        f"read_nib: {f} contains invalid nibble codes"
-                    )
+                    seq = _parse_nib(fh.read(), f)
                 stem = _os.path.splitext(_os.path.basename(f))[0]
                 yield pd.DataFrame(
                     {
                         "ids": [stem],
                         "names": [stem],
                         "descriptions": [""],
-                        "sequences": ["".join(chars[:n])],
+                        "sequences": [seq],
                         "dbxrefs": [[]],
                     }
                 )
@@ -2607,6 +2616,93 @@ def _runs(flags: "list[bool]") -> "list[tuple[int, int]]":
     return out
 
 
+def _parse_twobit(buf: bytes, label: str = "<buffer>") -> list:
+    """Decode one .2bit buffer to ``[(name, sequence), ...]`` (see
+    read_twobit for the layout). Fails closed with ValueError: bad magic/
+    version, truncated index/records/packed DNA, and block runs that
+    exceed the declared dnaSize (which a hostile file could use to
+    demand a multi-GiB overlay allocation) all raise."""
+    import struct
+
+    if len(buf) < 16:
+        raise ValueError(f"read_twobit: {label} too short")
+    if struct.unpack("<I", buf[:4])[0] == _TWOBIT_MAGIC:
+        e = "<"
+    elif struct.unpack(">I", buf[:4])[0] == _TWOBIT_MAGIC:
+        e = ">"
+    else:
+        raise ValueError(f"read_twobit: {label} missing 2bit magic "
+                         "0x1A412743")
+    version, count, _zero = struct.unpack(e + "III", buf[4:16])
+    if version != 0:
+        raise ValueError(f"read_twobit: {label} unsupported version "
+                         f"{version}")
+    pos, index = 16, []
+    try:
+        for _ in range(count):
+            nlen = buf[pos]
+            name = buf[pos + 1 : pos + 1 + nlen].decode("ascii")
+            if len(name) != nlen:
+                raise IndexError  # truncated mid-name
+            (off,) = struct.unpack(
+                e + "I", buf[pos + 1 + nlen : pos + 5 + nlen]
+            )
+            index.append((name, off))
+            pos += 5 + nlen
+    except (IndexError, struct.error, UnicodeDecodeError):
+        raise ValueError(
+            f"read_twobit: {label} truncated or non-ASCII sequence index"
+        ) from None
+    out = []
+    for name, off in index:
+        try:
+            (dna_size,) = struct.unpack(e + "I", buf[off : off + 4])
+            p = off + 4
+
+            def blocks(p):
+                (k,) = struct.unpack(e + "I", buf[p : p + 4])
+                p += 4
+                starts = struct.unpack(e + f"{k}I", buf[p : p + 4 * k])
+                p += 4 * k
+                sizes = struct.unpack(e + f"{k}I", buf[p : p + 4 * k])
+                return list(zip(starts, sizes)), p + 4 * k
+
+            nblocks, p = blocks(p)
+            mblocks, p = blocks(p)
+            p += 4  # reserved
+            need = (dna_size + 3) // 4
+            packed = buf[p : p + need]
+            if len(packed) < need:
+                raise ValueError(
+                    f"read_twobit: {label}:{name} declares {dna_size} "
+                    "bases but the packed DNA is truncated"
+                )
+        except struct.error:
+            raise ValueError(
+                f"read_twobit: {label}:{name} truncated record"
+            ) from None
+        for start, size in nblocks + mblocks:
+            if start + size > dna_size:
+                raise ValueError(
+                    f"read_twobit: {label}:{name} block run "
+                    f"[{start}, {start + size}) exceeds dnaSize {dna_size}"
+                )
+        chars = []
+        for byte in packed:
+            chars += [
+                _TWOBIT_DECODE[(byte >> sh) & 3] for sh in (6, 4, 2, 0)
+            ]
+        chars = chars[:dna_size]
+        for start, size in nblocks:
+            chars[start : start + size] = "N" * size
+        for start, size in mblocks:
+            chars[start : start + size] = [
+                c.lower() for c in chars[start : start + size]
+            ]
+        out.append((name, "".join(chars)))
+    return out
+
+
 def read_twobit(spark: SparkSession, path: str) -> DataFrame:
     """UCSC .2bit files (Bio.SeqIO filetype='twobit'): binary,
     MULTI-sequence per file — header (magic 0x1A412743 in either byte
@@ -2618,100 +2714,19 @@ def read_twobit(spark: SparkSession, path: str) -> DataFrame:
     files = _source_files(path, "twobit")
 
     def _read(batches):
-        import struct
-
         import pandas as pd
 
         for b in batches:
             for f in b["f"]:
                 with open(f, "rb") as fh:
-                    buf = fh.read()
-                if len(buf) < 16:
-                    raise ValueError(f"read_twobit: {f} too short")
-                if struct.unpack("<I", buf[:4])[0] == _TWOBIT_MAGIC:
-                    e = "<"
-                elif struct.unpack(">I", buf[:4])[0] == _TWOBIT_MAGIC:
-                    e = ">"
-                else:
-                    raise ValueError(
-                        f"read_twobit: {f} missing 2bit magic 0x1A412743"
-                    )
-                version, count, _zero = struct.unpack(e + "III", buf[4:16])
-                if version != 0:
-                    raise ValueError(
-                        f"read_twobit: {f} unsupported version {version}"
-                    )
-                pos, index = 16, []
-                try:
-                    for _ in range(count):
-                        nlen = buf[pos]
-                        name = buf[pos + 1 : pos + 1 + nlen].decode("ascii")
-                        off = struct.unpack(
-                            e + "I", buf[pos + 1 + nlen : pos + 5 + nlen]
-                        )[0]
-                        index.append((name, off))
-                        pos += 5 + nlen
-                except (IndexError, struct.error):
-                    raise ValueError(
-                        f"read_twobit: {f} truncated sequence index"
-                    ) from None
-                names, seqs = [], []
-                for name, off in index:
-                    try:
-                        (dna_size,) = struct.unpack(
-                            e + "I", buf[off : off + 4]
-                        )
-                        p = off + 4
-
-                        def blocks(p):
-                            (k,) = struct.unpack(e + "I", buf[p : p + 4])
-                            p += 4
-                            starts = struct.unpack(
-                                e + f"{k}I", buf[p : p + 4 * k]
-                            )
-                            p += 4 * k
-                            sizes = struct.unpack(
-                                e + f"{k}I", buf[p : p + 4 * k]
-                            )
-                            return list(zip(starts, sizes)), p + 4 * k
-
-                        nblocks, p = blocks(p)
-                        mblocks, p = blocks(p)
-                        p += 4  # reserved
-                        need = (dna_size + 3) // 4
-                        packed = buf[p : p + need]
-                        if len(packed) < need:
-                            raise ValueError(
-                                f"read_twobit: {f}:{name} declares "
-                                f"{dna_size} bases but the packed DNA is "
-                                "truncated"
-                            )
-                    except struct.error:
-                        raise ValueError(
-                            f"read_twobit: {f}:{name} truncated record"
-                        ) from None
-                    chars = []
-                    for byte in packed:
-                        chars += [
-                            _TWOBIT_DECODE[(byte >> sh) & 3]
-                            for sh in (6, 4, 2, 0)
-                        ]
-                    chars = chars[:dna_size]
-                    for start, size in nblocks:
-                        chars[start : start + size] = "N" * size
-                    for start, size in mblocks:
-                        chars[start : start + size] = [
-                            c.lower() for c in chars[start : start + size]
-                        ]
-                    names.append(name)
-                    seqs.append("".join(chars))
+                    recs = _parse_twobit(fh.read(), f)
                 yield pd.DataFrame(
                     {
-                        "ids": names,
-                        "names": names,
-                        "descriptions": [""] * len(names),
-                        "sequences": seqs,
-                        "dbxrefs": [[] for _ in names],
+                        "ids": [n for n, _ in recs],
+                        "names": [n for n, _ in recs],
+                        "descriptions": [""] * len(recs),
+                        "sequences": [s for _, s in recs],
+                        "dbxrefs": [[] for _ in recs],
                     }
                 )
 

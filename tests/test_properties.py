@@ -536,41 +536,35 @@ def test_phd_write_read_text_roundtrip(seq_qual):
 @given(st.binary(max_size=200))
 @settings(max_examples=200, deadline=None)
 def test_nib_decode_fails_closed_on_arbitrary_bytes(buf):
-    """The nib binary decode (exercised through its parse invariants):
-    arbitrary bytes either decode or raise ValueError — magic, declared
-    length and nibble codes are all validated."""
-    import struct
-
-    from fireworks_spark.sources import _NIB_MAGIC
-
-    # reimplement read_nib's per-file validation path byte-for-byte (the
-    # reader is a closure inside mapInPandas; the invariants live here)
-    def decode(buf):
-        if len(buf) < 8:
-            raise ValueError("too short")
-        if struct.unpack("<I", buf[:4])[0] == _NIB_MAGIC:
-            endian = "<"
-        elif struct.unpack(">I", buf[:4])[0] == _NIB_MAGIC:
-            endian = ">"
-        else:
-            raise ValueError("missing magic")
-        n = struct.unpack(endian + "I", buf[4:8])[0]
-        need = (n + 1) // 2
-        data = buf[8 : 8 + need]
-        if len(data) < need:
-            raise ValueError("truncated")
-        out = []
-        for byte in data:
-            for nib in (byte >> 4, byte & 0xF):
-                code = nib & 0x7
-                if code >= 5:
-                    raise ValueError("invalid code")
-                out.append("TCAGN"[code].lower() if nib & 0x8 else
-                           "TCAGN"[code])
-        return "".join(out[:n])
+    """The nib binary decode: arbitrary bytes either decode to the
+    TCAGN/tcagn alphabet or raise ValueError — magic, declared length
+    and nibble codes are all validated."""
+    from fireworks_spark.sources import _parse_nib
 
     try:
-        s = decode(buf)
+        s = _parse_nib(buf)
         assert set(s) <= set("TCAGNtcagn")
     except ValueError:
         pass
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_twobit_decode_fails_closed_on_arbitrary_bytes(buf):
+    """The 2bit binary decode: arbitrary bytes (raw, and grafted onto a
+    valid little-endian header so the fuzz reaches the index and record
+    branches) either decode or raise ValueError — including block runs
+    that exceed dnaSize, which must never attempt the overlay
+    allocation."""
+    import struct
+
+    from fireworks_spark.sources import _parse_twobit
+
+    headered = struct.pack("<IIII", 0x1A412743, 0, 2, 0) + buf
+    for candidate in (buf, headered):
+        try:
+            recs = _parse_twobit(candidate)
+            for _, s in recs:
+                assert set(s) <= set("TCAGNtcagn")
+        except ValueError:
+            pass
