@@ -96,10 +96,11 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     # (reference BioSeqPipe accepts any SeqIO filetype; ours documents
     # exactly which have distributed parses)
     with _pytest.raises(NotImplementedError) as ei:
-        read_bioseq(spark, str(p), "ig")
+        read_bioseq(spark, str(p), "uniprot-xml")
     msg = str(ei.value)
     for fmt in ("fasta", "fasta-2line", "fastq", "qual", "pir", "genbank",
-                "embl", "swiss", "tab"):
+                "embl", "swiss", "tab", "ig", "phd", "nib", "seqxml",
+                "twobit"):
         assert fmt in msg
     assert "Bio.SeqIO" in msg
 
@@ -1215,7 +1216,7 @@ def test_pdb_seqres_atom_and_roundtrip(spark, tmp_path):
     back = {r.ids: r for r in src.read_pdb_seqres(spark, str(out)).collect()}
     assert back["1FOO:A"].sequences == "ACDEFGHIKLMNPQRSTVWY"
     assert back["2BAR:A"].sequences == "MKVLA"
-    with pytest.raises(Exception, match="1-4 alphanumeric"):
+    with pytest.raises(Exception, match="1-4 ASCII alphanumeric"):
         src.write_pdb_seqres(
             spark.createDataFrame(
                 [("toolong", "MK")], "ids string, sequences string"
