@@ -108,6 +108,13 @@ def read_pir(spark: SparkSession, path: str) -> DataFrame:
 #: paths; scheme:// URIs stay on the wholetext path.
 FASTQ_SPLIT_BYTES: int = 256 << 20
 
+#: Chunk size for the ranged path once it triggers. Measured on a 320 MB
+#: adversarial file (tools/probe_fastq_ranged.py): warm throughput is flat
+#: from 32-128 MiB chunks (~100-120 MB/s vs wholetext's 3-16 MB/s single
+#: task), so the chunk is sized for bounded task memory + cluster-typical
+#: block alignment, not wall time.
+FASTQ_CHUNK_BYTES: int = 64 << 20
+
 _FASTQ_SCHEMA = (
     "ids string, names string, descriptions string, sequences string, "
     "dbxrefs array<string>, qualities string"
@@ -160,7 +167,9 @@ def read_fastq(
         big = [f for f in files if _os.path.getsize(f) > split_bytes]
         if big:
             small = [f for f in files if f not in big]
-            out = read_fastq_ranged(spark, big, chunk_bytes=split_bytes)
+            out = read_fastq_ranged(
+                spark, big, chunk_bytes=min(split_bytes, FASTQ_CHUNK_BYTES)
+            )
             if small:
                 out = out.unionByName(_read_fastq_wholetext(spark, small))
             return out
