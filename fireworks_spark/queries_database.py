@@ -626,9 +626,18 @@ def q187_pdb_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fireworks_spark.sources import read_pdb_seqres, write_pdb_seqres
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    # idCode is 4 chars by format definition: base-36-encode doc_id (good
+    # to 36^4-1 = 1,679,615) rather than lpad a decimal string, which
+    # silently TRUNCATES doc_ids >= 10000 to a WRONG id at sf >= 1. The
+    # explicit bound keeps the query honest past that (filter, never
+    # truncate), and the oracle applies the same bound.
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 36 ** 4)
+    )
     src = d.select(
-        F.lpad(F.col("doc_id").cast("string"), 4, "0").alias("ids"),
+        F.lpad(
+            F.conv(F.col("doc_id").cast("string"), 10, 36), 4, "0"
+        ).alias("ids"),
         F.translate(
             F.upper(F.md5(F.col("text").cast("binary"))),
             "0123456789B",
@@ -642,7 +651,9 @@ def q187_pdb_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = read_pdb_seqres(spark, path)
         return (
             back.select(
-                F.substring_index("ids", ":", 1).cast("long").alias("doc_id"),
+                F.conv(F.substring_index("ids", ":", 1), 36, 10)
+                .cast("long")
+                .alias("doc_id"),
                 F.col("sequences").alias("seq"),
                 F.col("descriptions").alias("descr"),
             )
@@ -1391,7 +1402,8 @@ DATABASE_ORACLE = {
         "SELECT doc_id, translate(upper(md5(text)), '0123456789B', "
         "'GHIKLMNPQRS') AS seq, "
         "'mol:protein length:32' AS descr "
-        "FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id"
+        "FROM documents WHERE doc_id % 97 = 0 AND doc_id < 1679616 "
+        "ORDER BY doc_id"
     ),
     "q188_nib_roundtrip": (
         "SELECT doc_id, translate(md5(text), '0123456789abcdef', "

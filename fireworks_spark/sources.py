@@ -164,9 +164,10 @@ def read_fastq(
             files = [path]
         else:
             files = sorted(_glob.glob(path))
-        big = [f for f in files if _os.path.getsize(f) > split_bytes]
+        big, small = [], []
+        for f in files:
+            (big if _os.path.getsize(f) > split_bytes else small).append(f)
         if big:
-            small = [f for f in files if f not in big]
             out = read_fastq_ranged(
                 spark, big, chunk_bytes=min(split_bytes, FASTQ_CHUNK_BYTES)
             )
@@ -317,9 +318,11 @@ def _fastq_parse_range(path: str, start: int, end: int, pd):
         if start > 0:
             fh.seek(start)
             fh.readline()  # discard through the first newline >= start
-        # lookahead buffer of (offset, stripped-line); blank lines are
-        # structural in 4-line FASTQ and FASTQ files don't contain them —
-        # keep them (a blank line simply fails the resync/head test).
+        # lookahead buffer of (offset, stripped-line). Blank lines are
+        # SKIPPED, matching the wholetext path's trim-empty filter: a
+        # trailing blank would otherwise read as a truncated record, and
+        # an interior blank would fail the resync head test's next-record
+        # lookahead and silently drop the preceding record.
         buf: list = []
 
         def _fill(n: int) -> None:
@@ -328,7 +331,10 @@ def _fastq_parse_range(path: str, start: int, end: int, pd):
                 raw = fh.readline()
                 if not raw:
                     return
-                buf.append((off, raw.rstrip(b"\r\n")))
+                line = raw.rstrip(b"\r\n")
+                if not line.strip():
+                    continue
+                buf.append((off, line))
 
         # resync: first structurally-valid record head with offset > start
         # (or == 0 for the first range)
@@ -2255,6 +2261,16 @@ def write_pdb_seqres(
                             "one-letter amino-acid codes; "
                             f"{name!r} has {bad[:5]!r}"
                         )
+                    if len(seq) > 9999:
+                        # the fixed-column template holds numRes in 4
+                        # columns and serNum in 3; a longer sequence would
+                        # silently shift the columns and write a file the
+                        # reader rejects
+                        raise ValueError(
+                            "write_pdb_seqres: SEQRES numRes is a 4-column "
+                            f"field; {name!r} has {len(seq)} residues "
+                            "(max 9999)"
+                        )
                     up = name.upper()
                     lines = [
                         f"HEADER    {'SYNTHETIC':<40}{'':9}   {up:<4}"
@@ -2590,7 +2606,9 @@ def write_seqxml(
                                 f"    <description>{escape(desc)}"
                                 "</description>\n"
                             )
-                        fh.write(f"    <{seq_tag}>{seq}</{seq_tag}>\n")
+                        fh.write(
+                            f"    <{seq_tag}>{escape(seq)}</{seq_tag}>\n"
+                        )
                         fh.write("  </entry>\n")
                     fh.write("</seqXML>\n")
                 _os.rename(scratch, _os.path.join(tmp, base))
@@ -2608,6 +2626,12 @@ def write_seqxml(
 _TWOBIT_MAGIC = 0x1A412743
 _TWOBIT_DECODE = "TCAG"
 _TWOBIT_ENCODE = {c: i for i, c in enumerate(_TWOBIT_DECODE)}
+# 256-entry byte -> 4-char lookup for the packed-DNA hot loop (the same
+# pattern as _NIB_LUT; every 2-bit code is valid, so no None sentinel)
+_TWOBIT_LUT = [
+    tuple(_TWOBIT_DECODE[(byte >> sh) & 3] for sh in (6, 4, 2, 0))
+    for byte in range(256)
+]
 
 
 def _runs(flags: "list[bool]") -> "list[tuple[int, int]]":
@@ -2698,9 +2722,7 @@ def _parse_twobit(buf: bytes, label: str = "<buffer>") -> list:
                 )
         chars = []
         for byte in packed:
-            chars += [
-                _TWOBIT_DECODE[(byte >> sh) & 3] for sh in (6, 4, 2, 0)
-            ]
+            chars += _TWOBIT_LUT[byte]
         chars = chars[:dna_size]
         for start, size in nblocks:
             chars[start : start + size] = "N" * size

@@ -1395,3 +1395,73 @@ def test_bioseq_dispatch_aliases(spark, tmp_path):
     g.write_text(embl)
     rows = read_bioseq(spark, str(g), "imgt").collect()
     assert rows[0].ids == "AB000001" and rows[0].sequences.upper() == "ACGT"
+
+
+def test_fastq_ranged_blank_lines_match_wholetext(spark, tmp_path):
+    """Review r12: blank lines (trailing and interior) must not diverge
+    the ranged path from the wholetext path — wholetext filters empties,
+    so ranged skips them in its lookahead fill instead of reading a
+    truncated record (trailing) or failing the resync head test's
+    next-record lookahead (interior)."""
+    from fireworks_spark.sources import (
+        _read_fastq_wholetext,
+        read_fastq_ranged,
+    )
+
+    p = tmp_path / "blanky.fastq"
+    p.write_text(
+        "@r0 first\nACGT\n+\n@@@@\n"
+        "\n"                       # interior blank between records
+        "@r1 second\nTTGG\n+\nIIII\n"
+        "\n\n"                     # trailing blanks
+    )
+    whole = sorted(
+        tuple(r)
+        for r in _read_fastq_wholetext(spark, str(p))
+        .select("ids", "sequences", "qualities")
+        .collect()
+    )
+    for chunk in (997, 16, 37):
+        ranged = sorted(
+            tuple(r)
+            for r in read_fastq_ranged(spark, [str(p)], chunk_bytes=chunk)
+            .select("ids", "sequences", "qualities")
+            .collect()
+        )
+        assert ranged == whole, f"chunk={chunk}"
+    assert [w[0] for w in whole] == ["r0", "r1"]
+
+
+def test_seqxml_sequence_with_xml_specials(spark, tmp_path):
+    """Review r12: a sequence containing '&' or '<' must be escaped on
+    write — unescaped it publishes a corpus every read rejects as
+    malformed XML."""
+    from fireworks_spark import sources as src
+
+    df = spark.createDataFrame(
+        [("x", "A&B<C>", "")],
+        "ids string, sequences string, descriptions string",
+    )
+    out = tmp_path / "specials"
+    src.write_seqxml(df.coalesce(1), str(out), desc_col="descriptions")
+    back = src.read_seqxml(spark, str(out)).collect()
+    assert back[0].sequences == "A&B<C>"
+
+
+def test_pdb_idcode_base36_no_truncation(spark, tmp_path):
+    """Review r12: q187's id scheme must not truncate large doc_ids —
+    base-36 encoding keeps 5+ digit ids inside the 4-char idCode field
+    and conv() inverts it exactly."""
+    from pyspark.sql import functions as F
+
+    from fireworks_spark import sources as src
+
+    df = spark.range(1).select(
+        F.lpad(F.conv(F.lit("10088"), 10, 36), 4, "0").alias("ids"),
+        F.lit("MKVLA").alias("sequences"),
+    )
+    out = tmp_path / "big_id"
+    src.write_pdb_seqres(df.coalesce(1), str(out))
+    back = src.read_pdb_seqres(spark, str(out)).collect()
+    got = int(back[0].ids.split(":")[0], 36)
+    assert got == 10088
