@@ -33,6 +33,20 @@ from fireworks_spark.functions.text import normalize_text, words
 _CACHES_ATTR = "_fw_caches"
 
 
+def keep_caches(out: DataFrame, *sources: DataFrame, extra=()) -> DataFrame:
+    """Public re-attach helper for WRAPPER DataFrames: every orderBy/
+    select/filter/withColumn returns a new DataFrame without python
+    attributes, so an operator result's release handles (``_fw_caches``,
+    plus toolbox's legacy ``_row_index_cache``) would be orphaned and the
+    persisted frames only freed by a clearCache backstop. Call
+    ``keep_caches(wrapped, original, ...)`` to carry every handle the
+    sources hold onto the wrapped result (plus ``extra`` raw handles);
+    ``release_caches(result)`` then frees them all. This is the one
+    convention query modules should use (review r12 — previously a
+    per-module shim and direct ``_attach_caches`` calls coexisted)."""
+    return _attach_caches(out, *sources, extra=extra)
+
+
 def _attach_caches(out: DataFrame, *sources: DataFrame, extra=()) -> DataFrame:
     handles: list = []
     for s in sources:

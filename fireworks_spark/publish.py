@@ -81,9 +81,12 @@ def object_store_semantics(path: "str | None" = None) -> bool:
         # routing either through the direct-write branch would silently
         # drop the torn-part scratch+rename guard for filesystems that
         # need it (and this module opens paths with POSIX APIs anyway, so
-        # only file:// could even have worked).
-        if m and m.group(1) in _OBJECT_STORE_SCHEMES:
-            return True
+        # only file:// could even have worked). An EXPLICIT scheme decides
+        # either way: the env switch exists for scheme-LESS paths on
+        # object-store mounts (s3fs/gcsfuse) and must not drag file:///
+        # hdfs:// into the rename-free branch when it is set.
+        if m:
+            return m.group(1) in _OBJECT_STORE_SCHEMES
     return os.environ.get("FIREWORKS_OBJECT_STORE", "").lower() in (
         "1",
         "true",

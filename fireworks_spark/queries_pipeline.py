@@ -72,19 +72,10 @@ def _cos(a: str, b: str) -> str:
 
 
 
-def _keep_caches(out, src):
-    """Re-attach the _fw_caches release handles through a wrapper
-    transformation: orderBy/select/withColumn return NEW DataFrames
-    without python attributes, so returning a wrapped operator result
-    directly would orphan its persisted frames (release_caches(result)
-    would no-op and only bench.py's clearCache backstop would free them —
-    the leak class tests/test_cache_hygiene.py pins down)."""
-    return dedup._attach_caches(out, src)
-
 def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     out = dedup.exact_dedup(d)
-    return _keep_caches(out.orderBy("keep_id"), out)
+    return dedup.keep_caches(out.orderBy("keep_id"), out)
 
 
 def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +86,7 @@ def q31_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap, silently losing pairs (caught by the round-9 sf1 sweep)."""
     d = table(spark, sf_dir, "documents")
     out = dedup.jaccard_pairs(d, threshold=0.5)
-    return _keep_caches(out.orderBy("ida", "idb"), out)
+    return dedup.keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q134_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +101,7 @@ def q134_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 1),
         threshold=0.5,
     )
-    return _keep_caches(out.orderBy("lid", "rid"), out)
+    return dedup.keep_caches(out.orderBy("lid", "rid"), out)
 
 
 def q135_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +115,7 @@ def q135_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 1),
         threshold=0.8,
     )
-    return _keep_caches(out.orderBy("lid", "rid"), out)
+    return dedup.keep_caches(out.orderBy("lid", "rid"), out)
 
 
 def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +123,7 @@ def q32_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime where 16x2 banding has ~certain recall; see module docstring)."""
     d = table(spark, sf_dir, "documents")
     out = dedup.minhash_dedup_pairs(d, threshold=0.8)
-    return _keep_caches(out.orderBy("ida", "idb"), out)
+    return dedup.keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +137,7 @@ def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.simhash_pairs(
         d, max_hamming=3, token_hash=dedup.portable_token_hash60
     )
-    return _keep_caches(out.orderBy("ida", "idb"), out)
+    return dedup.keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,7 +146,7 @@ def q34_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands give miss probability <= 1e-6 at the 0.5 boundary)."""
     e = table(spark, sf_dir, "embeddings")
     out = dedup.embedding_dup_pairs(e, threshold=0.5)
-    return _keep_caches(out.orderBy("ida", "idb"), out)
+    return dedup.keep_caches(out.orderBy("ida", "idb"), out)
 
 
 def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +159,7 @@ def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
     out = dedup.dup_clusters(pairs)
-    return _keep_caches(
+    return dedup.keep_caches(
         out.select(F.col("id").alias("doc_id"), "cluster").orderBy("doc_id"),
         out,
     )
@@ -181,7 +172,7 @@ def q43_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
     out = dedup.keep_canonical(d, pairs)
-    return _keep_caches(out.select("doc_id").orderBy("doc_id"), out)
+    return dedup.keep_caches(out.select("doc_id").orderBy("doc_id"), out)
 
 
 # --------------------------------------------------------------------------
@@ -421,7 +412,7 @@ def q145_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL; the xxhash64 scale path is asserted equal in test_dedup."""
     d = table(spark, sf_dir, "documents")
     out = dedup.substring_dedup(d, k=20, use_hash=False)
-    return _keep_caches(out.orderBy("doc_id"), out)
+    return dedup.keep_caches(out.orderBy("doc_id"), out)
 
 
 def q143_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,7 +676,7 @@ def q103_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lb in sorted(by_label)
     ]
     out = dedup.semdedup(e, eps=0.5, centroids=centroids)
-    return _keep_caches(
+    return dedup.keep_caches(
         out.withColumn("cluster", F.col("cluster").cast("long"))
         .orderBy("vec_id"),
         out,
@@ -765,8 +756,7 @@ def q157_filtered_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame
     shared frames are persisted (measured 72.6s -> 2.7s at sf0.1 — the
     interpreted HOF rule chains re-evaluated per branch otherwise) with
     release handles attached per the repo's cache convention."""
-    from fireworks_spark.operators.dedup import _attach_caches
-
+    
     d = table(spark, sf_dir, "documents")
     structured = d.select(
         "doc_id",
@@ -797,7 +787,7 @@ def q157_filtered_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
-    return _attach_caches(out, extra=[c4, kept])
+    return dedup.keep_caches(out, extra=[c4, kept])
 
 
 def q37_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,7 +986,7 @@ def q98_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.line_dedup(lines_df)
     # orderBy returns a NEW DataFrame without the _fw_caches attribute —
     # re-attach so release_caches(result) frees the persisted lines frame.
-    return dedup._attach_caches(out.orderBy("doc_id"), out)
+    return dedup.keep_caches(out.orderBy("doc_id"), out)
 
 
 
@@ -1008,7 +998,7 @@ def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
     out = dedup.leakage_safe_split(d, pairs, k=5)
-    return _keep_caches(out.orderBy("doc_id"), out)
+    return dedup.keep_caches(out.orderBy("doc_id"), out)
 
 
 PIPELINE_QUERIES = {

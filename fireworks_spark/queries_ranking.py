@@ -93,7 +93,7 @@ def q86_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window."""
     d = table(spark, sf_dir, "documents")
     out = ranking.pack_sequences(d, budget=512)
-    return dedup._attach_caches(out.orderBy("doc_id"), out)
+    return dedup.keep_caches(out.orderBy("doc_id"), out)
 
 
 def q87_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +177,7 @@ def q129_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.bloom_decontaminate(corpus, bench)
     # re-attach the release handle through the wrapper (select/orderBy
     # return new DataFrames without python attributes)
-    return dedup._attach_caches(
+    return dedup.keep_caches(
         out.select("doc_id", "source", "n_chars").orderBy("doc_id"), out
     )
 
@@ -271,7 +271,7 @@ def q138_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # carry bloom_decontaminate's release handle through the chain of
     # wrapper DataFrames (filter/sample/select/orderBy drop attributes)
-    return dedup._attach_caches(
+    return dedup.keep_caches(
         mix.select("doc_id", "source", "n_chars").orderBy(
             "source", "doc_id"
         ),

@@ -481,9 +481,14 @@ def q172_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).option("maxFilesPerTrigger", "1").parquet(stage)
         # each micro-batch is ONE file = one scan partition, and the
         # signature projection (8 md5s per gram) binds map-side —
-        # repartition the raw docs first so it parallelizes
-        with _stream_shuffle(spark, src=f"{sf_dir}/documents.parquet",
-                             python_fold=True):
+        # repartition the raw docs first so it parallelizes. The STATE
+        # side is dropDuplicatesWithinWatermark (JVM SQL state, not a
+        # Python fold), so the shuffle sizes on the SQL-state curve: the
+        # repartition(32) above keeps the projection parallel while the
+        # state stores stay at the store-commit optimum (review r12 —
+        # python_fold here put 28-32 stores per micro-batch on an
+        # operator whose own curve says ~12 is the sf3 ceiling)
+        with _stream_shuffle(spark, src=f"{sf_dir}/documents.parquet"):
             streaming.run_to_memory(
                 streaming.near_dedup_stream(
                     stream.repartition(32), watermark="365 days",

@@ -51,7 +51,7 @@ def q53_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     r = table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
     out = toolbox.interleave([n, r], ["k"])
-    return dedup._attach_caches(
+    return dedup.keep_caches(
         out.select("pos", "src", "k").orderBy("pos"), out
     )
 
@@ -113,7 +113,7 @@ def q58_hstack(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.select("c_custkey", "c_mktsegment")
     b = c.select("c_acctbal", "c_name")
     out = toolbox.hstack(a, b, ["c_custkey"], ["c_acctbal", "c_name"])
-    return dedup._attach_caches(out.orderBy("c_custkey"), out)
+    return dedup.keep_caches(out.orderBy("c_custkey"), out)
 
 
 def q59_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +122,7 @@ def q59_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     window)."""
     c = table(spark, sf_dir, "customer").select("c_custkey")
     out = toolbox.with_row_index(c, ["c_custkey"], "idx")
-    return dedup._attach_caches(out.orderBy("c_custkey"), out)
+    return dedup.keep_caches(out.orderBy("c_custkey"), out)
 
 
 def q132_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -221,7 +221,7 @@ def _read_fastq_wholetext(spark: SparkSession, path) -> DataFrame:
 def read_fastq_ranged(
     spark: SparkSession,
     files: "list[str]",
-    chunk_bytes: int = FASTQ_SPLIT_BYTES,
+    chunk_bytes: int = FASTQ_CHUNK_BYTES,
 ) -> DataFrame:
     """Byte-range splittable FASTQ read — the classic Hadoop
     FASTQ-splitter (cf. Hadoop-BAM FastqInputFormat): each file is cut
@@ -2236,6 +2236,7 @@ def write_pdb_seqres(
     def job(tmp):
         def _write(batches):
             import os as _os
+            import uuid
 
             import pandas as pd
 
@@ -2282,7 +2283,14 @@ def write_pdb_seqres(
                             f"SEQRES {ser:>3} A {len(res3):>4}  {row}"
                         )
                     lines.append("END")
-                    scratch = _os.path.join(tmp, f".{name.lower()}.ent")
+                    # per-ATTEMPT scratch name: a zombie/retried attempt
+                    # writing the same record must not interleave into
+                    # one open scratch file — each attempt writes its own
+                    # and the atomic rename makes the last COMPLETE
+                    # attempt win (identical content either way)
+                    scratch = _os.path.join(
+                        tmp, f".{name.lower()}.{uuid.uuid4().hex}.ent"
+                    )
                     with open(scratch, "w", encoding="utf-8") as fh:
                         fh.write("\n".join(lines) + "\n")
                     _os.rename(
@@ -2407,6 +2415,7 @@ def write_nib(
         def _write(batches):
             import os as _os
             import struct
+            import uuid
 
             import pandas as pd
 
@@ -2441,7 +2450,11 @@ def write_nib(
                         (codes[j] << 4) | codes[j + 1]
                         for j in range(0, len(codes), 2)
                     )
-                    scratch = _os.path.join(tmp, f".{name}.nib")
+                    # per-ATTEMPT scratch (see write_pdb_seqres): zombie
+                    # attempts must not interleave into one open file
+                    scratch = _os.path.join(
+                        tmp, f".{name}.{uuid.uuid4().hex}.nib"
+                    )
                     with open(scratch, "wb") as fh:
                         fh.write(struct.pack("<II", _NIB_MAGIC, len(seq)))
                         fh.write(body)
@@ -2592,6 +2605,12 @@ def write_seqxml(
                         "write_seqxml: sequences cannot be empty or contain "
                         "whitespace (the reader joins split sequence text): "
                         f"{bad[:3]}"
+                    )
+                if any(not n for n, _, _ in rows):
+                    raise ValueError(
+                        "write_seqxml: ids cannot be empty — read_seqxml "
+                        "rejects an <entry> without an id, so the written "
+                        "part file would be unreadable"
                     )
                 pid = TaskContext.get().partitionId()
                 base = f"part-{pid:05d}-{uuid.uuid4().hex}.xml"

@@ -231,6 +231,11 @@ def test_object_store_semantics_switch(monkeypatch):
     assert not publish.object_store_semantics("hdfs://nn:8020/tbl")
     monkeypatch.setenv("FIREWORKS_OBJECT_STORE", "1")
     assert publish.object_store_semantics("/tmp/tbl")  # fuse-mounted store
+    # review r12: an EXPLICIT rename-capable scheme keeps the
+    # scratch+rename guard even under the env switch — the switch is for
+    # scheme-less mount paths only
+    assert not publish.object_store_semantics("file:///tmp/tbl")
+    assert not publish.object_store_semantics("hdfs://nn:8020/tbl")
 
 
 def test_manifest_protocol_rename_free_under_object_store(
