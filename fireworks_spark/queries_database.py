@@ -776,6 +776,52 @@ def q190_twobit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q191_uniprot_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniProtKB-XML source end-to-end (BioSeqPipe filetype=
+    'uniprot-xml'): accessions, entry names, recommendedName
+    descriptions (XML-hostile: '<' '&' '\"' present) and sequences
+    synthesized from documents, one namespaced document per partition,
+    re-read with the namespace-agnostic file-parallel parse."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_uniprot_xml, write_uniprot_xml
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.concat(F.lit("P"), F.col("doc_id").cast("string")).alias("ids"),
+        F.concat(F.lit("D"), F.col("doc_id").cast("string"),
+                 F.lit("_HUMAN")).alias("names"),
+        F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
+        F.concat(
+            F.lit('protein <'), F.col("doc_id").cast("string"),
+            F.lit('> & "x"'),
+        ).alias("descriptions"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_up_")
+    path = f"{tmp}/up"
+    try:
+        write_uniprot_xml(
+            src.repartition(8), path, name_col="names",
+            desc_col="descriptions",
+        )
+        back = read_uniprot_xml(spark, path)
+        return (
+            back.select(
+                F.substring(F.col("ids"), 2, 100).cast("long").alias(
+                    "doc_id"
+                ),
+                F.col("names").alias("nm"),
+                F.col("sequences").alias("seq"),
+                F.col("descriptions").alias("descr"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FASTQ source end-to-end: 4-line records synthesized from
     documents (sequence = upper md5, quality = the lowercase md5 — which
@@ -1282,6 +1328,7 @@ DATABASE_QUERIES = {
     "q188_nib_roundtrip": q188_nib_roundtrip,
     "q189_seqxml_roundtrip": q189_seqxml_roundtrip,
     "q190_twobit_roundtrip": q190_twobit_roundtrip,
+    "q191_uniprot_xml_roundtrip": q191_uniprot_xml_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
@@ -1418,6 +1465,12 @@ DATABASE_ORACLE = {
     "q190_twobit_roundtrip": (
         "SELECT doc_id, translate(md5(text), '0123456789abcdef', "
         "'ACGTNacgtnACGTNa') AS seq "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q191_uniprot_xml_roundtrip": (
+        "SELECT doc_id, 'D' || doc_id::VARCHAR || '_HUMAN' AS nm, "
+        "upper(md5(text)) AS seq, "
+        "'protein <' || doc_id::VARCHAR || '> & \"x\"' AS descr "
         "FROM documents ORDER BY doc_id"
     ),
     "q122_fastq_roundtrip": (

@@ -2642,6 +2642,213 @@ def write_seqxml(
     _publish_alignment_dir(job, path)
 
 
+def _localname(tag) -> str:
+    """Strip the XML namespace from an ElementTree tag ('{ns}entry' ->
+    'entry'); non-string tags (comments/PIs) map to ''."""
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+
+def _parse_uniprot_xml(text: str) -> list:
+    """UniProtKB XML (Bio.SeqIO filetype='uniprot-xml', schema
+    uniprot.org/docs/uniprot.xsd): ``<entry>`` elements under the
+    namespaced ``<uniprot>`` root. Per entry — id = FIRST ``<accession>``
+    (SeqIO's UniprotIterator convention), name = ``<name>``, description
+    = the protein recommendedName/submittedName ``<fullName>``, dbxrefs =
+    ``<dbReference type=.. id=..>`` as 'type:id', sequence = the
+    ``<sequence>`` text with whitespace stripped. Namespace-agnostic
+    (matches on local names), fails closed with ValueError. Returns
+    ``[(id, name, description, sequence, [dbxref, ...]), ...]``."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as exc:
+        raise ValueError(
+            f"read_uniprot_xml: malformed XML: {exc}"
+        ) from None
+    if _localname(root.tag) != "uniprot":
+        raise ValueError(
+            f"read_uniprot_xml: root element is {root.tag!r}, expected "
+            "'uniprot'"
+        )
+    recs: list = []
+    for entry in root:
+        if _localname(entry.tag) != "entry":
+            continue
+        acc, name, desc, seq, refs = None, "", "", None, []
+        for child in entry:
+            t = _localname(child.tag)
+            if t == "accession" and acc is None:
+                acc = (child.text or "").strip()
+            elif t == "name" and not name:
+                name = (child.text or "").strip()
+            elif t == "protein" and not desc:
+                # recommendedName (reviewed) or submittedName (TrEMBL
+                # unreviewed) -> fullName, first one wins
+                for rn in child:
+                    if _localname(rn.tag) in (
+                        "recommendedName",
+                        "submittedName",
+                    ):
+                        for fn in rn:
+                            if _localname(fn.tag) == "fullName":
+                                desc = (fn.text or "").strip()
+                                break
+                    if desc:
+                        break
+            elif t == "dbReference":
+                refs.append(
+                    f"{child.get('type', '')}:{child.get('id', '')}"
+                )
+            elif t == "sequence":
+                seq = "".join((child.text or "").split())
+        if not acc:
+            raise ValueError(
+                "read_uniprot_xml: <entry> without an <accession>"
+            )
+        if not seq:
+            raise ValueError(
+                f"read_uniprot_xml: entry {acc!r} has no <sequence>"
+            )
+        recs.append((acc, name or acc, desc, seq, refs))
+    return recs
+
+
+def read_uniprot_xml(spark: SparkSession, path: str) -> DataFrame:
+    """UniProtKB XML records (Bio.SeqIO filetype='uniprot-xml',
+    reference BioSeqPipe pipes.py:33): file-parallel parse surfacing the
+    Message columns — accession/name/fullName/dbReferences/sequence.
+    This is full read parity with SeqIO's UniprotIterator for the
+    columns the reference Message carries (annotations beyond them —
+    features, comments, evidence — are metadata outside the Message
+    schema)."""
+    files = _source_files(path, "UniProt XML")
+
+    def _read(batches):
+        import pandas as pd
+
+        for b in batches:
+            for f in b["f"]:
+                with open(f, encoding="utf-8") as fh:
+                    recs = _parse_uniprot_xml(fh.read())
+                yield pd.DataFrame(
+                    {
+                        "ids": [a for a, _, _, _, _ in recs],
+                        "names": [n for _, n, _, _, _ in recs],
+                        "descriptions": [d for _, _, d, _, _ in recs],
+                        "sequences": [s for _, _, _, s, _ in recs],
+                        "dbxrefs": [r for _, _, _, _, r in recs],
+                    }
+                )
+
+    paths = spark.createDataFrame([(f,) for f in files], "f string")
+    return paths.repartition(len(files)).mapInPandas(
+        _read,
+        "ids string, names string, descriptions string, "
+        "sequences string, dbxrefs array<string>",
+    )
+
+
+def write_uniprot_xml(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+    name_col: "str | None" = None,
+    desc_col: "str | None" = None,
+) -> None:
+    """Distributed UniProtKB-XML write of the SUBSET the reader
+    surfaces: accession, name, recommendedName/fullName, sequence (no
+    features/comments — Bio.SeqIO itself has no uniprot-xml writer, so
+    this subset, which roundtrips through read_uniprot_xml exactly, is
+    the useful interchange form). One namespaced document per partition;
+    ids/names/descriptions are XML-escaped; sequences must be non-empty
+    and whitespace-free. Publication is write-then-swap
+    (:func:`_publish_alignment_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
+            from xml.sax.saxutils import escape
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                names = (
+                    b[name_col].astype(str)
+                    if name_col is not None
+                    else b[id_col].astype(str)
+                )
+                descs = (
+                    b[desc_col].astype(str)
+                    if desc_col is not None
+                    else [""] * len(b)
+                )
+                rows += list(
+                    zip(
+                        b[id_col].astype(str),
+                        names,
+                        b[seq_col].astype(str),
+                        descs,
+                    )
+                )
+            if rows:
+                bad = [
+                    a
+                    for a, _, s, _ in rows
+                    if not a or not s or any(c.isspace() for c in s)
+                ]
+                if bad:
+                    raise ValueError(
+                        "write_uniprot_xml: accessions cannot be empty and "
+                        "sequences cannot be empty or contain whitespace "
+                        f"(the reader strips/rejects them): {bad[:3]}"
+                    )
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.xml"
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    fh.write(
+                        '<?xml version="1.0" encoding="UTF-8"?>\n'
+                        '<uniprot xmlns="http://uniprot.org/uniprot">\n'
+                    )
+                    for acc, nm, seq, desc in rows:
+                        fh.write("  <entry>\n")
+                        fh.write(
+                            f"    <accession>{escape(acc)}</accession>\n"
+                        )
+                        fh.write(f"    <name>{escape(nm)}</name>\n")
+                        if desc:
+                            fh.write(
+                                "    <protein><recommendedName><fullName>"
+                                f"{escape(desc)}"
+                                "</fullName></recommendedName></protein>\n"
+                            )
+                        fh.write(
+                            f'    <sequence length="{len(seq)}">'
+                            f"{escape(seq)}</sequence>\n"
+                        )
+                        fh.write("  </entry>\n")
+                    fh.write("</uniprot>\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        cols = [id_col, seq_col]
+        if name_col:
+            cols.append(name_col)
+        if desc_col:
+            cols.append(desc_col)
+        return [
+            r["n"]
+            for r in df.select(*cols).mapInPandas(_write, "n long").collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
 _TWOBIT_MAGIC = 0x1A412743
 _TWOBIT_DECODE = "TCAG"
 _TWOBIT_ENCODE = {c: i for i, c in enumerate(_TWOBIT_DECODE)}
@@ -2903,12 +3110,12 @@ def read_bioseq(
     and -illumina quality-offset variants), qual, pir, genbank, embl,
     imgt, swiss, tab, clustal, phylip (+ phylip-relaxed and
     phylip-sequential), sff, abi, stockholm, nexus, ace, ig, phd,
-    pdb-seqres, pdb-atom, nib, seqxml, twobit — the full surface the
-    reference's BioSeqPipe callers exercise plus the most-used
-    interchange formats beyond it; the remaining SeqIO names raise with
-    this message (uniprot-xml's deep schema until someone needs it;
-    gck/snapgene/xdna are proprietary vendor formats without public
-    specs)."""
+    pdb-seqres, pdb-atom, nib, seqxml, twobit, uniprot-xml — the full
+    surface the reference's BioSeqPipe callers exercise plus the
+    most-used interchange formats beyond it; the remaining SeqIO names
+    raise with this message (gck/snapgene/xdna are proprietary vendor
+    formats without public specs; cif-seqres/cif-atom need an mmCIF
+    dictionary parse; abi-trim needs Mott trimming)."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -2958,6 +3165,8 @@ def read_bioseq(
         return read_seqxml(spark, path)
     if ft == "twobit":
         return read_twobit(spark, path)
+    if ft == "uniprot-xml":
+        return read_uniprot_xml(spark, path)
     if ft == "imgt":
         # IMGT/LIGM is the EMBL flat-file format with an extended feature
         # table; the record frame, ID/DE lines and sequence block are
@@ -2974,7 +3183,10 @@ def read_bioseq(
         f"filetype {filetype!r}: only fasta, fasta-2line, "
         "fastq(-solexa/-illumina), qual, pir, genbank, embl, imgt, swiss, "
         "tab, clustal, phylip(-relaxed/-sequential), sff, abi, stockholm, "
-        "nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, seqxml and "
-        "twobit have distributed parses (reference BioSeqPipe accepts "
-        "any Bio.SeqIO format)"
+        "nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, seqxml, twobit "
+        "and uniprot-xml have distributed parses (reference BioSeqPipe "
+        "accepts any Bio.SeqIO format; the remaining names are "
+        "proprietary vendor formats without public specs — gck, "
+        "snapgene, xdna — or need a structure library: cif-seqres/"
+        "cif-atom, abi-trim's Mott trimming)"
     )

@@ -1465,3 +1465,67 @@ def test_pdb_idcode_base36_no_truncation(spark, tmp_path):
     back = src.read_pdb_seqres(spark, str(out)).collect()
     got = int(back[0].ids.split(":")[0], 36)
     assert got == 10088
+
+
+def test_uniprot_xml_parse_and_roundtrip(spark, tmp_path):
+    """UniProtKB XML: first accession = id, <name>, recommendedName/
+    fullName -> description, dbReferences -> dbxrefs, namespaced tags
+    handled; the subset writer round-trips with XML-hostile text."""
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<uniprot xmlns="http://uniprot.org/uniprot">\n'
+        '  <entry dataset="Swiss-Prot">\n'
+        "    <accession>P12345</accession>\n"
+        "    <accession>Q99999</accession>\n"
+        "    <name>TEST_HUMAN</name>\n"
+        "    <protein><recommendedName><fullName>Test protein"
+        "</fullName></recommendedName></protein>\n"
+        '    <dbReference type="PDB" id="1ABC"/>\n'
+        '    <dbReference type="GO" id="GO:0005737"/>\n'
+        '    <sequence length="5">MKVLA</sequence>\n'
+        "  </entry>\n"
+        "  <entry><accession>A0A001</accession>\n"
+        "    <protein><submittedName><fullName>TrEMBL thing</fullName>"
+        "</submittedName></protein>\n"
+        "    <sequence>GG</sequence></entry>\n"
+        "</uniprot>\n"
+    )
+    f = tmp_path / "up.xml"
+    f.write_text(xml)
+    rows = {
+        r.ids: r
+        for r in read_bioseq(spark, str(f), "uniprot-xml").collect()
+    }
+    assert rows["P12345"].names == "TEST_HUMAN"
+    assert rows["P12345"].descriptions == "Test protein"
+    assert rows["P12345"].sequences == "MKVLA"
+    assert rows["P12345"].dbxrefs == ["PDB:1ABC", "GO:GO:0005737"]
+    assert rows["A0A001"].descriptions == "TrEMBL thing"  # submittedName
+
+    df = spark.createDataFrame(
+        [("P1", "N&1", "MKV", 'd <"x"> &'), ("P2", "N2", "LA", "")],
+        "ids string, names string, sequences string, descriptions string",
+    )
+    out = tmp_path / "up_out"
+    src.write_uniprot_xml(
+        df.repartition(2), str(out), name_col="names",
+        desc_col="descriptions",
+    )
+    back = {
+        r.ids: r for r in src.read_uniprot_xml(spark, str(out)).collect()
+    }
+    assert back["P1"].names == "N&1"
+    assert back["P1"].descriptions == 'd <"x"> &'
+    assert back["P2"].sequences == "LA" and back["P2"].descriptions == ""
+
+    # missing sequence / accession fail loudly
+    (tmp_path / "noseq.xml").write_text(
+        '<uniprot><entry><accession>X</accession></entry></uniprot>'
+    )
+    with pytest.raises(Exception, match="no <sequence>"):
+        src.read_uniprot_xml(spark, str(tmp_path / "noseq.xml")).collect()
