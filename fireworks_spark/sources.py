@@ -1640,11 +1640,41 @@ def _parse_abif(buf: bytes, fallback_name: str) -> tuple:
     return name, bases, quals
 
 
-def read_abi(spark: SparkSession, path: str) -> DataFrame:
+def mott_trim(seq: str, quals: "list[int]", cutoff: float = 0.05):
+    """Richard Mott's quality trimming (the phred/abi-trim algorithm, as
+    published in the phred documentation and used by Bio.SeqIO's
+    'abi-trim'): per-base score = cutoff - error_probability
+    (= cutoff - 10^(-Q/10)), running sum clipped at zero; the trimmed
+    read is [first positive-sum base, argmax of the running sum]. Reads
+    whose scores never go positive trim to empty. Returns
+    ``(trimmed_seq, trimmed_quals)``."""
+    if len(seq) != len(quals):
+        raise ValueError(
+            f"mott_trim: {len(seq)} bases but {len(quals)} quality scores"
+        )
+    scores = [cutoff - 10 ** (q / -10.0) for q in quals]
+    run, best, best_i, start, started = 0.0, 0.0, -1, 0, False
+    for i, s in enumerate(scores):
+        run += s
+        if run < 0:
+            run = 0.0
+            continue
+        if not started and s > 0:
+            start, started = i, True
+        if run > best:
+            best, best_i = run, i
+    if not started or best_i < start:
+        return "", []
+    return seq[start : best_i + 1], quals[start : best_i + 1]
+
+
+def read_abi(spark: SparkSession, path: str, trim: bool = False) -> DataFrame:
     """ABIF trace containers (Bio.SeqIO filetype='abi'): binary
     whole-file records, one container per task. Columns mirror
     read_fastq: ids/names/descriptions/sequences/dbxrefs + ``qualities``
-    as array<int>."""
+    as array<int>. ``trim=True`` is SeqIO's 'abi-trim': Mott quality
+    trimming (:func:`mott_trim`, cutoff 0.05) applied per read in the
+    task."""
     import glob as _glob
     import os as _os
 
@@ -1672,6 +1702,8 @@ def read_abi(spark: SparkSession, path: str) -> DataFrame:
                         fh.read(),
                         _os2.path.splitext(_os2.path.basename(f))[0],
                     )
+                if trim:
+                    bases, quals = mott_trim(bases, quals)
                 yield pd.DataFrame(
                     {
                         "ids": [name],
@@ -3109,13 +3141,13 @@ def read_bioseq(
     syntactic subset the same record scan parses), fastq (+ the -solexa
     and -illumina quality-offset variants), qual, pir, genbank, embl,
     imgt, swiss, tab, clustal, phylip (+ phylip-relaxed and
-    phylip-sequential), sff, abi, stockholm, nexus, ace, ig, phd,
-    pdb-seqres, pdb-atom, nib, seqxml, twobit, uniprot-xml — the full
-    surface the reference's BioSeqPipe callers exercise plus the
-    most-used interchange formats beyond it; the remaining SeqIO names
-    raise with this message (gck/snapgene/xdna are proprietary vendor
-    formats without public specs; cif-seqres/cif-atom need an mmCIF
-    dictionary parse; abi-trim needs Mott trimming)."""
+    phylip-sequential), sff, abi (+ abi-trim: Mott quality trimming),
+    stockholm, nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, seqxml,
+    twobit, uniprot-xml — the full surface the reference's BioSeqPipe
+    callers exercise plus the most-used interchange formats beyond it;
+    the remaining SeqIO names raise with this message (gck/snapgene/xdna
+    are proprietary vendor formats without public specs; cif-seqres/
+    cif-atom need an mmCIF dictionary parse)."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -3145,6 +3177,8 @@ def read_bioseq(
         return read_sff(spark, path)
     if ft == "abi":
         return read_abi(spark, path)
+    if ft == "abi-trim":
+        return read_abi(spark, path, trim=True)
     if ft == "stockholm":
         return read_stockholm(spark, path)
     if ft == "nexus":
@@ -3182,11 +3216,11 @@ def read_bioseq(
     raise NotImplementedError(
         f"filetype {filetype!r}: only fasta, fasta-2line, "
         "fastq(-solexa/-illumina), qual, pir, genbank, embl, imgt, swiss, "
-        "tab, clustal, phylip(-relaxed/-sequential), sff, abi, stockholm, "
-        "nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, seqxml, twobit "
-        "and uniprot-xml have distributed parses (reference BioSeqPipe "
-        "accepts any Bio.SeqIO format; the remaining names are "
-        "proprietary vendor formats without public specs — gck, "
-        "snapgene, xdna — or need a structure library: cif-seqres/"
-        "cif-atom, abi-trim's Mott trimming)"
+        "tab, clustal, phylip(-relaxed/-sequential), sff, abi(-trim), "
+        "stockholm, nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, "
+        "seqxml, twobit and uniprot-xml have distributed parses "
+        "(reference BioSeqPipe accepts any Bio.SeqIO format; the "
+        "remaining names are proprietary vendor formats without public "
+        "specs — gck, snapgene, xdna — or need an mmCIF dictionary "
+        "parse: cif-seqres/cif-atom)"
     )

@@ -1529,3 +1529,60 @@ def test_uniprot_xml_parse_and_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no <sequence>"):
         src.read_uniprot_xml(spark, str(tmp_path / "noseq.xml")).collect()
+
+
+def test_mott_trim_and_abi_trim_dispatch(spark, tmp_path):
+    """Mott quality trimming (SeqIO 'abi-trim'): low-quality flanks drop,
+    the high-quality core survives, an all-junk read trims to empty, and
+    the dispatch alias applies it to ABIF reads."""
+    import struct
+
+    import pytest
+
+    from fireworks_spark.sources import mott_trim, read_bioseq
+
+    # hand-checkable: Q2 flanks (error 0.63 >> cutoff) around a Q40 core
+    seq = "acGTACGTta"
+    quals = [2, 2, 40, 40, 40, 40, 40, 40, 2, 2]
+    t_seq, t_quals = mott_trim(seq, quals)
+    assert t_seq == "GTACGT" and t_quals == [40] * 6
+    # all-junk read trims to empty; perfect read keeps everything
+    assert mott_trim("acgt", [2, 2, 2, 2]) == ("", [])
+    assert mott_trim("ACGT", [40, 40, 40, 40]) == ("ACGT", [40, 40, 40, 40])
+    with pytest.raises(ValueError, match="quality scores"):
+        mott_trim("AC", [40])
+
+    # the dispatch alias: same ABIF container as the roundtrip test, Q2
+    # flanks around a high-quality core
+    def ent(name, num, etype, esize, payload, data_pool):
+        if len(payload) <= 4:
+            return (name, num, etype, esize, payload,
+                    payload + b"\x00" * (4 - len(payload)), None)
+        off = sum(len(d) for d in data_pool)
+        data_pool.append(payload)
+        return (name, num, etype, esize, payload, None, off)
+
+    bases = b"TTACGTACGTTT"
+    quals_b = bytes([2, 2, 40, 40, 40, 40, 40, 40, 40, 40, 2, 2])
+    entries, pool = [], []
+    entries.append(ent(b"PBAS", 1, 2, 1, bases, pool))
+    entries.append(ent(b"PCON", 1, 1, 1, quals_b, pool))
+    dir_off = 6 + 28
+    data_off = dir_off + 28 * len(entries)
+    raw = bytearray(b"ABIF" + struct.pack(">h", 101))
+    raw += struct.pack(">4sihhiiii", b"tdir", 1, 1023, 28,
+                       len(entries), 28 * len(entries), dir_off, 0)
+    for name, num, etype, esize, payload, doff, off in entries:
+        if doff is None:
+            doff = struct.pack(">i", data_off + off)
+        raw += (struct.pack(">4sihhii", name, num, etype, esize,
+                            len(payload) // esize, len(payload))
+                + doff + b"\x00\x00\x00\x00")
+    raw += b"".join(pool)
+    f = tmp_path / "trim.ab1"
+    f.write_bytes(bytes(raw))
+    (full,) = read_bioseq(spark, str(f), "abi").collect()
+    (trimmed,) = read_bioseq(spark, str(f), "abi-trim").collect()
+    assert full.sequences == "TTACGTACGTTT"
+    assert trimmed.sequences == "ACGTACGT"
+    assert list(trimmed.qualities) == [40] * 8
