@@ -822,6 +822,46 @@ def q191_uniprot_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q192_cif_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mmCIF declared-sequence source end-to-end (BioSeqPipe
+    filetype='cif-seqres'): the FULL documents table — mmCIF chain ids
+    are arbitrary strings, so each partition writes one multi-chain
+    data block (no 4-char idCode subset like q187) — hex md5 translated
+    onto 16 amino-acid letters, re-read via the CIF tokenizer +
+    _entity_poly_seq x _struct_asym join."""
+    import shutil
+    import tempfile
+
+    from fireworks_spark.sources import read_cif_seqres, write_cif_seqres
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.concat(F.lit("D"), F.col("doc_id").cast("string")).alias("ids"),
+        F.translate(
+            F.upper(F.md5(F.col("text").cast("binary"))),
+            "0123456789B",
+            "GHIKLMNPQRS",
+        ).alias("sequences"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_cif_")
+    path = f"{tmp}/cif"
+    try:
+        write_cif_seqres(src.repartition(8), path)
+        back = read_cif_seqres(spark, path)
+        return (
+            back.select(
+                F.substring(
+                    F.substring_index("ids", ":", -1), 2, 100
+                ).cast("long").alias("doc_id"),
+                F.col("sequences").alias("seq"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FASTQ source end-to-end: 4-line records synthesized from
     documents (sequence = upper md5, quality = the lowercase md5 — which
@@ -1329,6 +1369,7 @@ DATABASE_QUERIES = {
     "q189_seqxml_roundtrip": q189_seqxml_roundtrip,
     "q190_twobit_roundtrip": q190_twobit_roundtrip,
     "q191_uniprot_xml_roundtrip": q191_uniprot_xml_roundtrip,
+    "q192_cif_seqres_roundtrip": q192_cif_seqres_roundtrip,
     "q122_fastq_roundtrip": q122_fastq_roundtrip,
     "q114_feather_roundtrip": q114_feather_roundtrip,
     "q116_stata_roundtrip": q116_stata_roundtrip,
@@ -1471,6 +1512,11 @@ DATABASE_ORACLE = {
         "SELECT doc_id, 'D' || doc_id::VARCHAR || '_HUMAN' AS nm, "
         "upper(md5(text)) AS seq, "
         "'protein <' || doc_id::VARCHAR || '> & \"x\"' AS descr "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "q192_cif_seqres_roundtrip": (
+        "SELECT doc_id, translate(upper(md5(text)), '0123456789B', "
+        "'GHIKLMNPQRS') AS seq "
         "FROM documents ORDER BY doc_id"
     ),
     "q122_fastq_roundtrip": (

@@ -861,7 +861,8 @@ def _aln_part_pid(name: str):
     import re
 
     m = re.fullmatch(
-        r"part-(\d{5})-[0-9a-f]{32}\.(?:phy|aln|sto|nex|ig|phd|xml|2bit)\Z",
+        r"part-(\d{5})-[0-9a-f]{32}"
+        r"\.(?:phy|aln|sto|nex|ig|phd|xml|2bit|cif)\Z",
         name,
     )
     return m.group(1) if m else None
@@ -2209,6 +2210,292 @@ def read_pdb_atom(spark: SparkSession, path: str) -> DataFrame:
     return _read_pdb(spark, path, _parse_pdb_atom)
 
 
+def _cif_tokens(text: str):
+    """Tokenize CIF 1.1 (the mmCIF syntax, per the published IUCr spec):
+    whitespace-separated values, '#' comments, single/double-quoted
+    strings (a closing quote counts only before whitespace/EOL), and
+    ';'-delimited multiline text fields. Yields value/tag tokens."""
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith(";"):
+            val = [line[1:]]
+            i += 1
+            while i < len(lines) and not lines[i].startswith(";"):
+                val.append(lines[i])
+                i += 1
+            if i >= len(lines):
+                raise ValueError("CIF: unterminated ';' text field")
+            i += 1  # consume the closing ';' line
+            yield "\n".join(val)
+            continue
+        j, n = 0, len(line)
+        while j < n:
+            c = line[j]
+            if c in " \t":
+                j += 1
+                continue
+            if c == "#":
+                break
+            if c in "'\"":
+                k = j + 1
+                buf = []
+                while True:
+                    e = line.find(c, k)
+                    if e == -1:
+                        raise ValueError(
+                            f"CIF: unterminated quote in {line[:40]!r}"
+                        )
+                    if e + 1 >= n or line[e + 1] in " \t":
+                        buf.append(line[k:e])
+                        break
+                    buf.append(line[k : e + 1])
+                    k = e + 1
+                yield "".join(buf)
+                j = e + 1
+            else:
+                e = j
+                while e < n and line[e] not in " \t":
+                    e += 1
+                yield line[j:e]
+                j = e
+        i += 1
+
+
+def _parse_cif(text: str) -> tuple:
+    """One mmCIF data block -> (block_name, items, loops): ``items`` maps
+    lowercased '_category.item' tags to single values, ``loops`` is a
+    list of (headers, rows). Fails closed with ValueError (ragged loops,
+    tags without values, stray tokens)."""
+    toks = list(_cif_tokens(text))
+    block = ""
+    items: dict = {}
+    loops: list = []
+    idx = 0
+    while idx < len(toks):
+        t = toks[idx]
+        low = t.lower()
+        if low.startswith("data_"):
+            block = t[5:]
+            idx += 1
+            continue
+        if low == "loop_":
+            idx += 1
+            headers = []
+            while idx < len(toks) and toks[idx].startswith("_"):
+                headers.append(toks[idx].lower())
+                idx += 1
+            vals = []
+            while idx < len(toks):
+                tl = toks[idx].lower()
+                if (
+                    toks[idx].startswith("_")
+                    or tl in ("loop_", "stop_")
+                    or tl.startswith("data_")
+                ):
+                    break
+                vals.append(toks[idx])
+                idx += 1
+            if not headers or (vals and len(vals) % len(headers)):
+                raise ValueError(
+                    "CIF: loop_ values are not a multiple of its "
+                    f"{len(headers)} headers"
+                )
+            loops.append(
+                (
+                    headers,
+                    [
+                        vals[k : k + len(headers)]
+                        for k in range(0, len(vals), len(headers))
+                    ],
+                )
+            )
+            continue
+        if t.startswith("_"):
+            if idx + 1 >= len(toks):
+                raise ValueError(f"CIF: tag {t} without a value")
+            items[low] = toks[idx + 1]
+            idx += 2
+            continue
+        raise ValueError(f"CIF: unexpected token {t[:30]!r}")
+    return block, items, loops
+
+
+def _cif_loop(loops: list, prefix: str) -> "list[dict]":
+    """Rows of the loop whose headers share ``prefix`` ('_cat.'), as
+    dicts keyed by the bare item name; [] when the category is absent."""
+    for headers, rows in loops:
+        if headers and all(h.startswith(prefix) for h in headers):
+            names = [h[len(prefix):] for h in headers]
+            return [dict(zip(names, r)) for r in rows]
+    return []
+
+
+def _parse_cif_seqres(text: str) -> tuple:
+    """mmCIF declared sequences (Bio.SeqIO filetype='cif-seqres'): the
+    ``_entity_poly_seq`` category (entity_id, num, mon_id — one row per
+    residue) mapped to chains via ``_struct_asym`` (id, entity_id),
+    residues through the 3-to-1 map. Returns
+    ``(entry_id, [(chain, one_letter_seq)])`` in _struct_asym order."""
+    block, items, loops = _parse_cif(text)
+    entry = items.get("_entry.id", block) or block
+    ent_seq: dict = {}
+    for row in _cif_loop(loops, "_entity_poly_seq."):
+        eid = row.get("entity_id")
+        mon = row.get("mon_id", "")
+        if eid is None or not mon:
+            raise ValueError(
+                "cif-seqres: _entity_poly_seq row missing entity_id/mon_id"
+            )
+        ent_seq.setdefault(eid, []).append(_AA_3TO1.get(mon.upper(), "X"))
+    asym = _cif_loop(loops, "_struct_asym.")
+    if not asym and "_struct_asym.id" in items:
+        asym = [
+            {
+                "id": items["_struct_asym.id"],
+                "entity_id": items.get("_struct_asym.entity_id", ""),
+            }
+        ]
+    chains = []
+    for row in asym:
+        eid = row.get("entity_id")
+        if eid in ent_seq:
+            chains.append((row.get("id", ""), "".join(ent_seq[eid])))
+    return entry, chains
+
+
+def _parse_cif_atom(text: str) -> tuple:
+    """mmCIF resolved sequences (Bio.SeqIO filetype='cif-atom'): CA rows
+    of the ``_atom_site`` loop (group_PDB ATOM, label_atom_id CA, altloc
+    '.' or 'A'), chained on auth_asym_id, deduped per chain on
+    (auth_seq_id, insertion code). Returns
+    ``(entry_id, [(chain, one_letter_seq)])``."""
+    block, items, loops = _parse_cif(text)
+    entry = items.get("_entry.id", block) or block
+    order: list = []
+    seqs: dict = {}
+    last: dict = {}
+    for row in _cif_loop(loops, "_atom_site."):
+        if row.get("group_pdb", row.get("group_PDB", "")) != "ATOM":
+            continue
+        if row.get("label_atom_id") != "CA":
+            continue
+        if row.get("label_alt_id", ".") not in (".", "A", "?"):
+            continue
+        chain = row.get("auth_asym_id") or row.get("label_asym_id", "")
+        key = (row.get("auth_seq_id", ""), row.get("pdbx_pdb_ins_code", "."))
+        if last.get(chain) == key:
+            continue
+        last[chain] = key
+        if chain not in seqs:
+            order.append(chain)
+            seqs[chain] = []
+        seqs[chain].append(
+            _AA_3TO1.get(row.get("label_comp_id", "").upper(), "X")
+        )
+    return entry, [(c, "".join(seqs[c])) for c in order]
+
+
+def read_cif_seqres(spark: SparkSession, path: str) -> DataFrame:
+    """mmCIF declared sequences (Bio.SeqIO filetype='cif-seqres'): one
+    row per chain from _entity_poly_seq x _struct_asym; ids
+    '<entry>:<chain>' (mmCIF chains may be multi-character)."""
+    return _read_pdb(spark, path, _parse_cif_seqres)
+
+
+def read_cif_atom(spark: SparkSession, path: str) -> DataFrame:
+    """mmCIF CA-derived sequences (Bio.SeqIO filetype='cif-atom'): the
+    residues actually resolved in _atom_site, which can be a subset of
+    the declared _entity_poly_seq."""
+    return _read_pdb(spark, path, _parse_cif_atom)
+
+
+def write_cif_seqres(
+    df: DataFrame,
+    path: str,
+    id_col: str = "ids",
+    seq_col: str = "sequences",
+    entry_prefix: str = "FW",
+) -> None:
+    """Distributed mmCIF write, declared sequences only: each PARTITION
+    becomes one multi-chain ``part-*.cif`` data block (mmCIF chain ids
+    are arbitrary strings, so — unlike write_pdb_seqres's one-entry-per-
+    record 4-column idCode ceiling — the whole table fits in
+    per-partition files). Each row is one entity+chain: the row id is
+    the chain id (must be non-empty, whitespace/quote-free), sequences
+    one-letter amino-acid codes. Publication is write-then-swap
+    (:func:`_publish_alignment_dir`)."""
+
+    def job(tmp):
+        def _write(batches):
+            import os as _os
+            import uuid
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for b in batches:
+                rows += list(
+                    zip(b[id_col].astype(str), b[seq_col].astype(str))
+                )
+            if rows:
+                for name, seq in rows:
+                    low = name.lower()
+                    if (
+                        not name
+                        or any(
+                            c.isspace() or c in "'\"#;$[]" for c in name
+                        )
+                        or name.startswith("_")
+                        or name in (".", "?")
+                        or low in ("loop_", "stop_", "global_")
+                        or low.startswith("data_")
+                    ):
+                        raise ValueError(
+                            "write_cif_seqres: chain ids are written as "
+                            "unquoted CIF values — they must be non-empty, "
+                            "free of whitespace/quotes/CIF specials, not "
+                            "start with '_', and not be a CIF keyword or "
+                            f"null symbol: {name!r}"
+                        )
+                    bad = [c for c in seq if c not in _AA_1TO3]
+                    if not seq or bad:
+                        raise ValueError(
+                            "write_cif_seqres: sequences must be non-empty "
+                            "one-letter amino-acid codes; "
+                            f"{name!r} has {bad[:5]!r}"
+                        )
+                pid = TaskContext.get().partitionId()
+                base = f"part-{pid:05d}-{uuid.uuid4().hex}.cif"
+                scratch = _os.path.join(tmp, "." + base)
+                with open(scratch, "w", encoding="utf-8") as fh:
+                    fh.write(f"data_{entry_prefix}{pid:05d}\n")
+                    fh.write(f"_entry.id {entry_prefix}{pid:05d}\n")
+                    fh.write("loop_\n_entity_poly_seq.entity_id\n"
+                             "_entity_poly_seq.num\n"
+                             "_entity_poly_seq.mon_id\n")
+                    for ent, (_, seq) in enumerate(rows, 1):
+                        for num, c in enumerate(seq, 1):
+                            fh.write(f"{ent} {num} {_AA_1TO3[c]}\n")
+                    fh.write("loop_\n_struct_asym.id\n"
+                             "_struct_asym.entity_id\n")
+                    for ent, (name, _) in enumerate(rows, 1):
+                        fh.write(f"{name} {ent}\n")
+                _os.rename(scratch, _os.path.join(tmp, base))
+            yield pd.DataFrame({"n": [len(rows)]})
+
+        return [
+            r["n"]
+            for r in df.select(id_col, seq_col)
+            .mapInPandas(_write, "n long")
+            .collect()
+        ]
+
+    _publish_alignment_dir(job, path)
+
+
 def _publish_record_dir(job, path: str) -> None:
     """Write-then-swap publication for one-file-per-RECORD writers
     (write_pdb_seqres, write_nib) — same protocol as
@@ -3142,12 +3429,12 @@ def read_bioseq(
     and -illumina quality-offset variants), qual, pir, genbank, embl,
     imgt, swiss, tab, clustal, phylip (+ phylip-relaxed and
     phylip-sequential), sff, abi (+ abi-trim: Mott quality trimming),
-    stockholm, nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, seqxml,
-    twobit, uniprot-xml — the full surface the reference's BioSeqPipe
-    callers exercise plus the most-used interchange formats beyond it;
-    the remaining SeqIO names raise with this message (gck/snapgene/xdna
-    are proprietary vendor formats without public specs; cif-seqres/
-    cif-atom need an mmCIF dictionary parse)."""
+    stockholm, nexus, ace, ig, phd, pdb-seqres, pdb-atom, cif-seqres,
+    cif-atom, nib, seqxml, twobit, uniprot-xml — the full surface the
+    reference's BioSeqPipe callers exercise plus the most-used
+    interchange formats beyond it; the only SeqIO names that raise are
+    gck/snapgene/xdna, proprietary vendor formats without public
+    specs."""
     ft = filetype.lower()
     if ft in ("fasta", "fasta-2line"):
         return read_fasta(spark, path)
@@ -3201,6 +3488,10 @@ def read_bioseq(
         return read_twobit(spark, path)
     if ft == "uniprot-xml":
         return read_uniprot_xml(spark, path)
+    if ft == "cif-seqres":
+        return read_cif_seqres(spark, path)
+    if ft == "cif-atom":
+        return read_cif_atom(spark, path)
     if ft == "imgt":
         # IMGT/LIGM is the EMBL flat-file format with an extended feature
         # table; the record frame, ID/DE lines and sequence block are
@@ -3217,10 +3508,9 @@ def read_bioseq(
         f"filetype {filetype!r}: only fasta, fasta-2line, "
         "fastq(-solexa/-illumina), qual, pir, genbank, embl, imgt, swiss, "
         "tab, clustal, phylip(-relaxed/-sequential), sff, abi(-trim), "
-        "stockholm, nexus, ace, ig, phd, pdb-seqres, pdb-atom, nib, "
-        "seqxml, twobit and uniprot-xml have distributed parses "
-        "(reference BioSeqPipe accepts any Bio.SeqIO format; the "
-        "remaining names are proprietary vendor formats without public "
-        "specs — gck, snapgene, xdna — or need an mmCIF dictionary "
-        "parse: cif-seqres/cif-atom)"
+        "stockholm, nexus, ace, ig, phd, pdb-seqres, pdb-atom, "
+        "cif-seqres, cif-atom, nib, seqxml, twobit and uniprot-xml have "
+        "distributed parses (reference BioSeqPipe accepts any Bio.SeqIO "
+        "format; the remaining names — gck, snapgene, xdna — are "
+        "proprietary vendor formats without public specs)"
     )

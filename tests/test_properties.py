@@ -568,3 +568,38 @@ def test_twobit_decode_fails_closed_on_arbitrary_bytes(buf):
                 assert set(s) <= set("TCAGNtcagn")
         except ValueError:
             pass
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_cif_parsers_fail_closed_on_arbitrary_text(text):
+    """The mmCIF tokenizer + both sequence views: parse or ValueError,
+    never a foreign exception type (executor-side contract, same as the
+    alignment and r12 record parsers)."""
+    from fireworks_spark.sources import _parse_cif_atom, _parse_cif_seqres
+
+    for parse in (_parse_cif_seqres, _parse_cif_atom):
+        try:
+            parse(text)
+        except ValueError:
+            pass
+
+
+@given(
+    st.text(
+        alphabet="_.\n '\"#;loop_datASTRMET 0123456789entity",
+        max_size=300,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cif_parsers_fail_closed_on_formatlike_text(text):
+    """Same, biased toward CIF control tokens (tags, loop_, quotes,
+    ';' text fields) so the fuzz reaches the loop/value branches."""
+    from fireworks_spark.sources import _parse_cif_atom, _parse_cif_seqres
+
+    prefix = "data_x\nloop_\n_entity_poly_seq.entity_id\n"
+    for parse in (_parse_cif_seqres, _parse_cif_atom):
+        try:
+            parse(prefix + text)
+        except ValueError:
+            pass

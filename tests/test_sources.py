@@ -1586,3 +1586,73 @@ def test_mott_trim_and_abi_trim_dispatch(spark, tmp_path):
     assert full.sequences == "TTACGTACGTTT"
     assert trimmed.sequences == "ACGTACGT"
     assert list(trimmed.qualities) == [40] * 8
+
+
+def test_cif_seqres_atom_and_roundtrip(spark, tmp_path):
+    """mmCIF: _entity_poly_seq x _struct_asym gives declared chains,
+    _atom_site CA rows give resolved chains (altLoc-deduped, HETATM
+    skipped); the multi-chain-per-partition writer roundtrips the whole
+    frame with multi-character chain ids."""
+    import pytest
+
+    from fireworks_spark import sources as src
+    from fireworks_spark.sources import read_bioseq
+
+    cif = (
+        "data_1ABC\n"
+        "_entry.id 1ABC\n"
+        "loop_\n_entity_poly_seq.entity_id\n_entity_poly_seq.num\n"
+        "_entity_poly_seq.mon_id\n"
+        "1 1 ALA\n1 2 GLY\n1 3 TRP\n2 1 MET\n2 2 LYS\n"
+        "loop_\n_struct_asym.id\n_struct_asym.entity_id\n"
+        "A 1\nB 2\n"
+        "loop_\n_atom_site.group_PDB\n_atom_site.label_atom_id\n"
+        "_atom_site.label_alt_id\n_atom_site.label_comp_id\n"
+        "_atom_site.auth_asym_id\n_atom_site.auth_seq_id\n"
+        "_atom_site.pdbx_PDB_ins_code\n"
+        "ATOM N . ALA A 1 ?\nATOM CA . ALA A 1 ?\n"
+        "ATOM CA A GLY A 2 ?\nATOM CA B GLY A 2 ?\n"
+        "ATOM CA . MET B 1 ?\nHETATM CA . HOH A 99 ?\n"
+    )
+    f = tmp_path / "x.cif"
+    f.write_text(cif)
+    seqres = {r.ids: r for r in read_bioseq(
+        spark, str(f), "cif-seqres").collect()}
+    assert seqres["1ABC:A"].sequences == "AGW"
+    assert seqres["1ABC:B"].sequences == "MK"
+    atom = {r.ids: r for r in read_bioseq(
+        spark, str(f), "cif-atom").collect()}
+    assert atom["1ABC:A"].sequences == "AG"  # TRP unresolved, altLoc once
+    assert atom["1ABC:B"].sequences == "M"
+
+    # ragged loop fails closed
+    (tmp_path / "bad.cif").write_text(
+        "data_x\nloop_\n_a.x\n_a.y\n1 2 3\n"
+    )
+    with pytest.raises(Exception, match="multiple of"):
+        src.read_cif_seqres(spark, str(tmp_path / "bad.cif")).collect()
+
+    # distributed roundtrip: multi-char chain ids, 2 partitions
+    df = spark.createDataFrame(
+        [("doc1", "ACDEFGHIKLMNPQRSTVWY"), ("doc22", "MKVLA"),
+         ("d3", "WW")],
+        "ids string, sequences string",
+    )
+    out = tmp_path / "cif_out"
+    src.write_cif_seqres(df.repartition(2), str(out))
+    back = {
+        r.ids.split(":", 1)[1]: r
+        for r in src.read_cif_seqres(spark, str(out)).collect()
+    }
+    assert back["doc1"].sequences == "ACDEFGHIKLMNPQRSTVWY"
+    assert back["doc22"].sequences == "MKVLA"
+    assert back["d3"].sequences == "WW"
+    # CIF-keyword / tag-like chain ids are rejected loudly
+    for badname in ("loop_", "_x", ".", "data_y"):
+        with pytest.raises(Exception, match="unquoted CIF"):
+            src.write_cif_seqres(
+                spark.createDataFrame(
+                    [(badname, "MK")], "ids string, sequences string"
+                ).coalesce(1),
+                str(tmp_path / "bad_out"),
+            )
