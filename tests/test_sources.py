@@ -95,12 +95,14 @@ def test_fastq_parse_with_at_sign_quality(spark, tmp_path):
     # the refusal must NAME the supported formats and the reason
     # (reference BioSeqPipe accepts any SeqIO filetype; ours documents
     # exactly which have distributed parses)
+    # gck is proprietary (no public spec) — the one class that stays
+    # refused permanently, so the probe can't be obsoleted by new formats
     with _pytest.raises(NotImplementedError) as ei:
-        read_bioseq(spark, str(p), "uniprot-xml")
+        read_bioseq(spark, str(p), "gck")
     msg = str(ei.value)
     for fmt in ("fasta", "fasta-2line", "fastq", "qual", "pir", "genbank",
                 "embl", "swiss", "tab", "ig", "phd", "nib", "seqxml",
-                "twobit"):
+                "twobit", "uniprot-xml", "cif-seqres"):
         assert fmt in msg
     assert "Bio.SeqIO" in msg
 
