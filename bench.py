@@ -42,7 +42,44 @@ def _sf_from_dir(sf_dir: str) -> float:
 # refreshes to the current reading so a deliberate slower-but-correct change
 # can still raise its baseline instead of tripping the retime forever. The
 # raw run is always what gets PRINTED; only the record file is merged.
+#
+# Aging back door (r12 verdict #1): five consecutive noisy host windows age
+# every record to the cap and mass-rebaseline UPWARD — exactly what the cap
+# was built to prevent, just slower. A noisy window has a signature a code
+# change can't fake: the cheap, rarely-touched sub-2s queries inflate
+# uniformly (2x+ on queries whose code didn't change). So before aging, the
+# run is tested for uniform inflation over the sub-2s-record cohort; an
+# environmental run still merges new minima DOWN but neither increments ages
+# nor rebaselines — the noise counter only advances on credible readings.
 STALE_CAP = 5
+# median(current/record) over sub-2s records above this ⇒ environmental run
+INFLATION_FLOOR = 2.0  # records below this form the environmental probe set
+INFLATION_RATIO = 1.3
+
+
+def run_is_inflated(
+    prev: "dict[str, float]",
+    timings: "dict[str, float | None]",
+    floor: float = INFLATION_FLOOR,
+    ratio: float = INFLATION_RATIO,
+) -> bool:
+    """True when this run reads as uniformly inflated vs the record file.
+
+    Probe set = queries with an existing record under ``floor`` seconds
+    (cheap relational scans/joins whose cost is dominated by fixed work —
+    the cohort a genuine code regression would NOT lift uniformly). With
+    fewer than 5 probes there is no reliable signature; returns False.
+    """
+    rel = sorted(
+        t / r
+        for name, r in prev.items()
+        if r is not None and 0 < r < floor
+        for t in [timings.get(name)]
+        if t is not None
+    )
+    if len(rel) < 5:
+        return False
+    return rel[len(rel) // 2] > ratio
 
 
 def merge_records(
@@ -50,12 +87,15 @@ def merge_records(
     prev_ages: "dict[str, int]",
     timings: "dict[str, float | None]",
     stale_cap: int = STALE_CAP,
+    freeze_aging: bool = False,
 ) -> "tuple[dict[str, float], dict[str, int]]":
     """(record minima, staleness ages) after folding in one run's timings.
 
     - faster-or-equal reading -> new record, age resets to 0;
     - slower reading -> record kept, age += 1; at ``stale_cap`` the record
       refreshes to the current reading (deliberate slowdowns re-baseline);
+    - ``freeze_aging`` (environmental run, see run_is_inflated): slower
+      readings keep both record AND age — noise can't ratchet records up;
     - failed query (None) -> record and age carried through unchanged;
     - queries absent from this run (renamed/removed) drop out of the file.
     """
@@ -71,6 +111,9 @@ def merge_records(
         if r is None or t <= r:
             rec_q[name] = t
             rec_age[name] = 0
+        elif freeze_aging:
+            rec_q[name] = r
+            rec_age[name] = prev_ages.get(name, 0)
         else:
             age = prev_ages.get(name, 0) + 1
             if age >= stale_cap:
@@ -213,8 +256,17 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
     }
     # Merge rule documented at merge_records (module level, unit-tested in
-    # tests/test_bench_record.py): per-query minima + staleness-capped ages.
-    rec_q, rec_age = merge_records(prev, prev_ages, timings)
+    # tests/test_bench_record.py): per-query minima + staleness-capped ages,
+    # with aging frozen when the run's sub-2s cohort reads uniformly
+    # inflated (environmental window — run_is_inflated).
+    inflated = run_is_inflated(prev, timings)
+    if inflated:
+        print(
+            "[bench] run reads uniformly inflated vs records "
+            "(environmental window): aging frozen, minima still merge",
+            file=sys.stderr,
+        )
+    rec_q, rec_age = merge_records(prev, prev_ages, timings, freeze_aging=inflated)
     rec_ok = [v for v in rec_q.values() if v is not None]
     try:  # regression reference for the next run's retime rule
         with open(local_rec, "w") as fh:

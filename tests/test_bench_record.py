@@ -55,3 +55,53 @@ def test_failure_carries_record_and_unknown_queries_drop():
 def test_equal_reading_resets_age():
     rec, ages = bench.merge_records({"q1": 1.0}, {"q1": 4}, {"q1": 1.0})
     assert rec == {"q1": 1.0} and ages == {"q1": 0}
+
+
+def test_environmental_run_detection():
+    # 6 sub-2s records all reading 2x+ -> environmental signature
+    prev = {f"q{i}": 1.0 for i in range(6)}
+    hot = {f"q{i}": 2.4 for i in range(6)}
+    assert bench.run_is_inflated(prev, hot)
+    # quiet run: same records, readings at ~1x
+    assert not bench.run_is_inflated(prev, {f"q{i}": 1.05 for i in range(6)})
+    # one genuinely regressed query among quiet ones is NOT environmental
+    mixed = {f"q{i}": 1.0 for i in range(6)}
+    mixed["q0"] = 5.0
+    assert not bench.run_is_inflated(prev, mixed)
+    # too few probes: no signature, never flag
+    assert not bench.run_is_inflated({"q0": 1.0}, {"q0": 9.0})
+
+
+def test_five_noisy_runs_cannot_rebaseline_records():
+    # r12 failure mode: STALE_CAP consecutive environmental windows used to
+    # age every record to the cap and mass-rebaseline upward. With aging
+    # frozen on inflated runs, the records and ages are byte-identical
+    # after any number of noisy windows.
+    prev = {f"q{i}": 1.0 for i in range(6)}
+    prev["q_big"] = 2.44  # the q147 shape: >2s record, 2.8x noisy reading
+    ages = {k: 0 for k in prev}
+    for _ in range(bench.STALE_CAP + 2):
+        noisy = {f"q{i}": 2.5 for i in range(6)}
+        noisy["q_big"] = 6.86
+        assert bench.run_is_inflated(prev, noisy)
+        prev, ages = bench.merge_records(prev, ages, noisy, freeze_aging=True)
+    assert prev["q_big"] == 2.44
+    assert all(v == 1.0 for k, v in prev.items() if k != "q_big")
+    assert all(v == 0 for v in ages.values())
+
+
+def test_environmental_run_still_merges_minima_down():
+    prev = {f"q{i}": 1.0 for i in range(6)}
+    run = {f"q{i}": 2.5 for i in range(6)}
+    run["q_fast"] = 0.4
+    prev["q_fast"] = 0.9
+    rec, ages = bench.merge_records(prev, {}, run, freeze_aging=True)
+    assert rec["q_fast"] == 0.4 and ages["q_fast"] == 0
+
+
+def test_deliberate_slowdown_still_rebaselines_on_quiet_runs():
+    # freeze only bites on flagged runs; the quiet-run path is unchanged
+    rec, ages = {"q1": 1.0}, {"q1": 0}
+    for _ in range(bench.STALE_CAP):
+        rec, ages = bench.merge_records(rec, ages, {"q1": 2.0})
+    assert rec == {"q1": 2.0} and ages == {"q1": 0}
