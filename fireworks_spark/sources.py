@@ -1642,31 +1642,41 @@ def _parse_abif(buf: bytes, fallback_name: str) -> tuple:
 
 
 def mott_trim(seq: str, quals: "list[int]", cutoff: float = 0.05):
-    """Richard Mott's quality trimming (the phred/abi-trim algorithm, as
-    published in the phred documentation and used by Bio.SeqIO's
-    'abi-trim'): per-base score = cutoff - error_probability
-    (= cutoff - 10^(-Q/10)), running sum clipped at zero; the trimmed
-    read is [first positive-sum base, argmax of the running sum]. Reads
-    whose scores never go positive trim to empty. Returns
-    ``(trimmed_seq, trimmed_quals)``."""
+    """Richard Mott's quality trimming with Bio.SeqIO ``_abi_trim``
+    parity (the 'abi-trim' filetype delegates straight to SeqIO in the
+    reference BioSeqPipe, so its exact quirks are the contract):
+
+    - reads of <= 20 bases are returned UNTRIMMED;
+    - per-base score = cutoff - error_probability (= cutoff -
+      10^(-Q/10)); the cumulative sum is clipped at zero and its first
+      element is pinned to 0 — base 0 is never scored (SeqIO assumes the
+      first base is always trimmed);
+    - trim window = [first index with non-negative unclipped cumulative
+      score, argmax of the cumulative score) — the END IS EXCLUSIVE, so
+      the peak base itself is dropped (SeqIO's ``[trim_start:
+      trim_finish]`` slice);
+    - reads whose cumulative score never rises trim to empty.
+
+    Returns ``(trimmed_seq, trimmed_quals)``."""
     if len(seq) != len(quals):
         raise ValueError(
             f"mott_trim: {len(seq)} bases but {len(quals)} quality scores"
         )
+    if len(seq) <= 20:
+        return seq, list(quals)
     scores = [cutoff - 10 ** (q / -10.0) for q in quals]
-    run, best, best_i, start, started = 0.0, 0.0, -1, 0, False
-    for i, s in enumerate(scores):
-        run += s
-        if run < 0:
-            run = 0.0
-            continue
-        if not started and s > 0:
-            start, started = i, True
-        if run > best:
-            best, best_i = run, i
-    if not started or best_i < start:
-        return "", []
-    return seq[start : best_i + 1], quals[start : best_i + 1]
+    cummul = [0.0]
+    trim_start, started = 0, False
+    for i in range(1, len(scores)):
+        score = cummul[-1] + scores[i]
+        if score < 0:
+            cummul.append(0.0)
+        else:
+            cummul.append(score)
+            if not started:
+                trim_start, started = i, True
+    trim_finish = cummul.index(max(cummul))
+    return seq[trim_start:trim_finish], quals[trim_start:trim_finish]
 
 
 def read_abi(spark: SparkSession, path: str, trim: bool = False) -> DataFrame:
@@ -2083,6 +2093,24 @@ _AA_3TO1 = {
     "SEC": "U", "PYL": "O", "ASX": "B", "GLX": "Z", "UNK": "X",
 }
 _AA_1TO3 = {one: three for three, one in _AA_3TO1.items()}
+# HETATM-coded standard residues: modified amino acids that are part of
+# the polymer chain but carry HETATM records in real PDB files. Mappings
+# are the parent-residue one-letter codes from the public wwPDB Chemical
+# Component Dictionary (same set Bio.Data's extended 3-to-1 table uses).
+# Kept separate from _AA_3TO1 so _AA_1TO3 (the writer's 1->3 map) stays
+# canonical.
+_AA_3TO1_MOD = {
+    "MSE": "M", "FME": "M", "HYP": "P", "SEP": "S", "TPO": "T",
+    "PTR": "Y", "CSO": "C", "CSD": "C", "CME": "C", "OCS": "C",
+    "MLY": "K", "M3L": "K", "KCX": "K", "LLP": "K", "PCA": "Q",
+}
+
+
+def _aa_letter(res: str) -> str:
+    """3-letter residue -> 1-letter, through the standard then the
+    modified-residue table; unknown -> 'X' (SeqIO behavior)."""
+    r = res.strip().upper()
+    return _AA_3TO1.get(r) or _AA_3TO1_MOD.get(r, "X")
 
 
 def _parse_pdb_seqres(text: str) -> tuple:
@@ -2129,7 +2157,12 @@ def _parse_pdb_atom(text: str) -> tuple:
     columns: atom name 13-16, altLoc 17, resName 18-20, chainID 22,
     resSeq+iCode 23-27). One residue per CA atom (altLoc blank or 'A'),
     in file order, deduped on (resSeq, iCode) against the previous CA of
-    the same chain. Returns ``(idcode, [(chain, one_letter_seq)])``."""
+    the same chain. HETATM CA rows are kept when their resName maps
+    through the 3-to-1 table (modified standard residues like
+    selenomethionine MSE are HETATM-coded in real PDB files but part of
+    the polymer — Bio.SeqIO's PdbAtomIterator includes them; ADVICE
+    r12); HETATM ligands/waters whose resName is unknown stay excluded.
+    Returns ``(idcode, [(chain, one_letter_seq)])``."""
     idcode = ""
     order: list = []
     seqs: dict = {}
@@ -2139,7 +2172,9 @@ def _parse_pdb_atom(text: str) -> tuple:
         if rec == "HEADER":
             idcode = line[62:66].strip()
             continue
-        if rec != "ATOM  ":
+        if rec not in ("ATOM  ", "HETATM"):
+            continue
+        if rec == "HETATM" and _aa_letter(line[17:20]) == "X":
             continue
         if line[12:16].strip() != "CA":
             continue
@@ -2158,7 +2193,7 @@ def _parse_pdb_atom(text: str) -> tuple:
         if chain not in seqs:
             order.append(chain)
             seqs[chain] = []
-        seqs[chain].append(_AA_3TO1.get(line[17:20].strip().upper(), "X"))
+        seqs[chain].append(_aa_letter(line[17:20]))
     return idcode, [(c, "".join(seqs[c])) for c in order]
 
 
@@ -2214,7 +2249,11 @@ def _cif_tokens(text: str):
     """Tokenize CIF 1.1 (the mmCIF syntax, per the published IUCr spec):
     whitespace-separated values, '#' comments, single/double-quoted
     strings (a closing quote counts only before whitespace/EOL), and
-    ';'-delimited multiline text fields. Yields value/tag tokens."""
+    ';'-delimited multiline text fields. Yields ``(token, was_quoted)``
+    pairs — quoting must survive tokenization, because a legitimately
+    quoted value like ``'loop_'`` or ``'_tag'`` is DATA, not syntax, and
+    _parse_cif may only interpret unquoted tokens as keywords/tags
+    (ADVICE r12)."""
     lines = text.splitlines()
     i = 0
     while i < len(lines):
@@ -2228,7 +2267,7 @@ def _cif_tokens(text: str):
             if i >= len(lines):
                 raise ValueError("CIF: unterminated ';' text field")
             i += 1  # consume the closing ';' line
-            yield "\n".join(val)
+            yield "\n".join(val), True
             continue
         j, n = 0, len(line)
         while j < n:
@@ -2252,13 +2291,13 @@ def _cif_tokens(text: str):
                         break
                     buf.append(line[k : e + 1])
                     k = e + 1
-                yield "".join(buf)
+                yield "".join(buf), True
                 j = e + 1
             else:
                 e = j
                 while e < n and line[e] not in " \t":
                     e += 1
-                yield line[j:e]
+                yield line[j:e], False
                 j = e
         i += 1
 
@@ -2269,33 +2308,43 @@ def _parse_cif(text: str) -> tuple:
     list of (headers, rows). Fails closed with ValueError (ragged loops,
     tags without values, stray tokens)."""
     toks = list(_cif_tokens(text))
+
+    def _is_kw(pair, *kws):  # unquoted tokens only carry CIF syntax
+        t, quoted = pair
+        return not quoted and t.lower() in kws
+
+    def _is_tag(pair):
+        t, quoted = pair
+        return not quoted and t.startswith("_")
+
     block = ""
     items: dict = {}
     loops: list = []
     idx = 0
     while idx < len(toks):
-        t = toks[idx]
+        t, quoted = toks[idx]
         low = t.lower()
-        if low.startswith("data_"):
+        if not quoted and low.startswith("data_"):
             block = t[5:]
             idx += 1
             continue
-        if low == "loop_":
+        if _is_kw(toks[idx], "loop_"):
             idx += 1
             headers = []
-            while idx < len(toks) and toks[idx].startswith("_"):
-                headers.append(toks[idx].lower())
+            while idx < len(toks) and _is_tag(toks[idx]):
+                headers.append(toks[idx][0].lower())
                 idx += 1
             vals = []
             while idx < len(toks):
-                tl = toks[idx].lower()
-                if (
-                    toks[idx].startswith("_")
-                    or tl in ("loop_", "stop_")
-                    or tl.startswith("data_")
+                vt, vq = toks[idx]
+                vl = vt.lower()
+                if not vq and (
+                    vt.startswith("_")
+                    or vl in ("loop_", "stop_")
+                    or vl.startswith("data_")
                 ):
                     break
-                vals.append(toks[idx])
+                vals.append(vt)
                 idx += 1
             if not headers or (vals and len(vals) % len(headers)):
                 raise ValueError(
@@ -2312,10 +2361,10 @@ def _parse_cif(text: str) -> tuple:
                 )
             )
             continue
-        if t.startswith("_"):
+        if not quoted and t.startswith("_"):
             if idx + 1 >= len(toks):
                 raise ValueError(f"CIF: tag {t} without a value")
-            items[low] = toks[idx + 1]
+            items[low] = toks[idx + 1][0]
             idx += 2
             continue
         raise ValueError(f"CIF: unexpected token {t[:30]!r}")
@@ -2340,7 +2389,11 @@ def _parse_cif_seqres(text: str) -> tuple:
     ``(entry_id, [(chain, one_letter_seq)])`` in _struct_asym order."""
     block, items, loops = _parse_cif(text)
     entry = items.get("_entry.id", block) or block
-    ent_seq: dict = {}
+    # _entity_poly_seq rows carry an explicit residue index (num); real
+    # mmCIF can emit them out of order, and microheterogeneity repeats a
+    # num with alternate mon_ids — order by num, first mon_id wins
+    # (ADVICE r12; matches Bio.SeqIO's per-num selection).
+    ent_rows: dict = {}
     for row in _cif_loop(loops, "_entity_poly_seq."):
         eid = row.get("entity_id")
         mon = row.get("mon_id", "")
@@ -2348,7 +2401,20 @@ def _parse_cif_seqres(text: str) -> tuple:
             raise ValueError(
                 "cif-seqres: _entity_poly_seq row missing entity_id/mon_id"
             )
-        ent_seq.setdefault(eid, []).append(_AA_3TO1.get(mon.upper(), "X"))
+        try:
+            num = int(row.get("num", ""))
+        except (TypeError, ValueError):
+            raise ValueError(
+                "cif-seqres: _entity_poly_seq.num missing or non-integer "
+                f"for entity {eid}"
+            ) from None
+        ent_rows.setdefault(eid, {}).setdefault(
+            num, _AA_3TO1.get(mon.upper(), "X")
+        )
+    ent_seq = {
+        eid: [by_num[k] for k in sorted(by_num)]
+        for eid, by_num in ent_rows.items()
+    }
     asym = _cif_loop(loops, "_struct_asym.")
     if not asym and "_struct_asym.id" in items:
         asym = [
@@ -2367,17 +2433,22 @@ def _parse_cif_seqres(text: str) -> tuple:
 
 def _parse_cif_atom(text: str) -> tuple:
     """mmCIF resolved sequences (Bio.SeqIO filetype='cif-atom'): CA rows
-    of the ``_atom_site`` loop (group_PDB ATOM, label_atom_id CA, altloc
-    '.' or 'A'), chained on auth_asym_id, deduped per chain on
-    (auth_seq_id, insertion code). Returns
-    ``(entry_id, [(chain, one_letter_seq)])``."""
+    of the ``_atom_site`` loop (group_PDB ATOM, plus HETATM rows whose
+    comp_id maps through the residue tables — modified standard residues
+    like MSE are polymer, ADVICE r12; label_atom_id CA, altloc '.' or
+    'A'), chained on auth_asym_id, deduped per chain on (auth_seq_id,
+    insertion code). Returns ``(entry_id, [(chain, one_letter_seq)])``."""
     block, items, loops = _parse_cif(text)
     entry = items.get("_entry.id", block) or block
     order: list = []
     seqs: dict = {}
     last: dict = {}
     for row in _cif_loop(loops, "_atom_site."):
-        if row.get("group_pdb", row.get("group_PDB", "")) != "ATOM":
+        group = row.get("group_pdb", row.get("group_PDB", ""))
+        if group != "ATOM" and not (
+            group == "HETATM"
+            and _aa_letter(row.get("label_comp_id", "")) != "X"
+        ):
             continue
         if row.get("label_atom_id") != "CA":
             continue
@@ -2392,7 +2463,7 @@ def _parse_cif_atom(text: str) -> tuple:
             order.append(chain)
             seqs[chain] = []
         seqs[chain].append(
-            _AA_3TO1.get(row.get("label_comp_id", "").upper(), "X")
+            _aa_letter(row.get("label_comp_id", ""))
         )
     return entry, [(c, "".join(seqs[c])) for c in order]
 

@@ -1543,14 +1543,24 @@ def test_mott_trim_and_abi_trim_dispatch(spark, tmp_path):
 
     from fireworks_spark.sources import mott_trim, read_bioseq
 
-    # hand-checkable: Q2 flanks (error 0.63 >> cutoff) around a Q40 core
-    seq = "acGTACGTta"
-    quals = [2, 2, 40, 40, 40, 40, 40, 40, 2, 2]
+    # hand-checkable: Q2 flanks (error 0.63 >> cutoff) around a Q40 core.
+    # SeqIO parity quirks (ADVICE r12): trim_start is the first index with
+    # non-negative cumulative score counted FROM BASE 1 (base 0 is never
+    # scored), and the peak base is excluded by the [start:finish) slice —
+    # so the 22-base Q40 core keeps 21 bases (indices 4..24).
+    seq = "acgt" + "GTACGTACGTACGTACGTACGT" + "acgt"
+    quals = [2] * 4 + [40] * 22 + [2] * 4
     t_seq, t_quals = mott_trim(seq, quals)
-    assert t_seq == "GTACGT" and t_quals == [40] * 6
-    # all-junk read trims to empty; perfect read keeps everything
-    assert mott_trim("acgt", [2, 2, 2, 2]) == ("", [])
-    assert mott_trim("ACGT", [40, 40, 40, 40]) == ("ACGT", [40, 40, 40, 40])
+    assert t_seq == seq[4:25] and t_quals == [40] * 21
+    # reads of <= 20 bases pass through untrimmed (SeqIO's segment guard)
+    assert mott_trim("acgt", [2, 2, 2, 2]) == ("acgt", [2, 2, 2, 2])
+    # all-junk long read trims to empty
+    assert mott_trim("acgt" * 6, [2] * 24) == ("", [])
+    # perfect-quality long read: SeqIO drops the first base (never
+    # scored) and the last (peak excluded) — the documented off-by-ones
+    perfect = "ACGT" * 6
+    t_seq, t_quals = mott_trim(perfect, [40] * 24)
+    assert t_seq == perfect[1:23] and t_quals == [40] * 22
     with pytest.raises(ValueError, match="quality scores"):
         mott_trim("AC", [40])
 
@@ -1564,8 +1574,8 @@ def test_mott_trim_and_abi_trim_dispatch(spark, tmp_path):
         data_pool.append(payload)
         return (name, num, etype, esize, payload, None, off)
 
-    bases = b"TTACGTACGTTT"
-    quals_b = bytes([2, 2, 40, 40, 40, 40, 40, 40, 40, 40, 2, 2])
+    bases = b"TT" + b"ACGT" * 6 + b"TT"  # 28 bases: >20 so trimming engages
+    quals_b = bytes([2, 2] + [40] * 24 + [2, 2])
     entries, pool = [], []
     entries.append(ent(b"PBAS", 1, 2, 1, bases, pool))
     entries.append(ent(b"PCON", 1, 1, 1, quals_b, pool))
@@ -1585,9 +1595,10 @@ def test_mott_trim_and_abi_trim_dispatch(spark, tmp_path):
     f.write_bytes(bytes(raw))
     (full,) = read_bioseq(spark, str(f), "abi").collect()
     (trimmed,) = read_bioseq(spark, str(f), "abi-trim").collect()
-    assert full.sequences == "TTACGTACGTTT"
-    assert trimmed.sequences == "ACGTACGT"
-    assert list(trimmed.qualities) == [40] * 8
+    assert full.sequences == "TT" + "ACGT" * 6 + "TT"
+    # SeqIO slice [2:25]: core starts at index 2, peak base (25) excluded
+    assert trimmed.sequences == ("ACGT" * 6)[:23]
+    assert list(trimmed.qualities) == [40] * 23
 
 
 def test_cif_seqres_atom_and_roundtrip(spark, tmp_path):
@@ -1658,3 +1669,113 @@ def test_cif_seqres_atom_and_roundtrip(spark, tmp_path):
                 ).coalesce(1),
                 str(tmp_path / "bad_out"),
             )
+
+
+def test_cif_quoted_keywords_are_data_not_syntax():
+    """ADVICE r12: a legitimately quoted 'loop_' / '_tag' / 'data_x'
+    value must parse as DATA — quoting survives tokenization and only
+    unquoted tokens carry CIF syntax."""
+    from fireworks_spark.sources import _parse_cif
+
+    text = "\n".join([
+        "data_demo",
+        "_entry.id 'data_fake'",
+        "_note.text 'loop_'",
+        "loop_",
+        "_pair.key",
+        "_pair.val",
+        "a '_tag'",
+        "b 'loop_'",
+        "c 'stop_'",
+        "_after.item done",
+    ])
+    block, items, loops = _parse_cif(text)
+    assert block == "demo"
+    assert items["_entry.id"] == "data_fake"
+    assert items["_note.text"] == "loop_"
+    assert items["_after.item"] == "done"
+    (headers, rows), = loops
+    assert headers == ["_pair.key", "_pair.val"]
+    assert rows == [["a", "_tag"], ["b", "loop_"], ["c", "stop_"]]
+
+
+def test_cif_seqres_num_order_and_microheterogeneity():
+    """ADVICE r12: _entity_poly_seq rows order by their num field (file
+    order is not authoritative), duplicate nums collapse to the first
+    mon_id, and a missing/non-integer num fails closed."""
+    import pytest
+
+    from fireworks_spark.sources import _parse_cif_seqres
+
+    text = "\n".join([
+        "data_1ABC",
+        "_entry.id 1ABC",
+        "loop_",
+        "_entity_poly_seq.entity_id",
+        "_entity_poly_seq.num",
+        "_entity_poly_seq.mon_id",
+        "1 3 GLY",       # out of order
+        "1 1 MET",
+        "1 2 ALA",
+        "1 2 SER",       # microheterogeneity: first (ALA) wins
+        "loop_",
+        "_struct_asym.id",
+        "_struct_asym.entity_id",
+        "A 1",
+    ])
+    entry, chains = _parse_cif_seqres(text)
+    assert entry == "1ABC"
+    assert chains == [("A", "MAG")]
+
+    bad = text.replace("1 3 GLY", "1 ? GLY")
+    with pytest.raises(ValueError, match="num missing or non-integer"):
+        _parse_cif_seqres(bad)
+
+
+def test_pdb_and_cif_atom_keep_hetatm_coded_standard_residues():
+    """ADVICE r12: HETATM CA rows whose resName maps through the
+    residue tables (MSE = selenomethionine etc.) are polymer residues —
+    Bio.SeqIO's atom iterators include them; true ligands stay out."""
+    from fireworks_spark.sources import _parse_cif_atom, _parse_pdb_atom
+
+    def atom(rec, name, res, chain, seq):
+        line = list(" " * 80)
+        line[0:len(rec)] = rec
+        line[12:12 + len(name)] = name
+        line[17:17 + len(res)] = res
+        line[21] = chain
+        line[22:26] = f"{seq:4d}"
+        return "".join(line)
+
+    text = "\n".join([
+        "HEADER" + " " * 56 + "1XYZ",
+        atom("ATOM", " CA ", "MET", "A", 1),
+        atom("HETATM", " CA ", "MSE", "A", 2),   # selenomethionine -> M
+        atom("ATOM", " CA ", "GLY", "A", 3),
+        atom("HETATM", " CA ", "HOH", "A", 4),   # water: excluded
+        atom("HETATM", " CA ", "SEP", "A", 5),   # phosphoserine -> S
+    ])
+    idcode, chains = _parse_pdb_atom(text)
+    assert idcode == "1XYZ"
+    assert chains == [("A", "MMGS")]
+
+    cif = "\n".join([
+        "data_1XYZ",
+        "_entry.id 1XYZ",
+        "loop_",
+        "_atom_site.group_PDB",
+        "_atom_site.label_atom_id",
+        "_atom_site.label_comp_id",
+        "_atom_site.label_alt_id",
+        "_atom_site.auth_asym_id",
+        "_atom_site.auth_seq_id",
+        "_atom_site.pdbx_PDB_ins_code",
+        "ATOM CA MET . A 1 ?",
+        "HETATM CA MSE . A 2 ?",
+        "ATOM CA GLY . A 3 ?",
+        "HETATM CA HOH . A 4 ?",
+        "HETATM CA SEP . A 5 ?",
+    ])
+    entry, cchains = _parse_cif_atom(cif)
+    assert entry == "1XYZ"
+    assert cchains == [("A", "MMGS")]
