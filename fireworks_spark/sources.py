@@ -244,6 +244,15 @@ def read_fastq_ranged(
 
     Memory is bounded by the yield batch (50k records), not the range
     size — the single-100-GB-file wholetext OOM ceiling is gone.
+
+    Path contract (multi-executor): each TASK ``open()``s ``path``
+    directly on its executor, so the path must resolve to the same bytes
+    on every executor host — a shared/network filesystem, an identical
+    local copy, or (single-host deployments, incl. local-cluster) the
+    host's own filesystem. The driver only ever stats sizes. On a
+    cluster whose data lives in an object store, mount or localize the
+    file; identity across executor JVMs is pinned by
+    tools/probe_fastq_lc.py (local-cluster[2] == local, 320 MB file).
     """
     import os as _os
 
