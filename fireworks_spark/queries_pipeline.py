@@ -237,7 +237,14 @@ def q102_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checks the returned neighbors AND sims (a recall regression
     fails the driver); the xxhash64 default path is covered by
     tests/test_similarity.py (every returned neighbor appears in the
-    brute-force ranking with the same similarity)."""
+    brute-force ranking with the same similarity).
+
+    Deliberately SINGLE-probe (r12 verdict #7): this query is the recall
+    floor q184's multi-probe variant is measured against at identical
+    bits/oracle, and at 6 bits the 64 buckets each hold ~N/64 >> k
+    candidates. At production N/bucket ratios, turn on
+    ``probe_hamming1`` (q184) — the lsh_bucket_topk docstring carries
+    the sizing guidance."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return (

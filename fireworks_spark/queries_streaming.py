@@ -64,44 +64,38 @@ def q150_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    src = table(spark, sf_dir, "events").select("user_id", "value")
-    d = tempfile.mkdtemp(prefix="fw_stream_")
     name = f"q150_{uuid.uuid4().hex[:8]}"
-    try:
-        src.repartition(3).write.mode("overwrite").parquet(d)
-        # python_fold sizing: 32 stores x 3 triggers is pure commit
-        # overhead at sf0.1 (measured r12: 4.1s@8 vs 5.5s@32) while the
-        # fold wants the parallelism back as data grows — see
-        # _stream_shuffle
-        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
-                             python_fold=True):
-            stream = (
-                spark.readStream.schema("user_id long, value double")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(d)
-            )
-            streaming.run_to_memory(
-                streaming.stateful_topk(stream, k=3), name, "update"
-            )
-        updates = spark.table(name)
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc(F.size("topk")), F.desc("topk")
+    stage = _cached_events_stage(spark, sf_dir, "rep3")
+    # python_fold sizing: 32 stores x 3 triggers is pure commit
+    # overhead at sf0.1 (measured r12: 4.1s@8 vs 5.5s@32) while the
+    # fold wants the parallelism back as data grows — see
+    # _stream_shuffle
+    with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
+                         python_fold=True):
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
         )
-        return (
-            updates.withColumn("upd_rk", F.row_number().over(w))
-            .filter(F.col("upd_rk") == 1)
-            .select(
-                "user_id", F.posexplode("topk").alias("pos", "v")
-            )
-            .select(
-                "user_id", (F.col("pos") + 1).cast("long").alias("rk"), "v"
-            )
-            .orderBy("user_id", "rk")
-            # materialize before the staging dir is removed
-            .localCheckpoint(eager=True)
+        streaming.run_to_memory(
+            streaming.stateful_topk(stream, k=3), name, "update"
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    updates = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.size("topk")), F.desc("topk")
+    )
+    return (
+        updates.withColumn("upd_rk", F.row_number().over(w))
+        .filter(F.col("upd_rk") == 1)
+        .select(
+            "user_id", F.posexplode("topk").alias("pos", "v")
+        )
+        .select(
+            "user_id", (F.col("pos") + 1).cast("long").alias("rk"), "v"
+        )
+        .orderBy("user_id", "rk")
+        .localCheckpoint(eager=True)
+    )
 
 
 from contextlib import contextmanager
@@ -191,6 +185,65 @@ def _stage_time_slices(src: DataFrame, d: str, n: int = 3, ts_col: str = "ts") -
     return stage
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped staged-input cache (r12 verdict #6): every replay query used
+# to re-stage its own slice files per CALL — at sf0.1 that is ~1s of
+# approxQuantile + coalesce(1) writes per query, ~25% of each replay's cost
+# and pure harness overhead (the operator under test starts at the first
+# micro-batch). The staged artifact is a pure function of (sf_dir, scheme),
+# so the harness now stages the FULL events table once per scheme per
+# session and lets each stream declare its column subset (parquet projects
+# by name; read_event_stream's normalize applies unchanged). Cache dirs are
+# read-only inputs owned by the module and removed at interpreter exit;
+# per-run artifacts (checkpoints, foreachBatch sinks, memory tables) stay
+# per-query. Micro-batch counts and state assertions are UNTOUCHED — only
+# the redundant staging work is shared.
+_STAGE_CACHE: "dict[tuple, str]" = {}
+_STAGE_CACHE_ROOTS: "list[str]" = []
+
+
+def _cleanup_stage_cache() -> None:
+    for root in _STAGE_CACHE_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+    _STAGE_CACHE_ROOTS.clear()
+    _STAGE_CACHE.clear()
+
+
+import atexit as _atexit  # noqa: E402  (module-scoped cleanup hook)
+
+_atexit.register(_cleanup_stage_cache)
+
+
+def _cached_events_stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Staged FULL-events directory for replay scheme ``kind``:
+    'slices3'/'slices2' = n event-time-ordered single-file slices
+    (_stage_time_slices); 'rep3' = 3 unordered part files
+    (repartition(3)). Returns the staged directory — treat as
+    READ-ONLY."""
+    import os
+
+    key = (os.path.abspath(sf_dir), kind)
+    hit = _STAGE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    # props (free-form JSON string, the widest column) is used by NO
+    # replay query — dropping it roughly halves the staged bytes and the
+    # coalesce(1) write cost; every stream declares a column subset of
+    # what remains
+    src = table(spark, sf_dir, "events").drop("props")
+    root = tempfile.mkdtemp(prefix="fw_stagecache_")
+    _STAGE_CACHE_ROOTS.append(root)
+    if kind == "rep3":
+        stage = root + "/staged"
+        src.repartition(3).write.parquet(stage)
+    elif kind in ("slices3", "slices2"):
+        stage = _stage_time_slices(src, root, n=3 if kind == "slices3" else 2)
+    else:
+        raise ValueError(f"unknown stage kind {kind!r}")
+    _STAGE_CACHE[key] = stage
+    return stage
+
+
 def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming funnel (streaming.stateful_funnel): events replayed as 3
     TIME-SLICED micro-batches; the per-user (reached, last_ts) state
@@ -201,51 +254,44 @@ def q165_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     steps = ["view", "click", "purchase"]
-    src = table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type"
-    )
-    d = tempfile.mkdtemp(prefix="fw_stream_")
     name = f"q165_{uuid.uuid4().hex[:8]}"
-    try:
-        stage = _stage_time_slices(src, d, n=3)
-        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
-                             python_fold=True):
-            stream = (
-                spark.readStream.schema(
-                    "user_id long, ts timestamp, event_type string"
-                )
-                .option("maxFilesPerTrigger", "1")
-                .option("latestFirst", "false")
-                .parquet(stage)
+    stage = _cached_events_stage(spark, sf_dir, "slices3")
+    with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
+                         python_fold=True):
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
             )
-            streaming.run_to_memory(
-                streaming.stateful_funnel(stream, steps), name, "update"
-            )
-        final = (
-            spark.table(name)
-            .groupBy("user_id")
-            .agg(F.max("reached").alias("reached"))
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage)
         )
-        steps_df = spark.createDataFrame(
-            [(j + 1, s) for j, s in enumerate(steps)],
-            "step long, step_name string",
+        streaming.run_to_memory(
+            streaming.stateful_funnel(stream, steps), name, "update"
         )
-        return (
-            steps_df.join(
-                final, F.col("reached") >= F.col("step"), "left"
-            )
-            .groupBy("step", "step_name")
-            .agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("reached").isNotNull(), 1)),
-                    F.lit(0),
-                ).alias("users")
-            )
-            .orderBy("step")
-            .localCheckpoint(eager=True)
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("reached").alias("reached"))
+    )
+    steps_df = spark.createDataFrame(
+        [(j + 1, s) for j, s in enumerate(steps)],
+        "step long, step_name string",
+    )
+    return (
+        steps_df.join(
+            final, F.col("reached") >= F.col("step"), "left"
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        .groupBy("step", "step_name")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("reached").isNotNull(), 1)),
+                F.lit(0),
+            ).alias("users")
+        )
+        .orderBy("step")
+        .localCheckpoint(eager=True)
+    )
 
 
 def q166_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,32 +347,27 @@ def q167_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon: measured flat across batches and exactly proportional to
     density at 1M and 10M events (tools/scaling_probe_q167.py, SCALE.md
     round 11)."""
-    src = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    d = tempfile.mkdtemp(prefix="fw_stream_")
     name = f"q167_{uuid.uuid4().hex[:8]}"
-    try:
-        stage = _stage_time_slices(src, d, n=2)
-        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
-            left = streaming.read_event_stream(
-                spark, stage, max_files_per_trigger=1
-            )
-            right = streaming.read_event_stream(
-                spark, stage, max_files_per_trigger=1
-            )
-            streaming.run_to_memory(
-                streaming.interval_join_stream(
-                    left, right, "user_id", watermark="365 days"
-                ),
-                name,
-                "append",
-            )
-        return (
-            spark.table(name)
-            .orderBy("k", "l_event", "r_event")
-            .localCheckpoint(eager=True)
+    stage = _cached_events_stage(spark, sf_dir, "slices2")
+    with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
+        left = streaming.read_event_stream(
+            spark, stage, max_files_per_trigger=1
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        right = streaming.read_event_stream(
+            spark, stage, max_files_per_trigger=1
+        )
+        streaming.run_to_memory(
+            streaming.interval_join_stream(
+                left, right, "user_id", watermark="365 days"
+            ),
+            name,
+            "append",
+        )
+    return (
+        spark.table(name)
+        .orderBy("k", "l_event", "r_event")
+        .localCheckpoint(eager=True)
+    )
 
 
 def q168_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,10 +421,9 @@ def q169_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     proves the merge keeps the LATEST running total per (bucket, key)."""
     import os
 
-    src = table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = tempfile.mkdtemp(prefix="fw_stream_")  # per-run rollup table only
     try:
-        stage = _stage_time_slices(src, d, n=3)
+        stage = _cached_events_stage(spark, sf_dir, "slices3")
         tbl = os.path.join(d, "rollup")
         with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
             stream = streaming.read_event_stream(
@@ -412,32 +452,27 @@ def q170_stream_normalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     src = table(spark, sf_dir, "events").select("event_id", "value")
-    d = tempfile.mkdtemp(prefix="fw_stream_")
-    try:
-        staged = os.path.join(d, "staged")
-        src.repartition(3).write.parquet(staged)
-        stream = spark.readStream.schema("event_id long, value double").option(
-            "maxFilesPerTrigger", "1"
-        ).parquet(staged)
-        sn = streaming.StreamingNormalizer(["value"])
-        q = (
-            stream.writeStream.foreachBatch(sn.foreach_batch())
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    staged = _cached_events_stage(spark, sf_dir, "rep3")
+    stream = spark.readStream.schema("event_id long, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staged)
+    sn = streaming.StreamingNormalizer(["value"])
+    q = (
+        stream.writeStream.foreachBatch(sn.foreach_batch())
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        sn.forward(src)
+        .select(
+            "event_id",
+            (F.round(F.col("value_std"), 3) + F.lit(0.0)).alias("z"),
         )
-        q.awaitTermination()
-        return (
-            sn.forward(src)
-            .select(
-                "event_id",
-                (F.round(F.col("value_std"), 3) + F.lit(0.0)).alias("z"),
-            )
-            .orderBy("event_id")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        .orderBy("event_id")
+        .localCheckpoint(eager=True)
+    )
 
 
 def q172_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,11 +595,9 @@ def q174_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    src = table(spark, sf_dir, "events").select("user_id", "value")
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = tempfile.mkdtemp(prefix="fw_stream_")  # per-run stage/ck/out only
     try:
-        allp = os.path.join(d, "all")
-        src.repartition(3).write.parquet(allp)
+        allp = _cached_events_stage(spark, sf_dir, "rep3")
         parts = sorted(
             nm for nm in os.listdir(allp) if nm.endswith(".parquet")
         )
@@ -635,30 +668,25 @@ def q175_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch 1 must MERGE with their batch-2 continuation in the session
     state store. Oracle: q79's gap-and-islands SQL (independent strategy,
     same 30-minute gap)."""
-    src = table(spark, sf_dir, "events").select("user_id", "ts")
-    d = tempfile.mkdtemp(prefix="fw_stream_")
     name = f"q175_{uuid.uuid4().hex[:8]}"
-    try:
-        stage = _stage_time_slices(src, d, n=2)
-        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
-            stream = spark.readStream.schema(
-                "user_id long, ts timestamp"
-            ).option("maxFilesPerTrigger", "1").parquet(stage)
-            streaming.run_to_memory(
-                streaming.session_agg(
-                    stream, gap="30 minutes", watermark="365 days"
-                ),
-                name,
-                "complete",
-            )
-        return (
-            spark.table(name)
-            .select("user_id", "session_start", "session_end", "n_events")
-            .orderBy("user_id", "session_start")
-            .localCheckpoint(eager=True)
+    stage = _cached_events_stage(spark, sf_dir, "slices2")
+    with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet"):
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(stage)
+        streaming.run_to_memory(
+            streaming.session_agg(
+                stream, gap="30 minutes", watermark="365 days"
+            ),
+            name,
+            "complete",
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(eager=True)
+    )
 
 
 def q176_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,36 +701,31 @@ def q176_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    src = table(spark, sf_dir, "events").select("user_id", "value")
-    d = tempfile.mkdtemp(prefix="fw_stream_")
     name = f"q176_{uuid.uuid4().hex[:8]}"
-    try:
-        src.repartition(3).write.parquet(d + "/staged")
-        with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
-                             python_fold=True):
-            stream = (
-                spark.readStream.schema("user_id long, value double")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(d + "/staged")
-            )
-            streaming.run_to_memory(
-                streaming.stateful_running_totals(stream), name, "update"
-            )
-        w = Window.partitionBy("user_id").orderBy(F.desc("n"))
-        return (
-            spark.table(name)
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(
-                "user_id",
-                "n",
-                (F.round("total", 2) + F.lit(0.0)).alias("total"),
-            )
-            .orderBy("user_id")
-            .localCheckpoint(eager=True)
+    staged = _cached_events_stage(spark, sf_dir, "rep3")
+    with _stream_shuffle(spark, src=f"{sf_dir}/events.parquet",
+                         python_fold=True):
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        streaming.run_to_memory(
+            streaming.stateful_running_totals(stream), name, "update"
+        )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        spark.table(name)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            "n",
+            (F.round("total", 2) + F.lit(0.0)).alias("total"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
 
 
 def _near_dedup_sig_sql() -> str:
