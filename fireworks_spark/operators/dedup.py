@@ -1129,35 +1129,62 @@ def _routing_key(df: DataFrame, *shape):
 _BANDING_PRUNE_FACTOR = 8
 
 
-def _blocked_hamming_sig_pairs(
-    dsig: DataFrame,
+def _blocked_hamming_id_pairs(
+    ids: DataFrame,
     max_hamming: int,
     block_size: int = 4096,
     n: int | None = None,
 ) -> DataFrame:
-    """All (sha < shb) DISTINCT-signature pairs with Hamming <= max_hamming
-    via a distributed blocked XOR-popcount — the exact analog of
+    """All (ida < idb) pairs with Hamming(signature) <= max_hamming via a
+    distributed blocked XOR-popcount — the exact analog of
     blocked_cosine_pairs for the regime where banding has no keyspace left
-    (wide radius on a short signature). Signatures are hash-assigned to
-    ceil(D/block_size) blocks; the upper-triangle block-pair join fans out
-    tasks; each task XORs one uint64 outer product and popcounts it with a
-    16-bit lookup table. Theta(D^2) popcounts over DISTINCT signatures at
-    numpy speed — D is bounded by the signature space and corpus
-    deduplication, and the id expansion stays join-based."""
+    (wide radius on a short signature). ``ids`` is (id, _sig).
+
+    FUSED design (round 14 — the previous shape was ~8 small serialized
+    stages whose fixed scheduling cost made q147 the suite's most
+    host-sensitive query): ONE groupBy(_sig) shuffle yields the distinct
+    signatures AND their id lists together; each signature row then
+    EXPLODES to the ceil(D/block_size)-choose-2 upper-triangle task keys
+    it participates in (role 0 = x-side for its own diagonal and the
+    blocks after it, role 1 = y-side for the blocks before it — exactly
+    nb replicas per signature, no block-pair join, no repartition); each
+    task XORs one uint64 outer product, popcounts it with a 16-bit lookup
+    table, and expands the surviving signature pairs' id lists to
+    (ida, idb, hamming) IN-TASK — the id re-expansion joins and the
+    Hamming-0 same-signature self-join of the old shape are gone (each
+    signature's internal id pairs are emitted by its own diagonal task).
+    Theta(D^2) popcounts over DISTINCT signatures at numpy speed; D is
+    bounded by the signature space and corpus deduplication.
+
+    The sizing count (nb needs D) is memoized on the input plan's
+    semanticHash (_ROUTING_CACHE), so a warm re-run — bench reps, retried
+    pipelines — constructs the whole thing with ZERO eager jobs and
+    executes as a single 3-shuffle job: scan -> groupBy(_sig) ->
+    task-key shuffle -> popcount+expand. Callers that already measured D
+    (hamming_pairs' banding probe) pass ``n`` to skip the count outright.
+    """
     import math
 
     import numpy as np
     import pandas as pd
 
-    spark = dsig.sparkSession
+    gsig = ids.groupBy("_sig").agg(F.collect_list("id").alias("_ids"))
+    handles: list = []
     if n is None:
-        # persisted BEFORE the sizing count: without it the count job and
-        # the pair job each recompute the distinct aggregation AND its
-        # upstream (e.g. simhash64's Python stage) — the most expensive
-        # pass runs twice. Callers that already persisted dsig and
-        # measured D (hamming_pairs' routing probe) pass n to skip both.
-        dsig = dsig.persist()
-        n = dsig.count()
+        mkey = _routing_key(ids, "blocked_n")
+        if mkey is not None and mkey in _ROUTING_CACHE:
+            n = _ROUTING_CACHE[mkey]
+        else:
+            # persisted BEFORE the sizing count so the pair job reuses the
+            # aggregation instead of recomputing it and its upstream (for
+            # simhash, a full Python pass over the corpus)
+            gsig = gsig.persist()
+            handles.append(gsig)
+            n = gsig.count()
+            if mkey is not None:
+                if len(_ROUTING_CACHE) >= _ROUTING_CACHE_MAX:
+                    _ROUTING_CACHE.clear()
+                _ROUTING_CACHE[mkey] = n
     _quadratic_guard(
         n,
         "hamming_pairs (blocked all-pairs route)",
@@ -1167,61 +1194,110 @@ def _blocked_hamming_sig_pairs(
         "minhash_dedup_pairs",
     )
     nb = max(1, math.ceil(n / block_size))
-    packed = (
-        dsig.select(F.pmod(F.xxhash64("_sig"), F.lit(nb)).alias("_b"), "_sig")
-        .groupBy("_b")
-        .agg(F.collect_list("_sig").alias("sigs"))
-    )
-    block_pairs = spark.range(nb).select(
-        F.col("id").alias("bx"),
-        F.explode(F.sequence(F.col("id"), F.lit(nb - 1))).alias("by"),
-    )
-    joined = (
-        block_pairs.join(
-            packed.select(F.col("_b").alias("bx"), F.col("sigs").alias("sx")),
-            "bx",
-        )
-        .join(
-            packed.select(F.col("_b").alias("by"), F.col("sigs").alias("sy")),
-            "by",
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
+    blk = F.pmod(F.xxhash64("_sig"), F.lit(nb)).cast("int")
+    # a signature in block b meets every block o exactly once, in the
+    # upper-triangle task (min(b,o), max(b,o)): role 0 (x-side) when
+    # b <= o — which covers its own diagonal task — else role 1 (y-side).
+    # Exactly nb replicas per signature, generated by a single transform
+    # (no block-pair join, no repartition).
+    tasks = gsig.select("_sig", "_ids", blk.alias("_b")).select(
+        "_sig",
+        "_ids",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda o: F.struct(
+                    (
+                        F.least(F.col("_b"), o) * nb
+                        + F.greatest(F.col("_b"), o)
+                    ).alias("t"),
+                    F.when(F.col("_b") <= o, F.lit(0))
+                    .otherwise(F.lit(1))
+                    .alias("role"),
+                ),
+            )
+        ).alias("_tr"),
+    ).select(
+        F.col("_tr.t").alias("_t"),
+        F.col("_tr.role").alias("_role"),
+        "_sig",
+        "_ids",
     )
 
-    def _pop(batches):
+    def _emit(key, pdf):
         tbl = np.zeros(1 << 16, dtype=np.uint8)
         ar = np.arange(1 << 16, dtype=np.uint32)
         for shift in range(16):
             tbl += ((ar >> shift) & 1).astype(np.uint8)
-        for batch in batches:
-            for row in batch.itertuples(index=False):
-                A = np.asarray(row.sx, dtype=np.int64).view(np.uint64)
-                B = np.asarray(row.sy, dtype=np.int64).view(np.uint64)
-                X = A[:, None] ^ B[None, :]
-                # popcount via 4 x 16-bit words (little-endian view).
-                # Summing the four table-gathered PLANES in uint8 (max
-                # popcount 64 < 256, no overflow) instead of one 3-D
-                # gather + int32 axis-sum measured 2-4x faster — the
-                # int32 intermediate was 4x the memory traffic.
-                V = X.view(np.uint16).reshape(len(A), len(B), 4)
-                H = tbl[V[:, :, 0]]
-                for k in range(1, 4):
-                    H += tbl[V[:, :, k]]
-                ii, jj = np.nonzero(H <= max_hamming)
-                va, vb = A[ii], B[jj]
-                if row.bx == row.by:
-                    keep = va < vb  # one order per pair, drops the diagonal
-                    ii, jj, va, vb = ii[keep], jj[keep], va[keep], vb[keep]
-                yield pd.DataFrame(
-                    {
-                        "sha": np.minimum(va, vb).view(np.int64),
-                        "shb": np.maximum(va, vb).view(np.int64),
-                        "hamming": H[ii, jj],
-                    }
+        bx, by = divmod(int(key[0]), nb)
+        diag = bx == by
+        if diag:
+            pa = pdf
+            pb = pdf
+        else:
+            xm = pdf["_role"].to_numpy() == 0
+            pa = pdf[xm]
+            pb = pdf[~xm]
+        out_a, out_b, out_h = [], [], []
+        if diag:
+            # each signature lands in exactly one diagonal task: its id
+            # list's internal (Hamming 0) pairs are emitted here, once
+            for lst in pa["_ids"]:
+                if len(lst) > 1:
+                    l = np.sort(np.asarray(lst, dtype=np.int64))
+                    iu, ju = np.triu_indices(len(l), 1)
+                    out_a.append(l[iu])
+                    out_b.append(l[ju])
+                    out_h.append(np.zeros(len(iu), dtype=np.int32))
+        if len(pa) and len(pb):
+            A = pa["_sig"].to_numpy(np.int64).view(np.uint64)
+            B = pb["_sig"].to_numpy(np.int64).view(np.uint64)
+            X = A[:, None] ^ B[None, :]
+            # popcount via 4 x 16-bit words (little-endian view).
+            # Summing the four table-gathered PLANES in uint8 (max
+            # popcount 64 < 256, no overflow) instead of one 3-D
+            # gather + int32 axis-sum measured 2-4x faster — the
+            # int32 intermediate was 4x the memory traffic.
+            V = X.view(np.uint16).reshape(len(A), len(B), 4)
+            H = tbl[V[:, :, 0]]
+            for k in range(1, 4):
+                H += tbl[V[:, :, k]]
+            ii, jj = np.nonzero(H <= max_hamming)
+            if diag:
+                keep = A[ii] < B[jj]  # one order per pair, no diagonal
+                ii, jj = ii[keep], jj[keep]
+            la = pa["_ids"].to_numpy()
+            lb = pb["_ids"].to_numpy()
+            for i, j in zip(ii, jj):
+                xa = np.asarray(la[i], dtype=np.int64)
+                xb = np.asarray(lb[j], dtype=np.int64)
+                ea = np.repeat(xa, len(xb))
+                eb = np.tile(xb, len(xa))
+                out_a.append(np.minimum(ea, eb))
+                out_b.append(np.maximum(ea, eb))
+                out_h.append(
+                    np.full(ea.size, int(H[i, j]), dtype=np.int32)
                 )
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "ida": pd.Series(dtype="int64"),
+                    "idb": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int32"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "ida": np.concatenate(out_a),
+                "idb": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
 
-    out = joined.mapInPandas(_pop, "sha long, shb long, hamming int")
-    return _attach_caches(out, extra=[dsig])
+    out = tasks.groupBy("_t").applyInPandas(
+        _emit, "ida long, idb long, hamming int"
+    )
+    return _attach_caches(out, extra=handles)
 
 
 def hamming_pairs(
@@ -1253,17 +1329,17 @@ def hamming_pairs(
     key width predicts it only for UNIFORM keys, and real signatures
     cluster (at sf3, radius 3 on 64 bits put 150x the uniform collision
     mass on hot keys: banding 219s vs blocked ~30s). So hamming_pairs
-    runs one EAGER sizing pass at plan-construction time (persist +
-    count of the distinct signatures, plus the banded-key histogram — an
-    exception to the nothing-runs-until-an-action contract that is the
-    plan choice itself, the AQE idea applied to algorithm selection) and
-    routes to the blocked exact all-pairs popcount
-    (_blocked_hamming_sig_pairs) when the measured candidate volume
-    costs more than D^2/2 popcounts (_POPS_PER_CANDIDATE_ROW); key
-    widths under _BAND_PAYS_OFF_BITS skip the probe and route straight
-    to blocked (banding cannot pay there at any distribution — measured
-    189s -> 27s on the sf1 fixture at radius 8/48 bits). The sizing
-    count feeds a self-diagnosing warning
+    runs one EAGER sizing pass at plan-construction time (the banded-key
+    histogram over the persisted distinct signatures — an exception to
+    the nothing-runs-until-an-action contract that is the plan choice
+    itself, the AQE idea applied to algorithm selection) and routes to
+    the fused blocked exact all-pairs popcount
+    (_blocked_hamming_id_pairs — group, pair, verify and id-expand in
+    ONE job) when the measured candidate volume costs more than D^2/2
+    popcounts; key widths under _BAND_PAYS_OFF_BITS skip the probe and
+    route straight to blocked (banding cannot pay there at any
+    distribution — measured 189s -> 27s on the sf1 fixture at radius
+    8/48 bits). The sizing count feeds a self-diagnosing warning
     (dedup.QUADRATIC_COMPARE_BUDGET) when even the blocked quadratic has
     been outgrown — then grow num_bits or shrink the radius so banding
     regains keyspace, or accept approximate recall via MinHash."""
@@ -1271,105 +1347,107 @@ def hamming_pairs(
     if nb > num_bits:
         raise ValueError("max_hamming must be < num_bits")
     ids = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
-    dsig = ids.select("_sig").distinct()
     # distribute num_bits over nb bands as evenly as possible
     widths = [
         num_bits // nb + (1 if i < num_bits % nb else 0) for i in range(nb)
     ]
     if min(widths) < _BAND_PAYS_OFF_BITS:
         # wide radius on a short signature: the band keyspace is too small
-        # to prune (see _BAND_PAYS_OFF_BITS) — route to the blocked exact
-        # all-pairs popcount, same distinct-first/expand-back contract
-        sig_pairs = _blocked_hamming_sig_pairs(dsig, max_hamming)
+        # to prune (see _BAND_PAYS_OFF_BITS) — route to the fused blocked
+        # exact all-pairs popcount, which groups, pairs, verifies and
+        # expands ids in one job (no expansion joins, no same-sig union)
+        return _blocked_hamming_id_pairs(ids, max_hamming)
+    dsig = ids.select("_sig").distinct()
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("_sig", offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("band_key"),
+            )
+            for i in range(nb)
+        ]
+    )
+    # persisted BEFORE the routing probe: the probe, the candidate
+    # join's two sides and the verify all branch from the distinct
+    # signatures — unpersisted, the signature stage (for simhash, a
+    # full Python pass over the corpus) would run for each consumer
+    dsig = dsig.persist()
+    bands = dsig.select(
+        "_sig", F.explode(band_structs).alias("bd")
+    ).select(
+        "_sig",
+        F.col("bd.band_idx").alias("band_idx"),
+        F.col("bd.band_key").alias("band_key"),
+    )
+    # Skew-aware cost-based routing (one eager aggregation over the
+    # cached distinct signatures — this IS the plan choice, the same
+    # idea as AQE's runtime re-plan): banding's candidate volume is
+    # sum over (band, key) groups of c*(c-1)/2, which the static key
+    # width cannot predict because real signatures CLUSTER (at sf3,
+    # radius 3 on 64 bits looks healthy — 16-bit keys — but the
+    # corpus put 150x the uniform collision mass on hot keys:
+    # banding 219s, blocked ~30s). Route to blocked when the
+    # measured volume leaves banding's in-memory regime
+    # (_BANDING_ROW_BUDGET) or stops genuinely pruning
+    # (_BANDING_PRUNE_FACTOR); see the constants for calibration.
+    # Memoized per analyzed input plan (_ROUTING_CACHE): a second
+    # hamming_pairs over the same plan in one session re-uses the
+    # measured (D, candidate volume) and runs NO probe job.
+    mkey = _routing_key(dsig, num_bits, max_hamming)
+    if mkey is not None and mkey in _ROUTING_CACHE:
+        n, cand_est = _ROUTING_CACHE[mkey]
     else:
-        offsets = [sum(widths[:i]) for i in range(nb)]
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftright("_sig", offsets[i])
-                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                    .alias("band_key"),
-                )
-                for i in range(nb)
-            ]
+        probe = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+                ).alias("p"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("tot"),
+            )
+            .collect()[0]
         )
-        # persisted BEFORE the routing probe: the probe, the candidate
-        # join's two sides and the verify all branch from the distinct
-        # signatures — unpersisted, the signature stage (for simhash, a
-        # full Python pass over the corpus) would run for each consumer
-        dsig = dsig.persist()
-        bands = dsig.select(
-            "_sig", F.explode(band_structs).alias("bd")
-        ).select(
-            "_sig",
-            F.col("bd.band_idx").alias("band_idx"),
-            F.col("bd.band_key").alias("band_key"),
+        cand_est = probe["p"]
+        # every distinct signature posts exactly nb band rows, so the
+        # histogram's row total carries D for free — one probe job,
+        # not a separate count (it also materializes the persist)
+        n = int(probe["tot"]) // nb
+        if mkey is not None:
+            if len(_ROUTING_CACHE) >= _ROUTING_CACHE_MAX:
+                _ROUTING_CACHE.clear()
+            _ROUTING_CACHE[mkey] = (n, cand_est)
+    if (
+        cand_est > _BANDING_ROW_BUDGET
+        or cand_est > n * (n - 1) / 2 / _BANDING_PRUNE_FACTOR
+    ):
+        # n passed through: the histogram above already measured D, so the
+        # fused blocked path runs no count job; it regroups from ids (its
+        # own single groupBy shuffle) and emits id pairs in-task, so the
+        # band-probe persist has no further consumer — release it now
+        dsig.unpersist()
+        return _blocked_hamming_id_pairs(ids, max_hamming, n=n)
+    a = bands.select(
+        F.col("_sig").alias("sha"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("_sig").alias("shb"), "band_idx", "band_key"
+    )
+    sig_pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("sha") < F.col("shb"))
+        .select(
+            "sha",
+            "shb",
+            F.expr("bit_count(sha ^ shb)").alias("hamming"),
         )
-        # Skew-aware cost-based routing (one eager aggregation over the
-        # cached distinct signatures — this IS the plan choice, the same
-        # idea as AQE's runtime re-plan): banding's candidate volume is
-        # sum over (band, key) groups of c*(c-1)/2, which the static key
-        # width cannot predict because real signatures CLUSTER (at sf3,
-        # radius 3 on 64 bits looks healthy — 16-bit keys — but the
-        # corpus put 150x the uniform collision mass on hot keys:
-        # banding 219s, blocked ~30s). Route to blocked when the
-        # measured volume leaves banding's in-memory regime
-        # (_BANDING_ROW_BUDGET) or stops genuinely pruning
-        # (_BANDING_PRUNE_FACTOR); see the constants for calibration.
-        # Memoized per analyzed input plan (_ROUTING_CACHE): a second
-        # hamming_pairs over the same plan in one session re-uses the
-        # measured (D, candidate volume) and runs NO probe job.
-        mkey = _routing_key(dsig, num_bits, max_hamming)
-        if mkey is not None and mkey in _ROUTING_CACHE:
-            n, cand_est = _ROUTING_CACHE[mkey]
-        else:
-            probe = (
-                bands.groupBy("band_idx", "band_key")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .agg(
-                    F.coalesce(
-                        F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
-                    ).alias("p"),
-                    F.coalesce(F.sum("c"), F.lit(0)).alias("tot"),
-                )
-                .collect()[0]
-            )
-            cand_est = probe["p"]
-            # every distinct signature posts exactly nb band rows, so the
-            # histogram's row total carries D for free — one probe job,
-            # not a separate count (it also materializes the persist)
-            n = int(probe["tot"]) // nb
-            if mkey is not None:
-                if len(_ROUTING_CACHE) >= _ROUTING_CACHE_MAX:
-                    _ROUTING_CACHE.clear()
-                _ROUTING_CACHE[mkey] = (n, cand_est)
-        if (
-            cand_est > _BANDING_ROW_BUDGET
-            or cand_est > n * (n - 1) / 2 / _BANDING_PRUNE_FACTOR
-        ):
-            # n passed through: the histogram above already measured D
-            # on the persisted dsig — no second cache-scan count job
-            sig_pairs = _blocked_hamming_sig_pairs(dsig, max_hamming, n=n)
-        else:
-            a = bands.select(
-                F.col("_sig").alias("sha"), "band_idx", "band_key"
-            )
-            b = bands.select(
-                F.col("_sig").alias("shb"), "band_idx", "band_key"
-            )
-            sig_pairs = (
-                a.join(b, ["band_idx", "band_key"])
-                .filter(F.col("sha") < F.col("shb"))
-                .select(
-                    "sha",
-                    "shb",
-                    F.expr("bit_count(sha ^ shb)").alias("hamming"),
-                )
-                .distinct()
-                .filter(F.col("hamming") <= max_hamming)
-            )
-            sig_pairs = _attach_caches(sig_pairs, extra=[dsig])
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    sig_pairs = _attach_caches(sig_pairs, extra=[dsig])
     cross = (
         sig_pairs.join(ids.select(F.col("id").alias("_ia"), F.col("_sig").alias("sha")), "sha")
         .join(ids.select(F.col("id").alias("_ib"), F.col("_sig").alias("shb")), "shb")
@@ -1386,7 +1464,6 @@ def hamming_pairs(
         .select("ida", "idb", F.lit(0).alias("hamming"))
     )
     out = cross.unionByName(same)
-    # blocked path persisted dsig; propagate its release handle
     return _attach_caches(out, sig_pairs)
 
 

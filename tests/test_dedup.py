@@ -746,7 +746,8 @@ def test_hamming_routing_skew_aware(spark, monkeypatch):
     plan (no Python stage); clustered signatures whose measured candidate
     volume stops pruning route to the blocked popcount naturally (no
     monkeypatching); both routes return the identical pair set. The
-    blocked plan is detectable by its MapInPandas popcount stage."""
+    blocked plan is detectable by its grouped-in-pandas popcount
+    stage (FlatMapGroupsInPandas since the round-14 fused rewrite)."""
     import itertools
     import random
 
@@ -765,7 +766,7 @@ def test_hamming_routing_skew_aware(spark, monkeypatch):
     df_u = spark.createDataFrame(uni, "doc_id long, simhash long")
     out_u = dedup.hamming_pairs(df_u, 3)
     plan_u = out_u._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan_u  # banding route
+    assert "InPandas" not in plan_u  # banding route: no Python stage
     got_u = {(r.ida, r.idb): r.hamming for r in out_u.collect()}
     assert got_u == pairs_of(uni)
 
@@ -777,14 +778,17 @@ def test_hamming_routing_skew_aware(spark, monkeypatch):
     df_c = spark.createDataFrame(clu, "doc_id long, simhash long")
     out_c = dedup.hamming_pairs(df_c, 3)
     plan_c = out_c._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan_c  # blocked route
+    assert "FlatMapGroupsInPandas" in plan_c  # fused blocked route
     got_c = {(r.ida, r.idb): r.hamming for r in out_c.collect()}
     assert got_c == pairs_of(clu)
 
     # row budget alone forces blocked even on uniform keys
     monkeypatch.setattr(dedup, "_BANDING_ROW_BUDGET", 0)
     out_f = dedup.hamming_pairs(df_u, 3)
-    assert "MapInPandas" in out_f._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "FlatMapGroupsInPandas"
+        in out_f._jdf.queryExecution().executedPlan().toString()
+    )
     assert {(r.ida, r.idb): r.hamming for r in out_f.collect()} == got_u
 
 
