@@ -219,10 +219,25 @@ def _cached_events_stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
     'slices3'/'slices2' = n event-time-ordered single-file slices
     (_stage_time_slices); 'rep3' = 3 unordered part files
     (repartition(3)). Returns the staged directory — treat as
-    READ-ONLY."""
+    READ-ONLY.
+
+    The cache key folds in the source parquet's (mtime, size) fingerprint
+    (ADVICE r13): regenerating the fixture mid-session invalidates the
+    staged copies instead of silently replaying stale rows. Disk cost:
+    up to three schemes of the props-dropped events table live in /tmp
+    until interpreter exit (~half the events.parquet bytes per scheme —
+    at sf3 roughly 3 x ~0.5 GB); the ~1s/query staging win is worth it
+    on the test rig, but long sessions at larger SFs should expect that
+    footprint or call _cleanup_stage_cache() between phases."""
     import os
 
-    key = (os.path.abspath(sf_dir), kind)
+    src_path = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    try:
+        st = os.stat(src_path)
+        fp = (int(st.st_mtime_ns), st.st_size)
+    except OSError:  # directory-style parquet or exotic source: fall back
+        fp = ()      # to path-only keying rather than refuse to cache
+    key = (os.path.abspath(sf_dir), kind, fp)
     hit = _STAGE_CACHE.get(key)
     if hit is not None and os.path.isdir(hit):
         return hit
