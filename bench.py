@@ -55,6 +55,58 @@ STALE_CAP = 5
 # median(current/record) over sub-2s records above this ⇒ environmental run
 INFLATION_FLOOR = 2.0  # records below this form the environmental probe set
 INFLATION_RATIO = 1.3
+# Corroboration (ADVICE r13): the sub-2s cohort signature alone cannot
+# distinguish a degraded host window from a genuine code regression that
+# uniformly slows fixed per-query work (e.g. added session/table setup
+# cost) — such a regression would freeze aging indefinitely while reading
+# as "environmental". Two independent checks bound that:
+# - an EXTERNAL CONTROL: a fixed spark.range workload that executes no
+#   repo code, timed in the same session and recorded as a min-merged
+#   floor (control_floor). If the control runs at record speed while the
+#   cohort reads inflated, the slowdown is code — aging proceeds.
+# - a CONSECUTIVE-FREEZE CAP: even a control-confirmed degraded window
+#   stops freezing after FROZEN_RUNS_CAP runs in a row — at that point
+#   the "degradation" is the new normal and records may re-baseline.
+CONTROL_INFLATION_RATIO = 1.3
+FROZEN_RUNS_CAP = 8
+
+
+def external_control_time(spark) -> float:
+    """Seconds for a fixed JVM-only workload that touches NO repo code
+    (pure range->project->aggregate, no shuffle, no Python): a repo code
+    change cannot move it, so its ratio vs the recorded floor separates
+    host degradation from code regressions. Min of 3 reps."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 100_000_000, 1, 16).selectExpr(
+            "count(if(pmod(id * 2654435761, 97) = 0, 1, null)) AS c"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def resolve_freeze(
+    cohort_inflated: bool,
+    control_ratio: "float | None",
+    streak: int,
+    cap: int = FROZEN_RUNS_CAP,
+    control_cut: float = CONTROL_INFLATION_RATIO,
+) -> "tuple[bool, int]":
+    """(freeze_aging, new_streak) from the cohort signature, the external
+    control's current/floor ratio (None when no floor exists yet), and
+    the consecutive-frozen-run streak carried in the record file."""
+    if not cohort_inflated:
+        return False, 0
+    if control_ratio is not None and control_ratio <= control_cut:
+        # the repo-independent control ran at record speed: the cohort
+        # slowdown is code, not host — age normally so STALE_CAP can
+        # re-baseline a deliberate change
+        return False, 0
+    new_streak = streak + 1
+    if new_streak > cap:
+        return False, new_streak  # persistent window = the new normal
+    return True, new_streak
 
 
 def run_is_inflated(
@@ -209,6 +261,8 @@ def main() -> None:
     )
     prev: dict[str, float] = {}
     prev_ages: dict[str, int] = {}
+    prev_control: "float | None" = None
+    prev_streak = 0
     try:
         with open(local_rec) as fh:
             rec_doc = json.load(fh)
@@ -222,6 +276,10 @@ def main() -> None:
                 for k, v in (rec_doc.get("ages") or {}).items()
                 if isinstance(v, int)
             }
+            if isinstance(rec_doc.get("control_floor"), (int, float)):
+                prev_control = float(rec_doc["control_floor"])
+            if isinstance(rec_doc.get("frozen_streak"), int):
+                prev_streak = rec_doc["frozen_streak"]
     except Exception:
         pass
     ok = sorted(v for v in timings.values() if v is not None)
@@ -258,15 +316,37 @@ def main() -> None:
     # Merge rule documented at merge_records (module level, unit-tested in
     # tests/test_bench_record.py): per-query minima + staleness-capped ages,
     # with aging frozen when the run's sub-2s cohort reads uniformly
-    # inflated (environmental window — run_is_inflated).
+    # inflated (environmental window — run_is_inflated) AND the external
+    # control corroborates it, for at most FROZEN_RUNS_CAP runs in a row
+    # (ADVICE r13 — resolve_freeze).
     inflated = run_is_inflated(prev, timings)
+    # the control runs EVERY run so its min-merged floor is established by
+    # quiet windows — a floor first recorded during a degraded window would
+    # make later degradation read as "record speed" and invert the check
+    control = None
+    control_ratio = None
+    try:
+        control = external_control_time(spark)
+        if prev_control:
+            control_ratio = control / prev_control
+    except Exception:
+        pass
+    freeze, streak = resolve_freeze(inflated, control_ratio, prev_streak)
     if inflated:
         print(
-            "[bench] run reads uniformly inflated vs records "
-            "(environmental window): aging frozen, minima still merge",
+            f"[bench] sub-2s cohort reads uniformly inflated vs records; "
+            f"control={control}s ratio={control_ratio} streak={streak} -> "
+            + (
+                "environmental window: aging frozen, minima still merge"
+                if freeze
+                else "NOT frozen (control at record speed, or streak cap "
+                "reached): aging proceeds"
+            ),
             file=sys.stderr,
         )
-    rec_q, rec_age = merge_records(prev, prev_ages, timings, freeze_aging=inflated)
+    if control is not None:
+        prev_control = min(control, prev_control or control)
+    rec_q, rec_age = merge_records(prev, prev_ages, timings, freeze_aging=freeze)
     rec_ok = [v for v in rec_q.values() if v is not None]
     try:  # regression reference for the next run's retime rule
         with open(local_rec, "w") as fh:
@@ -278,6 +358,8 @@ def main() -> None:
                     "queries": rec_q,
                     "ages": rec_age,
                     "last_run_value": out["value"],
+                    "control_floor": prev_control,
+                    "frozen_streak": streak,
                     "sf": out["sf"],
                 },
                 fh,

@@ -105,3 +105,35 @@ def test_deliberate_slowdown_still_rebaselines_on_quiet_runs():
     for _ in range(bench.STALE_CAP):
         rec, ages = bench.merge_records(rec, ages, {"q1": 2.0})
     assert rec == {"q1": 2.0} and ages == {"q1": 0}
+
+
+def test_resolve_freeze_control_corroboration():
+    """ADVICE r13: the cohort signature alone can be faked by a code
+    regression that uniformly slows fixed per-query work. The external
+    control (repo-independent) arbitrates: control inflated -> freeze;
+    control at record speed -> aging proceeds (code regression); no
+    floor yet -> trust the cohort signature (bootstrap)."""
+    # quiet run: never freeze, streak resets
+    assert bench.resolve_freeze(False, 2.0, 5) == (False, 0)
+    # cohort + control both inflated: environmental, freeze, streak grows
+    assert bench.resolve_freeze(True, 1.8, 0) == (True, 1)
+    assert bench.resolve_freeze(True, 1.8, 3) == (True, 4)
+    # cohort inflated but control at record speed: code regression — the
+    # exact back door ADVICE r13 named — aging proceeds, streak resets
+    assert bench.resolve_freeze(True, 1.0, 3) == (False, 0)
+    # no control floor yet (first runs): cohort signature is trusted
+    assert bench.resolve_freeze(True, None, 0) == (True, 1)
+
+
+def test_resolve_freeze_streak_cap():
+    """A control-confirmed degraded window still stops freezing after
+    FROZEN_RUNS_CAP consecutive runs: persistent 'degradation' is the
+    new normal and records may re-baseline through normal aging."""
+    streak = 0
+    for i in range(bench.FROZEN_RUNS_CAP):
+        freeze, streak = bench.resolve_freeze(True, 2.0, streak)
+        assert freeze, f"froze-out early at run {i}"
+    freeze, streak = bench.resolve_freeze(True, 2.0, streak)
+    assert not freeze  # cap reached: aging resumes
+    # a quiet run afterwards resets the streak entirely
+    assert bench.resolve_freeze(False, None, streak) == (False, 0)
