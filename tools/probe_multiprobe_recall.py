@@ -80,7 +80,8 @@ def main() -> None:
                     F.lit(0), *[F.lit(1 << j) for j in range(bits)]
                 )
                 qb = qb.withColumn("_f", F.explode(flips)).select(
-                    "qid", F.col("bucket").bitwiseXOR("_f").alias("bucket")
+                    "qid",
+                    F.col("bucket").bitwiseXOR(F.col("_f")).alias("bucket"),
                 )
             cand = bb.join(qb, "bucket").count()
             rec = {

@@ -12,7 +12,20 @@ Output: one JSON file (default SWEEP_SF1.json) of
 
 Usage:
     python tools/sf1_sweep.py [--sf-dir testdata_sf1] [--out SWEEP_SF1.json]
-        [--only q154,q32] [--skip q31]
+        [--only q154,q32] [--skip q31] [--oracle-cap 600]
+
+Round-14 hardening (memory: host-pathology / VERDICT r13 #2):
+- results are written INCREMENTALLY after every query, so a killed or
+  timed-out sweep loses nothing;
+- ``--oracle-cap N`` interrupts any DuckDB oracle past N seconds
+  (duckdb.interrupt()) and records ``oracle_capped`` instead of hanging
+  the whole sweep on one pathological window;
+- the three recursive-closure oracles (q42/q43/q115) are evaluated
+  ITERATIVELY by default: DuckDB computes the Jaccard pairs (the
+  non-recursive 95%% of the SQL), a Python min-label union-find computes
+  the closure — same ground truth, still fully independent of the Spark
+  implementation, without DuckDB's 300-1900s recursive-CTE cost on this
+  host. ``--recursive-closure`` restores the pure-SQL path.
 """
 
 from __future__ import annotations
@@ -21,10 +34,106 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Oracles whose ONLY expensive part is a recursive connected-components CTE;
+# sweep-side they evaluate as DuckDB pairs + Python union-find (identical
+# min-label semantics, proven by tests/test_sweep_closure.py).
+CLOSURE_QUERIES = (
+    "q42_dup_clusters",
+    "q43_keep_canonical",
+    "q115_leakage_safe_split",
+)
+
+
+def closure_oracle_df(con, name: str):
+    """Evaluate a recursive-closure oracle iteratively: the jac-pairs CTE
+    (non-recursive) runs in DuckDB, the transitive closure runs as a
+    Python union-find with min-label canonicalisation — exactly what the
+    recursive cc/canon CTE computes (cluster = min doc_id reachable)."""
+    import pandas as pd
+
+    from fireworks_spark.queries_pipeline import _SHINGLES_CTE
+
+    pairs = con.sql(
+        f"WITH {_SHINGLES_CTE} SELECT ida, idb FROM jac WHERE jac >= 0.8"
+    ).df()
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    members: set = set()
+    for ida, idb in zip(pairs["ida"], pairs["idb"]):
+        a, b = find(int(ida)), find(int(idb))
+        if a != b:
+            # union by MIN so every root is its component's min id
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+        members.add(int(ida))
+        members.add(int(idb))
+    cluster = {m: find(m) for m in members}
+    if name == "q42_dup_clusters":
+        ids = sorted(cluster)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "cluster": pd.Series(
+                    [cluster[i] for i in ids], dtype="int64"
+                ),
+            }
+        )
+    docs = con.sql("SELECT doc_id FROM documents ORDER BY doc_id").df()
+    if name == "q43_keep_canonical":
+        non_canon = {i for i, c in cluster.items() if i != c}
+        return docs[~docs["doc_id"].isin(non_canon)].reset_index(drop=True)
+    if name == "q115_leakage_safe_split":
+        split = [
+            int(cluster.get(int(i), int(i))) % 5 for i in docs["doc_id"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"],
+                "split": pd.Series(split, dtype="int64"),
+            }
+        )
+    raise KeyError(name)
+
+
+def run_oracle_capped(con, sql: str, cap: float):
+    """con.sql(sql).df() with a wall cap: a watchdog thread calls
+    con.interrupt() at ``cap`` seconds. Returns (df, None) or
+    (None, 'oracle_capped after Ns')."""
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(cap):
+            try:
+                con.interrupt()
+            except Exception:
+                pass
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    t0 = time.perf_counter()
+    try:
+        df = con.sql(sql).df()
+        return df, None
+    except Exception as exc:
+        if time.perf_counter() - t0 < cap * 0.95:
+            raise  # a genuine SQL error, not the watchdog's interrupt
+        return None, f"oracle_capped after {cap:.0f}s ({type(exc).__name__})"
+    finally:
+        done.set()
 
 
 def main() -> None:
@@ -40,6 +149,17 @@ def main() -> None:
         help="timing-only (cost-curve) mode: skip the DuckDB compare — "
         "rows + wall time per query; correctness-at-scale is the sf1 "
         "sweep's job, scale-3+ runs chart the curve shape",
+    )
+    ap.add_argument(
+        "--oracle-cap", type=float, default=0,
+        help="interrupt any single DuckDB oracle past this many seconds "
+        "(0 = uncapped); a capped oracle records oracle_capped, the "
+        "sweep continues",
+    )
+    ap.add_argument(
+        "--recursive-closure", action="store_true",
+        help="evaluate q42/q43/q115 with the pure recursive-CTE SQL "
+        "instead of the iterative pairs+union-find default",
     )
     args = ap.parse_args()
 
@@ -75,12 +195,25 @@ def main() -> None:
             rec["rows"] = len(pdf)
             if name in ORACLES and not args.no_oracle:
                 t1 = time.perf_counter()
-                odf = con.sql(ORACLES[name]).df()
+                capped = None
+                if name in CLOSURE_QUERIES and not args.recursive_closure:
+                    odf = closure_oracle_df(con, name)
+                    rec["oracle_mode"] = "iterative_closure"
+                elif args.oracle_cap > 0:
+                    odf, capped = run_oracle_capped(
+                        con, ORACLES[name], args.oracle_cap
+                    )
+                else:
+                    odf = con.sql(ORACLES[name]).df()
                 rec["oracle_sec"] = round(time.perf_counter() - t1, 3)
-                problems = compare(sdf, odf, spark_pdf=pdf)
-                rec["ok"] = not problems
-                if problems:
-                    rec["problems"] = problems
+                if capped:
+                    rec["ok"] = False
+                    rec["error"] = capped
+                else:
+                    problems = compare(sdf, odf, spark_pdf=pdf)
+                    rec["ok"] = not problems
+                    if problems:
+                        rec["problems"] = problems
             else:
                 rec["ok"] = rec["rows"] >= 0
         except Exception as exc:  # noqa: BLE001 — record and continue
@@ -96,7 +229,16 @@ def main() -> None:
             f"rows={rec.get('rows', '-')}",
             flush=True,
         )
+        # incremental checkpoint: a killed/timed-out sweep keeps everything
+        # finished so far (memory: sf1 sweeps used to write only at END)
+        _write(args, results, total, partial=True)
 
+    _write(args, results, total, partial=False)
+    ok = sum(1 for r in results.values() if r["ok"])
+    print(f"\n{ok}/{len(results)} ok, {total:.0f}s spark total -> {args.out}")
+
+
+def _write(args, results: dict, total: float, partial: bool) -> None:
     ok = sum(1 for r in results.values() if r["ok"])
     out = {
         "sf": 1, "sf_dir": args.sf_dir, "master": args.master,
@@ -105,9 +247,12 @@ def main() -> None:
         "total_spark_sec": round(total, 1),
         "queries": results,
     }
-    with open(args.out, "w") as fh:
+    if partial:
+        out["partial"] = True  # cleared by the final end-of-sweep write
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(f"\n{ok}/{len(results)} ok, {total:.0f}s spark total -> {args.out}")
+    os.replace(tmp, args.out)
 
 
 if __name__ == "__main__":
