@@ -344,7 +344,11 @@ def main() -> None:
             ),
             file=sys.stderr,
         )
-    if control is not None:
+    if control is not None and (prev_control is not None or not inflated):
+        # min-merge is always safe once a floor exists (it only improves);
+        # but never BOOTSTRAP the floor from a cohort-inflated run — a
+        # floor first recorded during degradation would make later
+        # degraded windows read as "record speed" and invert the check
         prev_control = min(control, prev_control or control)
     rec_q, rec_age = merge_records(prev, prev_ages, timings, freeze_aging=freeze)
     rec_ok = [v for v in rec_q.values() if v is not None]

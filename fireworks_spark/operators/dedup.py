@@ -1129,6 +1129,26 @@ def _routing_key(df: DataFrame, *shape):
 _BANDING_PRUNE_FACTOR = 8
 
 
+_POPCOUNT_TBL = None
+
+
+def _popcount_table():
+    """16-bit popcount lookup table (uint8), built once per interpreter —
+    _emit runs once per applyInPandas GROUP (up to nb*(nb+1)/2 of them),
+    so rebuilding the 65536-entry table per call would be pure redundant
+    work on the exact hot path the fused route exists to shrink."""
+    global _POPCOUNT_TBL
+    if _POPCOUNT_TBL is None:
+        import numpy as np
+
+        tbl = np.zeros(1 << 16, dtype=np.uint8)
+        ar = np.arange(1 << 16, dtype=np.uint32)
+        for shift in range(16):
+            tbl += ((ar >> shift) & 1).astype(np.uint8)
+        _POPCOUNT_TBL = tbl
+    return _POPCOUNT_TBL
+
+
 def _blocked_hamming_id_pairs(
     ids: DataFrame,
     max_hamming: int,
@@ -1225,10 +1245,7 @@ def _blocked_hamming_id_pairs(
     )
 
     def _emit(key, pdf):
-        tbl = np.zeros(1 << 16, dtype=np.uint8)
-        ar = np.arange(1 << 16, dtype=np.uint32)
-        for shift in range(16):
-            tbl += ((ar >> shift) & 1).astype(np.uint8)
+        tbl = _popcount_table()
         bx, by = divmod(int(key[0]), nb)
         diag = bx == by
         if diag:
@@ -1246,9 +1263,14 @@ def _blocked_hamming_id_pairs(
                 if len(lst) > 1:
                     l = np.sort(np.asarray(lst, dtype=np.int64))
                     iu, ju = np.triu_indices(len(l), 1)
-                    out_a.append(l[iu])
-                    out_b.append(l[ju])
-                    out_h.append(np.zeros(len(iu), dtype=np.int32))
+                    ea, eb = l[iu], l[ju]
+                    # strict <: a duplicated (id, sig) input row must not
+                    # emit an (x, x) self-pair — the old same-sig
+                    # self-join's ida < idb filter, preserved
+                    keep = ea < eb
+                    out_a.append(ea[keep])
+                    out_b.append(eb[keep])
+                    out_h.append(np.zeros(int(keep.sum()), dtype=np.int32))
         if len(pa) and len(pb):
             A = pa["_sig"].to_numpy(np.int64).view(np.uint64)
             B = pb["_sig"].to_numpy(np.int64).view(np.uint64)

@@ -1101,8 +1101,14 @@ _PII_TEXT_SQL = (
     "|| CAST(doc_id % 255 AS VARCHAR) || ' ' || text"
 )
 
+# Single source of truth for the closure family's pair threshold: the
+# recursive oracle CTE below AND tools/sf1_sweep.py's iterative union-find
+# substitute both derive from it, so a recalibration cannot silently
+# diverge the two ground truths.
+CLOSURE_JACCARD_THRESHOLD = 0.8
+
 _CLOSURE_CTE = (
-    "p AS (SELECT ida, idb FROM jac WHERE jac >= 0.8), "
+    f"p AS (SELECT ida, idb FROM jac WHERE jac >= {CLOSURE_JACCARD_THRESHOLD}), "
     "e AS (SELECT ida AS s, idb AS d FROM p "
     "UNION SELECT idb AS s, ida AS d FROM p), "
     "v AS (SELECT DISTINCT s AS id FROM e), "

@@ -234,9 +234,19 @@ def _cached_events_stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
     src_path = os.path.join(os.path.abspath(sf_dir), "events.parquet")
     try:
         st = os.stat(src_path)
-        fp = (int(st.st_mtime_ns), st.st_size)
-    except OSError:  # directory-style parquet or exotic source: fall back
-        fp = ()      # to path-only keying rather than refuse to cache
+        if os.path.isdir(src_path):
+            # directory-style parquet: the dir's own mtime misses in-place
+            # part-file rewrites that keep filenames — fingerprint the
+            # entries themselves (name, mtime, size), order-stable
+            fp = tuple(
+                (nm, int(s.st_mtime_ns), s.st_size)
+                for nm in sorted(os.listdir(src_path))
+                for s in [os.stat(os.path.join(src_path, nm))]
+            )
+        else:
+            fp = (int(st.st_mtime_ns), st.st_size)
+    except OSError:  # exotic/remote source: fall back to path-only keying
+        fp = ()      # rather than refuse to cache
     key = (os.path.abspath(sf_dir), kind, fp)
     hit = _STAGE_CACHE.get(key)
     if hit is not None and os.path.isdir(hit):

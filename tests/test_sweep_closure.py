@@ -51,13 +51,6 @@ def test_union_find_min_label_semantics():
     """The union-find must produce MIN-reachable-id labels (what the
     recursive cc/canon CTE computes), including through chains merged
     high-to-low: pairs (5,9),(9,2),(7,8) -> {2,5,9}->2, {7,8}->7."""
-    import duckdb
-
-    con = duckdb.connect()
-    con.sql("CREATE TABLE documents AS SELECT unnest(range(10)) AS doc_id")
-    # monkey-path the pairs source: reuse closure_oracle_df's machinery by
-    # building a con whose jac CTE is replaced — simpler to inline the
-    # same union-find here and check semantics directly
     parent: dict = {}
 
     def find(x):

@@ -50,18 +50,33 @@ CLOSURE_QUERIES = (
 )
 
 
+_PAIRS_CACHE: dict = {}
+
+
 def closure_oracle_df(con, name: str):
     """Evaluate a recursive-closure oracle iteratively: the jac-pairs CTE
     (non-recursive) runs in DuckDB, the transitive closure runs as a
     Python union-find with min-label canonicalisation — exactly what the
-    recursive cc/canon CTE computes (cluster = min doc_id reachable)."""
+    recursive cc/canon CTE computes (cluster = min doc_id reachable).
+    The pairs result is cached per connection: q42/q43/q115 share the
+    identical CTE, and at sf1 it costs minutes — paying it once per
+    sweep instead of three times."""
     import pandas as pd
 
-    from fireworks_spark.queries_pipeline import _SHINGLES_CTE
+    from fireworks_spark.queries_pipeline import (
+        CLOSURE_JACCARD_THRESHOLD,
+        _SHINGLES_CTE,
+    )
 
-    pairs = con.sql(
-        f"WITH {_SHINGLES_CTE} SELECT ida, idb FROM jac WHERE jac >= 0.8"
-    ).df()
+    ckey = id(con)
+    pairs = _PAIRS_CACHE.get(ckey)
+    if pairs is None:
+        pairs = con.sql(
+            f"WITH {_SHINGLES_CTE} SELECT ida, idb FROM jac "
+            f"WHERE jac >= {CLOSURE_JACCARD_THRESHOLD}"
+        ).df()
+        _PAIRS_CACHE.clear()  # one sweep, one connection: bound the cache
+        _PAIRS_CACHE[ckey] = pairs
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -112,11 +127,17 @@ def closure_oracle_df(con, name: str):
 def run_oracle_capped(con, sql: str, cap: float):
     """con.sql(sql).df() with a wall cap: a watchdog thread calls
     con.interrupt() at ``cap`` seconds. Returns (df, None) or
-    (None, 'oracle_capped after Ns')."""
+    (None, 'oracle_capped after Ns'). The watchdog's fired flag — not a
+    wall-clock heuristic — decides capped vs genuine error, and an
+    interrupt that lands after the query already finished is absorbed
+    with a throwaway query so it cannot cancel the NEXT oracle on the
+    shared connection."""
     done = threading.Event()
+    fired = threading.Event()
 
     def watchdog():
         if not done.wait(cap):
+            fired.set()
             try:
                 con.interrupt()
             except Exception:
@@ -124,16 +145,26 @@ def run_oracle_capped(con, sql: str, cap: float):
 
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
-    t0 = time.perf_counter()
     try:
         df = con.sql(sql).df()
-        return df, None
+        err = None
     except Exception as exc:
-        if time.perf_counter() - t0 < cap * 0.95:
+        if not fired.is_set():
+            done.set()
             raise  # a genuine SQL error, not the watchdog's interrupt
-        return None, f"oracle_capped after {cap:.0f}s ({type(exc).__name__})"
+        df = None
+        err = f"oracle_capped after {cap:.0f}s ({type(exc).__name__})"
     finally:
         done.set()
+    w.join()  # watchdog is past its interrupt (or never fired) from here
+    if fired.is_set() and err is None:
+        # the cap fired in the gap after completion: swallow the pending
+        # interrupt so it cannot kill the next query on this connection
+        try:
+            con.sql("SELECT 1").df()
+        except Exception:
+            pass
+    return df, err
 
 
 def main() -> None:
