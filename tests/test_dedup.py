@@ -79,6 +79,40 @@ def test_blocked_hamming_matches_bruteforce(spark):
     assert got == want
 
 
+def test_blocked_hamming_multiblock_task_algebra(spark):
+    """The fused blocked route's block/role/task-key algebra (round 14):
+    with block_size forced tiny, every distinct signature fans out to
+    nb > 1 upper-triangle tasks, and off-diagonal/diagonal emission must
+    still produce exactly the brute-force pair set — including exact-dup
+    signatures (Hamming-0 internal pairs from the diagonal task) and a
+    duplicated (id, sig) input row (no self-pair, old self-join
+    contract). The sf-scale sweeps exercise nb ~ 13 via the oracle; this
+    pins the algebra at unit scale where a wrong task key or role split
+    is directly attributable."""
+    import itertools
+    import random
+
+    from fireworks_spark.operators.dedup import _blocked_hamming_id_pairs
+
+    rng = random.Random(21)
+    rows = [(i, rng.randrange(1 << 20)) for i in range(240)]
+    rows += [(2000 + i, rows[i][1]) for i in range(12)]  # exact dup sigs
+    rows += [(5, rows[5][1])]  # duplicated (id, sig) row: no self-pair
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    ids = df.selectExpr("doc_id AS id", "simhash AS _sig")
+    out = _blocked_hamming_id_pairs(ids, 6, block_size=16)  # nb ~ 15
+    got = {(r.ida, r.idb): r.hamming for r in out.collect()}
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        if ia == ib:
+            continue
+        h = bin(sa ^ sb).count("1")
+        if h <= 6:
+            want[(min(ia, ib), max(ia, ib))] = h
+    assert got == want
+    assert all(a < b for a, b in got)  # strict: no self-loops
+
+
 def test_prefix_candidates_survive_corpus_wide_boilerplate(spark):
     # Two identical documents whose EVERY shingle is corpus-wide
     # boilerplate (df=80): the round-9 sf1 sweep showed any global df-cap
