@@ -2402,8 +2402,19 @@ def _parse_cif_seqres(text: str) -> tuple:
     """mmCIF declared sequences (Bio.SeqIO filetype='cif-seqres'): the
     ``_entity_poly_seq`` category (entity_id, num, mon_id — one row per
     residue) mapped to chains via ``_struct_asym`` (id, entity_id),
-    residues through the 3-to-1 map. Returns
-    ``(entry_id, [(chain, one_letter_seq)])`` in _struct_asym order."""
+    residues through the extended 3-to-1 map. Returns
+    ``(entry_id, [(chain, one_letter_seq)])`` in _struct_asym order.
+
+    Ordering semantics, stated precisely (ADVICE r13): Biopython's
+    CifSeqresIterator appends mon_id in FILE ORDER without consulting
+    num; this parser orders by num when every row of an entity carries
+    an integer num (num IS the sequence position per the mmCIF
+    dictionary, and wwPDB-distributed files emit rows in num order, so
+    the two agree on well-formed files) and degrades to exactly
+    Biopython's file-order behavior when num is absent or unparseable.
+    The deliberate divergence is out-of-order num rows (we sort, it
+    does not) and microheterogeneity (we keep the first mon_id per num,
+    it keeps every row)."""
     block, items, loops = _parse_cif(text)
     entry = items.get("_entry.id", block) or block
     # _entity_poly_seq rows carry an explicit residue index (num); real
