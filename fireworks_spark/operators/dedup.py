@@ -1182,6 +1182,15 @@ def _blocked_hamming_id_pairs(
     executes as a single 3-shuffle job: scan -> groupBy(_sig) ->
     task-key shuffle -> popcount+expand. Callers that already measured D
     (hamming_pairs' banding probe) pass ``n`` to skip the count outright.
+
+    Duplication skew: a signature's id list concentrates in one row
+    (8 bytes/id — 1M exact dups of one document is an 8 MB cell), where
+    the old expansion join spread the same ids over tasks; the OUTPUT
+    cost is identical (k dups pair quadratically in both shapes, and the
+    old same-sig self-join materialized the same k^2/2 rows), so the
+    practical bound is unchanged — pair volume, not list width, is what
+    outgrows a corpus first, and the quadratic guard fires well before
+    either hurts.
     """
     import math
 
