@@ -271,6 +271,7 @@ def main() -> None:
     prev: dict[str, float] = {}
     prev_ages: dict[str, int] = {}
     prev_control: "float | None" = None
+    prev_candidate: "float | None" = None
     prev_streak = 0
     try:
         with open(local_rec) as fh:
@@ -287,6 +288,8 @@ def main() -> None:
             }
             if isinstance(rec_doc.get("control_floor"), (int, float)):
                 prev_control = float(rec_doc["control_floor"])
+            if isinstance(rec_doc.get("control_candidate"), (int, float)):
+                prev_candidate = float(rec_doc["control_candidate"])
             if isinstance(rec_doc.get("frozen_streak"), int):
                 prev_streak = rec_doc["frozen_streak"]
     except Exception:
@@ -353,12 +356,24 @@ def main() -> None:
             ),
             file=sys.stderr,
         )
-    if control is not None and (prev_control is not None or not inflated):
-        # min-merge is always safe once a floor exists (it only improves);
-        # but never BOOTSTRAP the floor from a cohort-inflated run — a
-        # floor first recorded during degradation would make later
-        # degraded windows read as "record speed" and invert the check
-        prev_control = min(control, prev_control or control)
+    if control is not None:
+        # min-merge is always safe once a floor exists (it only improves).
+        # Bootstrapping needs more care: a floor first recorded during
+        # degradation would make later degraded windows read as "record
+        # speed" and invert the check, and the cohort signal is weakest
+        # exactly at bootstrap (a 1.12x window passes the 1.15 gate). So
+        # the floor only establishes as the MIN of TWO readings from
+        # separate non-inflated runs (control_candidate holds the first)
+        # — two independent mild degradations both inflating the min is
+        # the residual risk, and min-merge keeps repairing it after.
+        if prev_control is not None:
+            prev_control = min(control, prev_control)
+        elif not inflated:
+            if prev_candidate is not None:
+                prev_control = min(control, prev_candidate)
+                prev_candidate = None
+            else:
+                prev_candidate = control
     rec_q, rec_age = merge_records(prev, prev_ages, timings, freeze_aging=freeze)
     rec_ok = [v for v in rec_q.values() if v is not None]
     try:  # regression reference for the next run's retime rule
@@ -372,6 +387,7 @@ def main() -> None:
                     "ages": rec_age,
                     "last_run_value": out["value"],
                     "control_floor": prev_control,
+                    "control_candidate": prev_candidate,
                     "frozen_streak": streak,
                     "sf": out["sf"],
                 },

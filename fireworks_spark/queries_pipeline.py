@@ -157,7 +157,7 @@ def q42_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering step that turns pairwise near-dup hits into dedup
     groups. Oracle: DuckDB recursive-CTE transitive closure."""
     d = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    pairs = dedup.minhash_dedup_pairs(d, threshold=CLOSURE_JACCARD_THRESHOLD)
     out = dedup.dup_clusters(pairs)
     return dedup.keep_caches(
         out.select(F.col("id").alias("doc_id"), "cluster").orderBy("doc_id"),
@@ -170,7 +170,7 @@ def q43_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum-id member — the actual output of a dedup pipeline. Pair graph
     via the same LSH-candidate route as q42 (recall-certain at 0.8)."""
     d = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    pairs = dedup.minhash_dedup_pairs(d, threshold=CLOSURE_JACCARD_THRESHOLD)
     out = dedup.keep_canonical(d, pairs)
     return dedup.keep_caches(out.select("doc_id").orderBy("doc_id"), out)
 
@@ -1003,7 +1003,7 @@ def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own id) — the eval-contamination guard of a dedup pipeline.
     Pair graph via the recall-certain LSH route of q42."""
     d = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(d, threshold=0.8)
+    pairs = dedup.minhash_dedup_pairs(d, threshold=CLOSURE_JACCARD_THRESHOLD)
     out = dedup.leakage_safe_split(d, pairs, k=5)
     return dedup.keep_caches(out.orderBy("doc_id"), out)
 
@@ -1102,9 +1102,10 @@ _PII_TEXT_SQL = (
 )
 
 # Single source of truth for the closure family's pair threshold: the
+# q42/q43/q115 Spark implementations (minhash_dedup_pairs calls), the
 # recursive oracle CTE below AND tools/sf1_sweep.py's iterative union-find
-# substitute both derive from it, so a recalibration cannot silently
-# diverge the two ground truths.
+# substitute all derive from it, so a recalibration cannot silently
+# diverge the code under test from either ground truth.
 CLOSURE_JACCARD_THRESHOLD = 0.8
 
 _CLOSURE_CTE = (

@@ -236,13 +236,25 @@ def _cached_events_stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
         st = os.stat(src_path)
         if os.path.isdir(src_path):
             # directory-style parquet: the dir's own mtime misses in-place
-            # part-file rewrites that keep filenames — fingerprint the
-            # entries themselves (name, mtime, size), order-stable
-            fp = tuple(
-                (nm, int(s.st_mtime_ns), s.st_size)
-                for nm in sorted(os.listdir(src_path))
-                for s in [os.stat(os.path.join(src_path, nm))]
-            )
+            # part-file rewrites that keep filenames — fingerprint every
+            # FILE recursively (a partitioned layout nests part files in
+            # key= subdirs whose entry row wouldn't change either),
+            # order-stable via sorted walk
+            ents = []
+            for root, dirs, files in os.walk(src_path):
+                dirs.sort()
+                for nm in sorted(files):
+                    s = os.stat(os.path.join(root, nm))
+                    ents.append(
+                        (
+                            os.path.relpath(
+                                os.path.join(root, nm), src_path
+                            ),
+                            int(s.st_mtime_ns),
+                            s.st_size,
+                        )
+                    )
+            fp = tuple(ents)
         else:
             fp = (int(st.st_mtime_ns), st.st_size)
     except OSError:  # exotic/remote source: fall back to path-only keying

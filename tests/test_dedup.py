@@ -101,7 +101,8 @@ def test_blocked_hamming_multiblock_task_algebra(spark):
     df = spark.createDataFrame(rows, "doc_id long, simhash long")
     ids = df.selectExpr("doc_id AS id", "simhash AS _sig")
     out = _blocked_hamming_id_pairs(ids, 6, block_size=16)  # nb ~ 15
-    got = {(r.ida, r.idb): r.hamming for r in out.collect()}
+    collected = out.collect()
+    got = {(r.ida, r.idb): r.hamming for r in collected}
     want = {}
     for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
         if ia == ib:
@@ -110,6 +111,14 @@ def test_blocked_hamming_multiblock_task_algebra(spark):
         if h <= 6:
             want[(min(ia, ib), max(ia, ib))] = h
     assert got == want
+    # exact row count: each pair must be emitted by exactly ONE task — a
+    # wrong task key or role split that double-emits would vanish in the
+    # dict collapse above (the duplicated (5, sig) input row legitimately
+    # doubles id-5's cross pairs, so count those in)
+    n_expected = len(want) + sum(
+        1 for (a, b) in want if a == 5 or b == 5
+    )
+    assert len(collected) == n_expected
     assert all(a < b for a, b in got)  # strict: no self-loops
 
 

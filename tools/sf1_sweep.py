@@ -53,14 +53,17 @@ CLOSURE_QUERIES = (
 _PAIRS_CACHE: dict = {}
 
 
-def closure_oracle_df(con, name: str):
+def closure_oracle_df(con, name: str, cache_key=None):
     """Evaluate a recursive-closure oracle iteratively: the jac-pairs CTE
     (non-recursive) runs in DuckDB, the transitive closure runs as a
     Python union-find with min-label canonicalisation — exactly what the
     recursive cc/canon CTE computes (cluster = min doc_id reachable).
-    The pairs result is cached per connection: q42/q43/q115 share the
-    identical CTE, and at sf1 it costs minutes — paying it once per
-    sweep instead of three times."""
+    ``cache_key`` (the sweep passes its sf_dir) opts into caching the
+    pairs result: q42/q43/q115 share the identical CTE, and at sf1 it
+    costs minutes — paying it once per sweep instead of three times.
+    The key is caller-provided data identity, NOT id(con) (a reused
+    object address after GC would silently serve another dataset's
+    pairs); None (the default, and what tests use) disables caching."""
     import pandas as pd
 
     from fireworks_spark.queries_pipeline import (
@@ -68,15 +71,15 @@ def closure_oracle_df(con, name: str):
         _SHINGLES_CTE,
     )
 
-    ckey = id(con)
-    pairs = _PAIRS_CACHE.get(ckey)
+    pairs = _PAIRS_CACHE.get(cache_key) if cache_key is not None else None
     if pairs is None:
         pairs = con.sql(
             f"WITH {_SHINGLES_CTE} SELECT ida, idb FROM jac "
             f"WHERE jac >= {CLOSURE_JACCARD_THRESHOLD}"
         ).df()
-        _PAIRS_CACHE.clear()  # one sweep, one connection: bound the cache
-        _PAIRS_CACHE[ckey] = pairs
+        if cache_key is not None:
+            _PAIRS_CACHE.clear()  # one sweep, one fixture: bound the cache
+            _PAIRS_CACHE[cache_key] = pairs
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -146,24 +149,30 @@ def run_oracle_capped(con, sql: str, cap: float):
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     try:
-        df = con.sql(sql).df()
-        err = None
-    except Exception as exc:
-        if not fired.is_set():
-            done.set()
-            raise  # a genuine SQL error, not the watchdog's interrupt
-        df = None
-        err = f"oracle_capped after {cap:.0f}s ({type(exc).__name__})"
-    finally:
-        done.set()
-    w.join()  # watchdog is past its interrupt (or never fired) from here
-    if fired.is_set() and err is None:
-        # the cap fired in the gap after completion: swallow the pending
-        # interrupt so it cannot kill the next query on this connection
         try:
-            con.sql("SELECT 1").df()
-        except Exception:
-            pass
+            df = con.sql(sql).df()
+            err = None
+        except Exception as exc:
+            # capped iff the watchdog fired AND the exception is DuckDB's
+            # interrupt — a genuine SQL failure that happens to land after
+            # the cap (OOM at 910s) must NOT be reported as a time cap
+            if fired.is_set() and "Interrupt" in type(exc).__name__:
+                df = None
+                err = f"oracle_capped after {cap:.0f}s"
+            else:
+                raise
+    finally:
+        # runs on EVERY exit, including a genuine-error raise: stop the
+        # watchdog, wait until it is past its interrupt call, then absorb
+        # any interrupt that landed late so it cannot cancel the NEXT
+        # query on this shared connection
+        done.set()
+        w.join()
+        if fired.is_set():
+            try:
+                con.sql("SELECT 1").df()
+            except Exception:
+                pass
     return df, err
 
 
@@ -228,7 +237,7 @@ def main() -> None:
                 t1 = time.perf_counter()
                 capped = None
                 if name in CLOSURE_QUERIES and not args.recursive_closure:
-                    odf = closure_oracle_df(con, name)
+                    odf = closure_oracle_df(con, name, cache_key=args.sf_dir)
                     rec["oracle_mode"] = "iterative_closure"
                 elif args.oracle_cap > 0:
                     odf, capped = run_oracle_capped(
