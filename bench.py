@@ -95,20 +95,71 @@ def external_control_time(spark) -> float:
     return round(best, 3)
 
 
+def _py_control_batch(it):
+    """Fixed numpy kernel for python_control_time: XOR outer product +
+    uint16-plane reduction over 2048 ids — the same kernel class as the
+    suite's Arrow-heavy queries (blocked popcount), no repo imports."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        a = pdf["id"].to_numpy(np.int64).view(np.uint64)[:2048]
+        s = 0
+        for _ in range(3):
+            X = a[:, None] ^ a[None, :]
+            V = X.view(np.uint16).reshape(len(a), len(a), 4)
+            s += int(V.sum(dtype=np.int64))
+        yield pd.DataFrame({"s": [float(s)]})
+
+
+def python_control_time(spark) -> float:
+    """Seconds for a fixed PYTHON-WORKER workload that touches no repo
+    code (range -> Arrow -> numpy XOR/reduce in mapInPandas). The
+    JVM-only control cannot see this host's documented ASYMMETRIC
+    degradation (single-process numpy work degrades up to 16x while JVM
+    stages read ~1.2-2x): a window that spares the JVM while inflating
+    the Python-stage-heavy cohort would read as "code regression" under
+    a single-control rule, unfreeze aging, and mass-rebaseline records
+    upward — the exact failure INFLATION_RATIO exists to prevent. Both
+    controls must sit on their recorded floors before a cohort freeze is
+    overridden (resolve_freeze). Min of 3 reps."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 65_536, 1, 16).mapInPandas(
+            _py_control_batch, "s double"
+        ).agg({"s": "sum"}).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def resolve_freeze(
     cohort_inflated: bool,
     control_ratio: "float | None",
     streak: int,
     cap: int = FROZEN_RUNS_CAP,
     control_cut: float = CONTROL_INFLATION_RATIO,
+    py_control_ratio: "float | None" = None,
 ) -> "tuple[bool, int]":
-    """(freeze_aging, new_streak) from the cohort signature, the external
-    control's current/floor ratio (None when no floor exists yet), and
-    the consecutive-frozen-run streak carried in the record file."""
+    """(freeze_aging, new_streak) from the cohort signature, the two
+    external controls' current/floor ratios (None when no floor exists
+    yet), and the consecutive-frozen-run streak carried in the record
+    file. Overriding a cohort freeze ("it's code, age normally")
+    requires BOTH controls at record speed: the JVM control alone cannot
+    rule out a window that spares the JVM while degrading Python workers
+    16x (this host's measured asymmetry) — such a window would inflate
+    the Arrow-stage cohort, read the JVM control "at record speed", and
+    mass-rebaseline under a single-control rule. A missing floor fails
+    safe to freeze (bounded by the streak cap either way)."""
     if not cohort_inflated:
         return False, 0
-    if control_ratio is not None and control_ratio <= control_cut:
-        # the repo-independent control ran at record speed: the cohort
+    if (
+        control_ratio is not None
+        and control_ratio <= control_cut
+        and py_control_ratio is not None
+        and py_control_ratio <= control_cut
+    ):
+        # both repo-independent controls ran at record speed: the cohort
         # slowdown is code, not host — age normally so STALE_CAP can
         # re-baseline a deliberate change
         return False, 0
@@ -116,6 +167,33 @@ def resolve_freeze(
     if new_streak > cap:
         return False, new_streak  # persistent window = the new normal
     return True, new_streak
+
+
+def merge_control_floor(
+    floor: "float | None",
+    candidate: "float | None",
+    current: "float | None",
+    inflated: bool,
+) -> "tuple[float | None, float | None]":
+    """(floor, candidate) after folding in one run's control reading.
+    Min-merge is always safe once a floor exists (it only improves).
+    Bootstrapping needs more care: a floor first recorded during
+    degradation would make later degraded windows read as "record
+    speed" and invert the check, and the cohort signal is weakest
+    exactly at bootstrap (a 1.12x window passes the 1.15 gate). So the
+    floor only establishes as the MIN of TWO readings from separate
+    non-inflated runs (``candidate`` holds the first) — two independent
+    mild degradations both inflating the min is the residual risk, and
+    min-merge keeps repairing it after. Shared by both controls."""
+    if current is None:
+        return floor, candidate
+    if floor is not None:
+        return min(current, floor), candidate
+    if not inflated:
+        if candidate is not None:
+            return min(current, candidate), None
+        return None, current
+    return None, candidate
 
 
 def run_is_inflated(
@@ -223,9 +301,22 @@ def main() -> None:
         SF.transform(SF.split("n_name", ""), lambda w: SF.xxhash64(w))
     ).count()
     # fan across all cores: python workers are per-core and reused, so
-    # spawning the whole pool here keeps the first Arrow query honest
+    # spawning the whole pool here keeps the first Arrow query honest.
+    # The warm batch also pre-imports numpy and touches a tiny kernel in
+    # EVERY worker — an identity lambda spins the pool but leaves the
+    # first numpy-heavy query (q147 in driver order) paying the numpy
+    # import + BLAS/ufunc first-touch inside its timed window, which is
+    # why driver windows read it session-cold while same-session rep-2
+    # sits on the record (r14 verdict item #2).
+    def _warm_batch(it):
+        import numpy as _np
+
+        (_np.arange(256, dtype=_np.uint64)[:, None] ^ 1).sum()
+        for pdf in it:
+            yield pdf
+
     n.repartition(int(cpus) if str(cpus).isdigit() else 32).mapInPandas(
-        lambda it: it, n.schema
+        _warm_batch, n.schema
     ).count()
 
     from fireworks_spark.operators.dedup import release_caches
@@ -272,6 +363,8 @@ def main() -> None:
     prev_ages: dict[str, int] = {}
     prev_control: "float | None" = None
     prev_candidate: "float | None" = None
+    prev_py_control: "float | None" = None
+    prev_py_candidate: "float | None" = None
     prev_streak = 0
     try:
         with open(local_rec) as fh:
@@ -290,6 +383,12 @@ def main() -> None:
                 prev_control = float(rec_doc["control_floor"])
             if isinstance(rec_doc.get("control_candidate"), (int, float)):
                 prev_candidate = float(rec_doc["control_candidate"])
+            if isinstance(rec_doc.get("py_control_floor"), (int, float)):
+                prev_py_control = float(rec_doc["py_control_floor"])
+            if isinstance(
+                rec_doc.get("py_control_candidate"), (int, float)
+            ):
+                prev_py_candidate = float(rec_doc["py_control_candidate"])
             if isinstance(rec_doc.get("frozen_streak"), int):
                 prev_streak = rec_doc["frozen_streak"]
     except Exception:
@@ -332,48 +431,49 @@ def main() -> None:
     # control corroborates it, for at most FROZEN_RUNS_CAP runs in a row
     # (ADVICE r13 — resolve_freeze).
     inflated = run_is_inflated(prev, timings)
-    # the control runs EVERY run so its min-merged floor is established by
-    # quiet windows — a floor first recorded during a degraded window would
-    # make later degradation read as "record speed" and invert the check
+    # both controls run EVERY run so their min-merged floors are
+    # established by quiet windows — a floor first recorded during a
+    # degraded window would make later degradation read as "record
+    # speed" and invert the check (bootstrap rule: merge_control_floor)
     control = None
     control_ratio = None
+    py_control = None
+    py_control_ratio = None
     try:
         control = external_control_time(spark)
         if prev_control:
             control_ratio = control / prev_control
     except Exception:
         pass
-    freeze, streak = resolve_freeze(inflated, control_ratio, prev_streak)
+    try:
+        py_control = python_control_time(spark)
+        if prev_py_control:
+            py_control_ratio = py_control / prev_py_control
+    except Exception:
+        pass
+    freeze, streak = resolve_freeze(
+        inflated, control_ratio, prev_streak, py_control_ratio=py_control_ratio
+    )
     if inflated:
         print(
             f"[bench] sub-2s cohort reads uniformly inflated vs records; "
-            f"control={control}s ratio={control_ratio} streak={streak} -> "
+            f"jvm control={control}s ratio={control_ratio} "
+            f"py control={py_control}s ratio={py_control_ratio} "
+            f"streak={streak} -> "
             + (
                 "environmental window: aging frozen, minima still merge"
                 if freeze
-                else "NOT frozen (control at record speed, or streak cap "
-                "reached): aging proceeds"
+                else "NOT frozen (both controls at record speed, or "
+                "streak cap reached): aging proceeds"
             ),
             file=sys.stderr,
         )
-    if control is not None:
-        # min-merge is always safe once a floor exists (it only improves).
-        # Bootstrapping needs more care: a floor first recorded during
-        # degradation would make later degraded windows read as "record
-        # speed" and invert the check, and the cohort signal is weakest
-        # exactly at bootstrap (a 1.12x window passes the 1.15 gate). So
-        # the floor only establishes as the MIN of TWO readings from
-        # separate non-inflated runs (control_candidate holds the first)
-        # — two independent mild degradations both inflating the min is
-        # the residual risk, and min-merge keeps repairing it after.
-        if prev_control is not None:
-            prev_control = min(control, prev_control)
-        elif not inflated:
-            if prev_candidate is not None:
-                prev_control = min(control, prev_candidate)
-                prev_candidate = None
-            else:
-                prev_candidate = control
+    prev_control, prev_candidate = merge_control_floor(
+        prev_control, prev_candidate, control, inflated
+    )
+    prev_py_control, prev_py_candidate = merge_control_floor(
+        prev_py_control, prev_py_candidate, py_control, inflated
+    )
     rec_q, rec_age = merge_records(prev, prev_ages, timings, freeze_aging=freeze)
     rec_ok = [v for v in rec_q.values() if v is not None]
     try:  # regression reference for the next run's retime rule
@@ -388,6 +488,8 @@ def main() -> None:
                     "last_run_value": out["value"],
                     "control_floor": prev_control,
                     "control_candidate": prev_candidate,
+                    "py_control_floor": prev_py_control,
+                    "py_control_candidate": prev_py_candidate,
                     "frozen_streak": streak,
                     "sf": out["sf"],
                 },

@@ -16,6 +16,8 @@ all-pairs operators exist for verification and for small/medium tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1109,10 +1111,38 @@ def clear_routing_cache() -> None:
     _ROUTING_CACHE.clear()
 
 
+def _source_fingerprint(df: DataFrame):
+    """Best-effort identity of the DATA behind a plan: (path, mtime, size)
+    over the leaf scans' input files. semanticHash alone is a PLAN
+    identity — rewriting the same path in place (fixture regeneration
+    mid-session: same path, same plan, new bytes) keeps the hash while
+    changing the data, so a memoized sizing count would silently reuse a
+    stale D for block sizing and the quadratic guard — the same
+    stale-identity class the streaming stage cache closed with mtime
+    fingerprints. Bounded at 256 stat calls; the total file count always
+    folds in, so adding/removing files past the cap still changes the key.
+    None (non-file source, listing failure) degrades to the plan hash
+    alone — no worse than the pre-fingerprint behavior."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    sig: list = [len(files)]
+    for f in sorted(files)[:256]:
+        p = f[5:] if f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            sig.append((f, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((f, -1, -1))
+    return tuple(sig)
+
+
 def _routing_key(df: DataFrame, *shape):
     try:
         return (
             df._jdf.queryExecution().analyzed().semanticHash(),
+            _source_fingerprint(df),
         ) + shape
     except Exception:  # plan not hashable (foreign session internals)
         return None
@@ -1297,17 +1327,55 @@ def _blocked_hamming_id_pairs(
             if diag:
                 keep = A[ii] < B[jj]  # one order per pair, no diagonal
                 ii, jj = ii[keep], jj[keep]
-            la = pa["_ids"].to_numpy()
-            lb = pb["_ids"].to_numpy()
-            for i, j in zip(ii, jj):
-                xa = np.asarray(la[i], dtype=np.int64)
-                xb = np.asarray(lb[j], dtype=np.int64)
-                ea = np.repeat(xa, len(xb))
-                eb = np.tile(xb, len(xa))
+            if len(ii):
+                # Vectorized ragged cross-product of the surviving pairs'
+                # id lists. The obvious per-pair Python loop is a latent
+                # cliff in the dense-radius regime (max_hamming close to
+                # num_bits: most of the D^2 pairs survive and the loop,
+                # not the popcount, dominates task time — a cost the old
+                # join-based expansion never had). Instead: concatenate
+                # each side's id pool ONCE per task, then address every
+                # output row with arange/div/mod index arithmetic — a
+                # fixed handful of O(total-output) numpy ops regardless
+                # of how many pairs survive.
+                la = pa["_ids"].to_numpy()
+                lb = pb["_ids"].to_numpy()
+                lena = np.fromiter(
+                    (len(x) for x in la), dtype=np.int64, count=len(la)
+                )
+                lenb = np.fromiter(
+                    (len(x) for x in lb), dtype=np.int64, count=len(lb)
+                )
+                cat_a = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in la]
+                )
+                cat_b = (
+                    cat_a
+                    if diag
+                    else np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in lb]
+                    )
+                )
+                offs_a = np.zeros(len(la) + 1, dtype=np.int64)
+                np.cumsum(lena, out=offs_a[1:])
+                offs_b = np.zeros(len(lb) + 1, dtype=np.int64)
+                np.cumsum(lenb, out=offs_b[1:])
+                nb_p = lenb[jj]  # per-pair y-list length
+                counts = lena[ii] * nb_p
+                total = int(counts.sum())
+                pair_idx = np.repeat(np.arange(len(ii)), counts)
+                starts = np.zeros(len(ii), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    starts, counts
+                )
+                nb_rep = nb_p[pair_idx]
+                ea = cat_a[offs_a[ii][pair_idx] + within // nb_rep]
+                eb = cat_b[offs_b[jj][pair_idx] + within % nb_rep]
                 out_a.append(np.minimum(ea, eb))
                 out_b.append(np.maximum(ea, eb))
                 out_h.append(
-                    np.full(ea.size, int(H[i, j]), dtype=np.int32)
+                    np.repeat(H[ii, jj].astype(np.int32), counts)
                 )
         if not out_a:
             return pd.DataFrame(

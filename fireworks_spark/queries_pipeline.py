@@ -1004,7 +1004,7 @@ def q115_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair graph via the recall-certain LSH route of q42."""
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=CLOSURE_JACCARD_THRESHOLD)
-    out = dedup.leakage_safe_split(d, pairs, k=5)
+    out = dedup.leakage_safe_split(d, pairs, k=CLOSURE_SPLIT_K)
     return dedup.keep_caches(out.orderBy("doc_id"), out)
 
 
@@ -1107,6 +1107,13 @@ _PII_TEXT_SQL = (
 # substitute all derive from it, so a recalibration cannot silently
 # diverge the code under test from either ground truth.
 CLOSURE_JACCARD_THRESHOLD = 0.8
+
+# Same single-source-of-truth rule for q115's split modulus: the Spark
+# query (leakage_safe_split k=), its oracle SQL (% k) and
+# tools/sf1_sweep.py's union-find substitute all read this constant —
+# changing k in one place cannot silently diverge the sweep's ground
+# truth from the query under test.
+CLOSURE_SPLIT_K = 5
 
 _CLOSURE_CTE = (
     f"p AS (SELECT ida, idb FROM jac WHERE jac >= {CLOSURE_JACCARD_THRESHOLD}), "
@@ -1704,7 +1711,8 @@ PIPELINE_ORACLE = {
     "q115_leakage_safe_split": (
         f"WITH RECURSIVE {_SHINGLES_CTE}, {_CLOSURE_CTE} "
         "SELECT d.doc_id, "
-        "CAST(COALESCE(canon.cluster, d.doc_id) % 5 AS BIGINT) AS split "
+        f"CAST(COALESCE(canon.cluster, d.doc_id) % {CLOSURE_SPLIT_K} "
+        "AS BIGINT) AS split "
         "FROM documents d LEFT JOIN canon ON canon.id = d.doc_id "
         "ORDER BY d.doc_id"
     ),

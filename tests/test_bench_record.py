@@ -110,19 +110,58 @@ def test_deliberate_slowdown_still_rebaselines_on_quiet_runs():
 def test_resolve_freeze_control_corroboration():
     """ADVICE r13: the cohort signature alone can be faked by a code
     regression that uniformly slows fixed per-query work. The external
-    control (repo-independent) arbitrates: control inflated -> freeze;
-    control at record speed -> aging proceeds (code regression); no
-    floor yet -> trust the cohort signature (bootstrap)."""
+    controls (repo-independent) arbitrate: controls inflated -> freeze;
+    BOTH controls at record speed -> aging proceeds (code regression);
+    missing floor -> trust the cohort signature (bootstrap)."""
     # quiet run: never freeze, streak resets
     assert bench.resolve_freeze(False, 2.0, 5) == (False, 0)
-    # cohort + control both inflated: environmental, freeze, streak grows
-    assert bench.resolve_freeze(True, 1.8, 0) == (True, 1)
-    assert bench.resolve_freeze(True, 1.8, 3) == (True, 4)
-    # cohort inflated but control at record speed: code regression — the
-    # exact back door ADVICE r13 named — aging proceeds, streak resets
-    assert bench.resolve_freeze(True, 1.0, 3) == (False, 0)
+    # cohort + controls inflated: environmental, freeze, streak grows
+    assert bench.resolve_freeze(True, 1.8, 0, py_control_ratio=1.9) == (True, 1)
+    assert bench.resolve_freeze(True, 1.8, 3, py_control_ratio=1.9) == (True, 4)
+    # cohort inflated but BOTH controls at record speed: code regression
+    # — the exact back door ADVICE r13 named — aging proceeds
+    assert bench.resolve_freeze(True, 1.0, 3, py_control_ratio=1.05) == (
+        False,
+        0,
+    )
     # no control floor yet (first runs): cohort signature is trusted
     assert bench.resolve_freeze(True, None, 0) == (True, 1)
+
+
+def test_resolve_freeze_requires_both_controls():
+    """ADVICE r14: this host's degraded windows hit Python workers up to
+    16x while sparing the JVM ~2x. A window that leaves the JVM control
+    on its floor while inflating the Arrow-heavy cohort must STILL
+    freeze — the JVM control alone cannot rule out asymmetric
+    degradation; only both controls at record speed prove code."""
+    # JVM control at record speed but py control inflated: freeze holds
+    assert bench.resolve_freeze(True, 1.0, 0, py_control_ratio=3.0) == (True, 1)
+    # JVM control at record speed, py floor not bootstrapped: fail safe
+    assert bench.resolve_freeze(True, 1.0, 0, py_control_ratio=None) == (
+        True,
+        1,
+    )
+    # inverse asymmetry (py quiet, JVM inflated): also freeze
+    assert bench.resolve_freeze(True, 2.0, 0, py_control_ratio=1.0) == (True, 1)
+
+
+def test_merge_control_floor_bootstrap():
+    """The floor establishes only as the MIN of TWO readings from
+    separate non-inflated runs; once it exists, min-merge always
+    applies (including on inflated runs — a faster reading only
+    improves the floor)."""
+    # first quiet reading: candidate only, no floor yet
+    assert bench.merge_control_floor(None, None, 1.2, False) == (None, 1.2)
+    # second quiet reading: floor = min of the two, candidate cleared
+    assert bench.merge_control_floor(None, 1.2, 1.4, False) == (1.2, None)
+    # inflated run never bootstraps (candidate survives untouched)
+    assert bench.merge_control_floor(None, 1.2, 9.0, True) == (None, 1.2)
+    assert bench.merge_control_floor(None, None, 9.0, True) == (None, None)
+    # established floor min-merges on any run, inflated or not
+    assert bench.merge_control_floor(1.2, None, 1.1, True) == (1.1, None)
+    assert bench.merge_control_floor(1.2, None, 5.0, False) == (1.2, None)
+    # failed control read: everything carries through
+    assert bench.merge_control_floor(1.2, None, None, False) == (1.2, None)
 
 
 def test_resolve_freeze_streak_cap():

@@ -68,6 +68,7 @@ def closure_oracle_df(con, name: str, cache_key=None):
 
     from fireworks_spark.queries_pipeline import (
         CLOSURE_JACCARD_THRESHOLD,
+        CLOSURE_SPLIT_K,
         _SHINGLES_CTE,
     )
 
@@ -116,7 +117,8 @@ def closure_oracle_df(con, name: str, cache_key=None):
         return docs[~docs["doc_id"].isin(non_canon)].reset_index(drop=True)
     if name == "q115_leakage_safe_split":
         split = [
-            int(cluster.get(int(i), int(i))) % 5 for i in docs["doc_id"]
+            int(cluster.get(int(i), int(i))) % CLOSURE_SPLIT_K
+            for i in docs["doc_id"]
         ]
         return pd.DataFrame(
             {
@@ -201,6 +203,13 @@ def main() -> None:
         help="evaluate q42/q43/q115 with the pure recursive-CTE SQL "
         "instead of the iterative pairs+union-find default",
     )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="load --out if it exists and skip queries already recorded "
+        "OK there (failed/capped ones re-run) — lets a long sweep be "
+        "paused (e.g. to free the host for a bench pass) and picked "
+        "back up without redoing finished work",
+    )
     args = ap.parse_args()
 
     from fireworks_spark.oracle import compare, duckdb_connect
@@ -223,8 +232,20 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     total = 0.0
+    if args.resume and os.path.exists(args.out):
+        try:
+            with open(args.out) as fh:
+                prior = json.load(fh)
+            for k, r in (prior.get("queries") or {}).items():
+                if r.get("ok") and k in QUERIES:
+                    results[k] = r
+                    total += r.get("spark_sec", 0.0)
+            print(f"[resume] carrying {len(results)} OK queries from "
+                  f"{args.out}", flush=True)
+        except Exception as exc:  # unreadable checkpoint: start fresh
+            print(f"[resume] could not load {args.out}: {exc}", flush=True)
     for name, fn in QUERIES.items():
-        if not picked(name):
+        if not picked(name) or name in results:
             continue
         rec: dict = {}
         t0 = time.perf_counter()
@@ -278,10 +299,23 @@ def main() -> None:
     print(f"\n{ok}/{len(results)} ok, {total:.0f}s spark total -> {args.out}")
 
 
+def _sf_of(sf_dir: str) -> "float | None":
+    """sf parsed from the fixture dir name (testdata_sf1 -> 1, sf0.1 ->
+    0.1) — hardcoding 1 left SWEEP_SF3.json carrying '"sf": 1' with an
+    sf3 sf_dir (VERDICT r14 nit #4)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(os.path.normpath(sf_dir)))
+    if not m:
+        return None
+    v = float(m.group(1))
+    return int(v) if v == int(v) else v
+
+
 def _write(args, results: dict, total: float, partial: bool) -> None:
     ok = sum(1 for r in results.values() if r["ok"])
     out = {
-        "sf": 1, "sf_dir": args.sf_dir, "master": args.master,
+        "sf": _sf_of(args.sf_dir), "sf_dir": args.sf_dir, "master": args.master,
         "shuffle_partitions": args.shuffle,
         "ok": ok, "checked": len(results),
         "total_spark_sec": round(total, 1),
