@@ -44,34 +44,43 @@ def simhash64_jvm(
     from fireworks_spark.functions.text import words
     from fireworks_spark.operators.spread import spread
 
+    import functools
+
     hashed = spread(df).select(
         id_col,
         F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("_th"),
     )
-    bits = F.sequence(F.lit(0), F.lit(63))
+    # One fold over the token array, carrying all 64 per-bit set-counts
+    # in an array<int> accumulator; bit positions are unrolled statically
+    # because shiftleft/shiftrightunsigned take only literal shift
+    # amounts in the DataFrame API.
     cnts = F.aggregate(
         F.col("_th"),
-        F.transform(bits, lambda _: F.lit(0)),
-        lambda acc, h: F.zip_with(
-            acc,
-            bits,
-            lambda c, b: c
-            + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, h: F.array(
+            *[
+                acc[b]
+                + F.shiftrightunsigned(h, b)
+                .bitwiseAND(F.lit(1))
+                .cast("int")
+                for b in range(64)
+            ]
         ),
     )
     n = F.size("_th")
-    sig = F.aggregate(
-        F.zip_with(
-            cnts,
-            bits,
-            lambda c, b: F.when(
-                c * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
+    sig = functools.reduce(
         lambda a, x: a.bitwiseOR(x),
+        [
+            F.when(
+                F.col("_c")[b] * 2 > n,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
     )
-    return hashed.select(id_col, sig.alias("simhash"))
+    return hashed.withColumn("_c", cnts).select(
+        id_col, sig.alias("simhash")
+    )
 
 
 def main() -> None:
