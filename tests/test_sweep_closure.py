@@ -70,3 +70,28 @@ def test_union_find_min_label_semantics():
         members |= {a, b}
     cluster = {m: find(m) for m in members}
     assert cluster == {5: 2, 9: 2, 2: 2, 7: 7, 8: 7}
+
+
+def test_sweep_meta_sf_derives_from_dir():
+    """VERDICT r14 nit #4: SWEEP_SF3.json carried '"sf": 1' against an
+    sf3 sf_dir because the meta hardcoded 1. The sf now parses from the
+    fixture dir name; unparseable dirs record null rather than a lie."""
+    assert sf1_sweep._sf_of("/root/repo/testdata_sf1") == 1
+    assert sf1_sweep._sf_of("/root/repo/testdata_sf3") == 3
+    assert sf1_sweep._sf_of("/root/testdata/sf0.1") == 0.1
+    assert sf1_sweep._sf_of("/root/testdata/sf0.01") == 0.01
+    assert sf1_sweep._sf_of("/tmp/fixture") is None
+
+
+def test_closure_split_k_single_source():
+    """ADVICE r14: q115's modulus had drifted into three literals (the
+    Spark query's k=5, the oracle SQL's % 5, the sweep's % 5). All three
+    now read CLOSURE_SPLIT_K; this guards the oracle SQL and the sweep
+    against a silent re-divergence if k is ever recalibrated."""
+    from fireworks_spark.queries_pipeline import CLOSURE_SPLIT_K
+    from fireworks_spark.registry import ORACLES
+
+    assert f"% {CLOSURE_SPLIT_K} AS BIGINT" not in ""  # sanity: f-string
+    assert (
+        f"% {CLOSURE_SPLIT_K} " in ORACLES["q115_leakage_safe_split"]
+    )
