@@ -7,7 +7,6 @@ engine path end-to-end."""
 from __future__ import annotations
 
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,7 +18,7 @@ from fireworks_spark.tables import table
 def q68_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events as a stream; 1-hour tumbling windows with a 2-hour
     watermark; drain with availableNow into a memory sink and return it."""
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = streaming.scratch_dir("fw_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     name = f"q68_{uuid.uuid4().hex[:8]}"
     try:
@@ -37,7 +36,7 @@ def q69_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 hour every 15 minutes) through the real streaming
     engine: each event lands in 4 overlapping windows. Oracle: replicate
     each event into its 4 slide buckets with a range cross join."""
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = streaming.scratch_dir("fw_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     name = f"q69_{uuid.uuid4().hex[:8]}"
     try:
@@ -268,7 +267,7 @@ def _cached_events_stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
     # coalesce(1) write cost; every stream declares a column subset of
     # what remains
     src = table(spark, sf_dir, "events").drop("props")
-    root = tempfile.mkdtemp(prefix="fw_stagecache_")
+    root = streaming.scratch_dir("fw_stagecache_")
     _STAGE_CACHE_ROOTS.append(root)
     if kind == "rep3":
         stage = root + "/staged"
@@ -341,7 +340,7 @@ def q166_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     import os
 
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = streaming.scratch_dir("fw_stream_")
     name = f"q166_{uuid.uuid4().hex[:8]}"
     try:
         stage = os.path.join(d, "staged")
@@ -421,7 +420,7 @@ def q168_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = streaming.scratch_dir("fw_stream_")
     try:
         staged = os.path.join(d, "staged")
         docs.filter(F.col("doc_id") % 2 == 1).repartition(2).write.parquet(
@@ -458,7 +457,7 @@ def q169_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     proves the merge keeps the LATEST running total per (bucket, key)."""
     import os
 
-    d = tempfile.mkdtemp(prefix="fw_stream_")  # per-run rollup table only
+    d = streaming.scratch_dir("fw_stream_")  # per-run rollup table only
     try:
         stage = _cached_events_stage(spark, sf_dir, "slices3")
         tbl = os.path.join(d, "rollup")
@@ -494,13 +493,18 @@ def q170_stream_normalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxFilesPerTrigger", "1"
     ).parquet(staged)
     sn = streaming.StreamingNormalizer(["value"])
-    q = (
-        stream.writeStream.foreachBatch(sn.foreach_batch())
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ck = streaming.scratch_dir("fw_ck_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sn.foreach_batch())
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     return (
         sn.forward(src)
         .select(
@@ -530,7 +534,7 @@ def q172_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
     )
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = streaming.scratch_dir("fw_stream_")
     name = f"q172_{uuid.uuid4().hex[:8]}"
     try:
         stage = os.path.join(d, "staged")
@@ -593,7 +597,7 @@ def q173_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 93 == 0)
     corpus = docs.filter(F.col("doc_id") % 93 != 0)
-    d = tempfile.mkdtemp(prefix="fw_stream_")
+    d = streaming.scratch_dir("fw_stream_")
     name = f"q173_{uuid.uuid4().hex[:8]}"
     try:
         staged = os.path.join(d, "staged")
@@ -632,7 +636,7 @@ def q174_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    d = tempfile.mkdtemp(prefix="fw_stream_")  # per-run stage/ck/out only
+    d = streaming.scratch_dir("fw_stream_")  # per-run stage/ck/out only
     try:
         allp = _cached_events_stage(spark, sf_dir, "rep3")
         parts = sorted(

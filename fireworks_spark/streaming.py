@@ -210,19 +210,57 @@ def interval_join_stream(
     ).select("k", "l_event", "r_event", "l_ts", "r_ts")
 
 
+def scratch_dir(prefix: str = "fw_stream_") -> str:
+    """Ephemeral scratch directory for replay staging and availableNow
+    checkpoints: prefers a RAM-backed tmpfs when one is mounted, because
+    the streaming commit path fsyncs every offset/commit/state-delta file
+    and this host's ext4 charges ~9 ms per fsynced file vs ~0.1 ms on
+    tmpfs (measured r15) — dozens of such files per replay made the
+    checkpoint filesystem, not the computation, a dominant term of every
+    small-fixture replay. Override with ``FIREWORKS_SCRATCH_DIR``; falls
+    back to the normal tempdir when no tmpfs exists.
+
+    Scale note: this is the test/dev replay analog of pointing Spark's
+    local scratch at fast local disk (guide §6 file layout). DURABLE
+    production checkpoints must stay on storage that survives the
+    machine (object store / HDFS) — a restartable deployment passes its
+    own checkpointLocation, as q174's restart harness does."""
+    import os
+    import tempfile
+
+    base = os.environ.get("FIREWORKS_SCRATCH_DIR")
+    if base is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        base = "/dev/shm"
+    if base is not None and not os.path.isdir(base):
+        base = None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:
     """Drain an availableNow stream into an in-memory table (test/dev sink):
-    processes everything currently available, then stops."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    processes everything currently available, then stops. The throwaway
+    checkpoint lives in :func:`scratch_dir` (tmpfs when available) — with
+    no explicit location Spark would put it under java.io.tmpdir on the
+    slow-fsync filesystem."""
+    import shutil
+
+    ck = scratch_dir("fw_ck_")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 def stateful_running_totals(
@@ -666,13 +704,20 @@ def dedup_stream_against(
             "append"
         ).parquet(out_path)
 
-    q = (
-        stream.writeStream.foreachBatch(fb)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    import shutil
+
+    ck = scratch_dir("fw_ck_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     corpus_sets.unpersist()
     corpus_bands.unpersist()
 
@@ -828,10 +873,15 @@ def maintain_rollup_table(
         os.rename(tmp, table_path)
         shutil.rmtree(old, ignore_errors=True)
 
-    q = (
-        agg.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ck = scratch_dir("fw_ck_")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
