@@ -898,20 +898,20 @@ def lsh_bands(
     """(id, band_idx, band_key): one row per band, key = hash of the band's
     signature slice. Docs colliding on (band_idx, band_key) are candidates."""
     num_bands = num_hashes // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_key"),
-            )
-            for b in range(num_bands)
-        ]
+    # One selectExpr + inline() instead of a py4j loop building num_bands
+    # struct Columns and a two-step explode/extract (~0.25s of driver
+    # chatter per call at 16 bands, r15): identical band keys
+    # (xxhash64 over the same h-columns), identical output schema.
+    structs = ", ".join(
+        "struct({b} AS band_idx, xxhash64({hs}) AS band_key)".format(
+            b=b,
+            hs=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
     )
-    return sig.select(id_col, F.explode(bands).alias("bd")).select(
-        id_col, F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_key").alias("band_key")
-    )
+    return sig.selectExpr(id_col, f"inline(array({structs}))")
 
 
 def minhash_lsh_candidates(
@@ -2506,18 +2506,19 @@ def minhash_signatures_rowwise(
     The shingle array is materialized by shingle_sets' projection first, so
     the tokenizer runs once per doc, not once per (doc, hash)."""
     sets = shingle_sets(df, id_col, text_col, n)
-
-    def _hash_k(k: int):
-        # NOT `lambda s, k=k: ...`: pyspark reads the lambda's arity, and a
-        # two-parameter lambda becomes an (element, index) HOF lambda — the
-        # default arg would silently receive the array index.
-        return lambda s: F.xxhash64(F.lit(k), s)
-
+    # SQL strings, not a Column-building loop: each F.xxhash64/F.transform/
+    # F.array_min call is a py4j round-trip, and k of them per hash made
+    # CONSTRUCTING this projection cost ~0.45s at k=32 — comparable to
+    # executing it at sf0.1 (measured r15; the selectExpr form is ~0.13s,
+    # one py4j call, JVM-side parse). The parsed expressions are the exact
+    # DSL equivalents: xxhash64(<int literal k>, shingle) under array_min,
+    # so signatures stay bit-identical (asserted by test_dedup's
+    # rowwise-vs-groupBy parity and the portable-hash tests).
     sig = [
-        F.array_min(F.transform("shingles", _hash_k(k))).alias(f"h{k}")
+        f"array_min(transform(shingles, s -> xxhash64({k}, s))) AS h{k}"
         for k in range(num_hashes)
     ]
-    return sets.select(id_col, *sig)
+    return sets.selectExpr(id_col, *sig)
 
 
 def substring_dedup(

@@ -9,6 +9,8 @@ round-tripped in tests/test_database.py against a tmpdir copy.
 
 from __future__ import annotations
 
+from fireworks_spark.scratch import scratch_dir as _scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,14 +72,13 @@ def q114_feather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks against the original parquet, so any loss or corruption in the
     custom source/sink surfaces as a value mismatch."""
     import shutil
-    import tempfile
 
     from fireworks_spark.io_formats import read_feather, write_feather
 
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    d = tempfile.mkdtemp(prefix="fw_feather_")
+    d = _scratch_dir(prefix="fw_feather_")
     try:
         write_feather(c.repartition(4), d)
         back = read_feather(spark, d)
@@ -105,14 +106,13 @@ def q116_stata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec loss (Stata downcasts small ints, strL strings) surfaces as a
     value mismatch."""
     import shutil
-    import tempfile
 
     from fireworks_spark.edge_formats import read_stata, write_stata
 
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    d = tempfile.mkdtemp(prefix="fw_stata_")
+    d = _scratch_dir(prefix="fw_stata_")
     try:
         write_stata(c.repartition(4), d)
         back = read_stata(spark, d)
@@ -139,14 +139,13 @@ def q133_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-encoding loss (escaping, float text round-trip, null cells,
     integer typing) surfaces as a value mismatch."""
     import shutil
-    import tempfile
 
     from fireworks_spark.edge_formats import read_excel, write_excel
 
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    d = tempfile.mkdtemp(prefix="fw_xlsx_")
+    d = _scratch_dir(prefix="fw_xlsx_")
     try:
         write_excel(c.repartition(4), d)
         back = read_excel(spark, d)
@@ -172,14 +171,13 @@ def q141_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet. Any encode/decode loss (int widths, float64 bits, utf-8)
     surfaces as a value mismatch."""
     import shutil
-    import tempfile
 
     from fireworks_spark.edge_formats import read_msgpack, write_msgpack
 
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    d = tempfile.mkdtemp(prefix="fw_msgpack_")
+    d = _scratch_dir(prefix="fw_msgpack_")
     try:
         write_msgpack(c.repartition(4), d)
         back = read_msgpack(spark, d)
@@ -204,7 +202,6 @@ def q117_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write→escape→parse→unescape loop bit-exact; the oracle recomputes the
     same synthetic column from the original parquet."""
     import shutil
-    import tempfile
 
     from fireworks_spark.edge_formats import read_html_tables, write_html
 
@@ -213,7 +210,7 @@ def q117_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.concat(F.lit('<&>"\''), F.col("c_name")).alias("marked"),
     )
-    d = tempfile.mkdtemp(prefix="fw_html_")
+    d = _scratch_dir(prefix="fw_html_")
     try:
         write_html(c.repartition(4), d)
         back = read_html_tables(spark, d, schema="c_custkey bigint")
@@ -239,10 +236,9 @@ def q118_transaction_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the final state from the original parquet — proving both the
     composition semantics and that the commit published everything."""
     import shutil
-    import tempfile
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    d = tempfile.mkdtemp(prefix="fw_txn_")
+    d = _scratch_dir(prefix="fw_txn_")
     path = f"{d}/t"
     try:
         c.write.parquet(path)
@@ -283,7 +279,6 @@ def q121_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows from the raw table, so any parse drift (header split, sequence
     reassembly) is a value mismatch."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_fasta
 
@@ -296,7 +291,7 @@ def q121_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.md5(F.col("text").cast("binary"))),
         ).alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="fw_fasta_")
+    tmp = _scratch_dir(prefix="fw_fasta_")
     path = f"{tmp}/fa"
     try:
         fa.repartition(8).write.text(path)
@@ -322,7 +317,6 @@ def q177_qual_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scores arithmetically, so any parse drift (tokenization, int cast,
     line joining) is a value mismatch."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_qual
 
@@ -339,7 +333,7 @@ def q177_qual_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") % 60).cast("string"),
         ).alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="fw_qual_")
+    tmp = _scratch_dir(prefix="fw_qual_")
     path = f"{tmp}/qv"
     try:
         qa.repartition(8).write.text(path)
@@ -365,7 +359,6 @@ def q178_pir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     second-line-description rule and terminator stripping are all
     value-checked."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_pir
 
@@ -381,7 +374,7 @@ def q178_pir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("*"),
         ).alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="fw_pir_")
+    tmp = _scratch_dir(prefix="fw_pir_")
     path = f"{tmp}/pv"
     try:
         pa.repartition(8).write.text(path)
@@ -409,7 +402,6 @@ def q179_phylip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle re-derives the same rows, so header counting, 10-column
     name slicing and site reassembly are all value-checked."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_phylip, write_phylip
 
@@ -418,7 +410,7 @@ def q179_phylip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("ids"),
         F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_phy_")
+    tmp = _scratch_dir(prefix="fw_phy_")
     path = f"{tmp}/phy"
     try:
         write_phylip(src.repartition(8), path)
@@ -442,7 +434,6 @@ def q180_clustal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO blocks and chunk reassembly is exercised), one alignment file per
     partition, re-read with the file-parallel parse."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_clustal, write_clustal
 
@@ -451,7 +442,7 @@ def q180_clustal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("ids"),
         F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_aln_")
+    tmp = _scratch_dir(prefix="fw_aln_")
     path = f"{tmp}/aln"
     try:
         write_clustal(src.repartition(8), path, wrap=20)
@@ -475,7 +466,6 @@ def q182_stockholm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment file per partition, re-read with the file-parallel parse —
     descriptions value-checked alongside the sequences."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_stockholm, write_stockholm
 
@@ -487,7 +477,7 @@ def q182_stockholm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "descriptions"
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_sto_")
+    tmp = _scratch_dir(prefix="fw_sto_")
     path = f"{tmp}/sto"
     try:
         write_stockholm(src.repartition(8), path, desc_col="descriptions")
@@ -512,7 +502,6 @@ def q183_nexus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read with the comment-stripping, quote-aware file-parallel
     parse."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_nexus, write_nexus
 
@@ -521,7 +510,7 @@ def q183_nexus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("ids"),
         F.upper(F.md5(F.col("text").cast("binary"))).alias("sequences"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_nex_")
+    tmp = _scratch_dir(prefix="fw_nex_")
     path = f"{tmp}/nex"
     try:
         write_nexus(src.repartition(8), path)
@@ -546,7 +535,6 @@ def q185_ig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     descriptions, one record stream per partition, re-read with the
     file-parallel parse."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_ig, write_ig
 
@@ -558,7 +546,7 @@ def q185_ig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "descriptions"
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_ig_")
+    tmp = _scratch_dir(prefix="fw_ig_")
     path = f"{tmp}/ig"
     try:
         write_ig(src.repartition(8), path, desc_col="descriptions")
@@ -583,7 +571,6 @@ def q186_phd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-parallel parse — both the sequence and every per-base score are
     value-checked (qualities space-joined for the oracle compare)."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_phd, write_phd
 
@@ -596,7 +583,7 @@ def q186_phd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: ((F.col("doc_id") + x) % 60).cast("int"),
         ).alias("qualities"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_phd_")
+    tmp = _scratch_dir(prefix="fw_phd_")
     path = f"{tmp}/phd"
     try:
         write_phd(src.repartition(8), path, qual_col="qualities")
@@ -622,7 +609,6 @@ def q187_pdb_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-chain entries with 4-digit idCodes, re-read by the
     fixed-column SEQRES parse; ids '<IDCODE>:A' map back to doc_id."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_pdb_seqres, write_pdb_seqres
 
@@ -644,7 +630,7 @@ def q187_pdb_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "GHIKLMNPQRS",
         ).alias("sequences"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_pdb_")
+    tmp = _scratch_dir(prefix="fw_pdb_")
     path = f"{tmp}/pdb"
     try:
         write_pdb_seqres(src.repartition(4), path)
@@ -671,7 +657,6 @@ def q188_nib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercising the soft-mask bit on every lowercase base — written as
     2-bases-per-byte binaries, re-read with the nibble decode."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_nib, write_nib
 
@@ -684,7 +669,7 @@ def q188_nib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ACGTNacgtnACGTNa",
         ).alias("sequences"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_nib_")
+    tmp = _scratch_dir(prefix="fw_nib_")
     path = f"{tmp}/nib"
     try:
         write_nib(src.repartition(4), path)
@@ -707,7 +692,6 @@ def q189_seqxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('<' '&' '\"' all present, exercising escape/unescape), one document
     per partition, re-read with the file-parallel XML parse."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_seqxml, write_seqxml
 
@@ -720,7 +704,7 @@ def q189_seqxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('> & "x"'),
         ).alias("descriptions"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_sxml_")
+    tmp = _scratch_dir(prefix="fw_sxml_")
     path = f"{tmp}/sxml"
     try:
         write_seqxml(src.repartition(8), path, desc_col="descriptions")
@@ -746,7 +730,6 @@ def q190_twobit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-file-per-record cap, so the full table roundtrips), re-read with
     the 2-bit unpack + block overlay."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_twobit, write_twobit
 
@@ -759,7 +742,7 @@ def q190_twobit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ACGTNacgtnACGTNa",
         ).alias("sequences"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_2bit_")
+    tmp = _scratch_dir(prefix="fw_2bit_")
     path = f"{tmp}/tb"
     try:
         write_twobit(src.repartition(8), path)
@@ -783,7 +766,6 @@ def q191_uniprot_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized from documents, one namespaced document per partition,
     re-read with the namespace-agnostic file-parallel parse."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_uniprot_xml, write_uniprot_xml
 
@@ -798,7 +780,7 @@ def q191_uniprot_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('> & "x"'),
         ).alias("descriptions"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_up_")
+    tmp = _scratch_dir(prefix="fw_up_")
     path = f"{tmp}/up"
     try:
         write_uniprot_xml(
@@ -830,7 +812,6 @@ def q192_cif_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto 16 amino-acid letters, re-read via the CIF tokenizer +
     _entity_poly_seq x _struct_asym join."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_cif_seqres, write_cif_seqres
 
@@ -843,7 +824,7 @@ def q192_cif_seqres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "GHIKLMNPQRS",
         ).alias("sequences"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_cif_")
+    tmp = _scratch_dir(prefix="fw_cif_")
     path = f"{tmp}/cif"
     try:
         write_cif_seqres(src.repartition(8), path)
@@ -869,7 +850,6 @@ def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts, re-read with the whole-file 4-line-group parse. Every record's
     id, sequence and quality string is value-checked."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_fastq
 
@@ -885,7 +865,7 @@ def q122_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             h,
         ).alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="fw_fastq_")
+    tmp = _scratch_dir(prefix="fw_fastq_")
     path = f"{tmp}/fq"
     try:
         # several part files -> the wholetext FASTQ read gets one task per
@@ -911,14 +891,13 @@ def q123_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original parquet — exercises the second columnar format end-to-end
     through the driver's value gate."""
     import shutil
-    import tempfile
 
     from fireworks_spark.io_formats import read_table, write_table
 
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    d = tempfile.mkdtemp(prefix="fw_orc_")
+    d = _scratch_dir(prefix="fw_orc_")
     path = f"{d}/t"
     try:
         write_table(c, path, "orc")
@@ -943,7 +922,6 @@ def q124_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (commas, quotes) ride along via a synthetic column, so the
     quote/escape handling is part of what the oracle checks."""
     import shutil
-    import tempfile
 
     from fireworks_spark.io_formats import read_table, write_table
 
@@ -953,7 +931,7 @@ def q124_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.concat(F.lit('a,"b",'), F.col("c_name")).alias("tricky"),
     )
-    d = tempfile.mkdtemp(prefix="fw_csv_")
+    d = _scratch_dir(prefix="fw_csv_")
     path = f"{d}/t"
     try:
         write_table(c, path, "csv")
@@ -988,7 +966,6 @@ def q125_genbank_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, so id precedence (VERSION), name (LOCUS) and sequence
     reassembly are all value-checked."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_genbank
 
@@ -1011,7 +988,7 @@ def q125_genbank_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(seq, 17, 16),
         F.lit("\n//"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_gb_")
+    tmp = _scratch_dir(prefix="fw_gb_")
     path = f"{tmp}/gb"
     try:
         d.select(rec.alias("value")).repartition(8).write.text(path)
@@ -1041,7 +1018,6 @@ def q144_embl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedence (accession.SV), entry name, folded DE lines, dbxrefs and
     sequence reassembly are all oracle-checked."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_embl
 
@@ -1064,7 +1040,7 @@ def q144_embl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(seq, 17, 16),
         F.lit("        32\n//"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_embl_")
+    tmp = _scratch_dir(prefix="fw_embl_")
     path = f"{tmp}/embl"
     try:
         d.select(rec.alias("value")).repartition(8).write.text(path)
@@ -1095,7 +1071,6 @@ def q171_swiss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped) and letters-only sequence reassembly are all
     oracle-checked."""
     import shutil
-    import tempfile
 
     from fireworks_spark.sources import read_swiss
 
@@ -1118,7 +1093,7 @@ def q171_swiss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(seq, 17, 16),
         F.lit("\n//"),
     )
-    tmp = tempfile.mkdtemp(prefix="fw_swiss_")
+    tmp = _scratch_dir(prefix="fw_swiss_")
     path = f"{tmp}/swiss"
     try:
         d.select(rec.alias("value")).repartition(8).write.text(path)
@@ -1145,7 +1120,6 @@ def q126_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote-bearing strings survive the JSON escaping loop; aggregated
     against the original parquet."""
     import shutil
-    import tempfile
 
     from fireworks_spark.io_formats import read_table, write_table
 
@@ -1155,7 +1129,7 @@ def q126_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.concat(F.lit('q"uo\\te '), F.col("c_name")).alias("tricky"),
     )
-    d = tempfile.mkdtemp(prefix="fw_json_")
+    d = _scratch_dir(prefix="fw_json_")
     path = f"{d}/t"
     try:
         write_table(c, path, "json")
@@ -1273,14 +1247,13 @@ def q156_sparse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the original parquet — any codec loss (dtype downcast,
     dropped triplets, shape truncation) surfaces as a value mismatch."""
     import shutil
-    import tempfile
 
     from fireworks_spark.edge_formats import read_sparse, write_sparse
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    d = tempfile.mkdtemp(prefix="fw_sparse_")
+    d = _scratch_dir(prefix="fw_sparse_")
     try:
         write_sparse(
             o.repartition(4), d, "o_orderkey", "o_custkey", "o_totalprice"
@@ -1310,14 +1283,13 @@ def q181_sparse_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     flip the aggregate hash). Same oracle as q156: the original parquet
     re-derives the aggregate."""
     import shutil
-    import tempfile
 
     from fireworks_spark.edge_formats import read_sparse, write_sparse
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    d = tempfile.mkdtemp(prefix="fw_sparse_m_")
+    d = _scratch_dir(prefix="fw_sparse_m_")
     try:
         write_sparse(
             o.filter(F.col("o_orderkey") % 2 == 0).repartition(2),

@@ -62,6 +62,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if "spark.sql.warehouse.dir" not in (extra_conf or {}):
+        # catalog-table writes (bucketed joins, saveAsTable round-trips)
+        # are throwaway on the test rig — park the warehouse on the fast
+        # scratch filesystem (tmpfs when mounted; ~9ms/fsynced-file ext4
+        # penalty otherwise, see fireworks_spark/scratch.py). Applies only
+        # when THIS builder creates the session; a production deployment
+        # sets a durable warehouse here or via extra_conf.
+        from fireworks_spark.scratch import scratch_dir
+
+        builder = builder.config(
+            "spark.sql.warehouse.dir", scratch_dir("fw_warehouse_")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -225,17 +225,9 @@ def scratch_dir(prefix: str = "fw_stream_") -> str:
     production checkpoints must stay on storage that survives the
     machine (object store / HDFS) — a restartable deployment passes its
     own checkpointLocation, as q174's restart harness does."""
-    import os
-    import tempfile
+    from fireworks_spark.scratch import scratch_dir as _sd
 
-    base = os.environ.get("FIREWORKS_SCRATCH_DIR")
-    if base is None and os.path.isdir("/dev/shm") and os.access(
-        "/dev/shm", os.W_OK
-    ):
-        base = "/dev/shm"
-    if base is not None and not os.path.isdir(base):
-        base = None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return _sd(prefix)
 
 
 def run_to_memory(
