@@ -2257,9 +2257,13 @@ def dup_clusters(
     """Connected components over an undirected dup-pair edge list ->
     (id, cluster) where cluster = the minimum id in the component.
 
-    Two regimes, picked by the materialized edge count:
-    - |edges| <= local_edge_limit: driver-side union-find over the
-      collected edge list. A dedup pair graph is tiny relative to its
+    Two regimes, picked by the materialized pair count (2x pairs vs
+    ``local_edge_limit``, i.e. the directed-edge bound the propagation
+    regime would see; duplicate pairs count conservatively toward the
+    limit):
+    - small: driver-side union-find over the collected pair list
+      (direction- and duplicate-insensitive, so the pairs are collected
+      raw — no explode/distinct shuffle). A dedup pair graph is tiny relative to its
       corpus (it is the OUTPUT of dedup, bounded by the duplicate rate) —
       a million edges is ~16 MB on the driver, and union-find beats any
       number of distributed rounds of scheduler latency.
@@ -2272,26 +2276,20 @@ def dup_clusters(
       long-chain graphs swap in large-star/small-star (O(log n) rounds,
       same join shape) — not needed for dedup workloads.
     """
-    # Both edge directions from ONE scan of pairs (explode, not union —
-    # union's two branches would each re-execute the pairs lineage, which
-    # for jaccard/minhash pair sources doubles the dominant cost).
-    e = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
-                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
-                )
-            ).alias("_e")
-        )
-        .select("_e.src", "_e.dst")
-        .distinct()
-        .persist()
-    )
-    n_edges = e.count()  # also materializes the persisted edge set
-    if n_edges <= local_edge_limit:
-        edges = e.collect()
-        e.unpersist()
+    # The undirected pair list is materialized ONCE (persist + count); the
+    # union-find regime collects it AS-IS — union-find is insensitive to
+    # edge direction and duplicate edges, so the explode-to-both-directions
+    # + distinct shuffle the label-propagation regime needs is skipped
+    # entirely on the common (small-graph) path (one less Exchange per
+    # q42/q43/q115-class query, r15). The distributed regime builds its
+    # directed distinct edge set from the SAME persisted frame, so the
+    # pairs lineage (the dominant cost for jaccard/minhash sources) still
+    # executes exactly once either way.
+    p = pairs.select(a, b).persist()
+    n_pairs = p.count()  # materializes the persisted pair list
+    if 2 * n_pairs <= local_edge_limit:
+        edges = p.collect()
+        p.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -2303,7 +2301,7 @@ def dup_clusters(
             return root
 
         for r in edges:
-            s, d = r["src"], r["dst"]
+            s, d = r[a], r[b]
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = find(s), find(d)
@@ -2316,6 +2314,22 @@ def dup_clusters(
             rows, "id long, cluster long"
         )
         return _attach_caches(out, pairs)
+    # Distributed regime: both edge directions from ONE scan of the
+    # persisted pair list (explode, not union — union's two branches would
+    # each re-scan it), deduped once, then iterated over.
+    e = (
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
+        .persist()
+    )
     labels = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -2355,6 +2369,7 @@ def dup_clusters(
             break
         prev_sum = new_sum
     e.unpersist()
+    p.unpersist()
     return _attach_caches(labels, pairs)
 
 

@@ -257,8 +257,16 @@ def q138_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 89 == 0)
     corpus = d.filter(F.col("doc_id") % 89 != 0)
-    keep = dedup.exact_dedup(corpus).select(
-        F.col("keep_id").alias("doc_id")
+    # persisted: bloom_decontaminate consumes `deduped` in BOTH its
+    # branches (the shingle/Bloom taint pass and the final anti-join), so
+    # without it the md5 keep-list aggregate subtree executes twice (plan
+    # showed the HashAggregate(min(doc_id) by h) + its Exchange duplicated,
+    # r15). The keep-list is ids only — metadata-sized at any corpus scale
+    # (guide §8: decide with small rows), safe to persist.
+    keep = (
+        dedup.exact_dedup(corpus)
+        .select(F.col("keep_id").alias("doc_id"))
+        .persist()
     )
     deduped = corpus.join(keep, "doc_id", "left_semi")
     clean = dedup.bloom_decontaminate(deduped, bench)
@@ -276,6 +284,7 @@ def q138_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "doc_id"
         ),
         clean,
+        extra=[keep],
     )
 
 
