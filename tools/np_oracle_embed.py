@@ -58,7 +58,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/repo/testdata_sf1")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--record-json",
+        default="",
+        help="write sweep-style {query: record} JSON here (side file so a "
+        "concurrent sweep process can merge it without a write race)",
+    )
     args = ap.parse_args()
+    records: dict[str, dict] = {}
 
     import duckdb
 
@@ -71,16 +78,12 @@ def main() -> None:
     X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
 
-    from pyspark.sql import SparkSession
+    from fireworks_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[24]")
-        .appName("np-oracle-embed")
-        .config("spark.sql.shuffle.partitions", "48")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    spark = get_spark(
+        app_name="np-oracle-embed", master="local[24]", shuffle_partitions=48
     )
+    spark.sparkContext.setLogLevel("ERROR")
     failed = False
 
     if args.only in ("", "q34"):
@@ -105,6 +108,20 @@ def main() -> None:
         }
         ok = not extra and not missing and not diff
         failed |= not ok
+        records["q34_dedup_embedding_cosine"] = {
+            "spark_sec": round(t1 - t0, 1),
+            "rows": len(got),
+            "ok": ok,
+            "oracle_sec": round(t2 - t1, 1),
+            "oracle_mode": (
+                "numpy-blas (tools/np_oracle_embed.py): exact pair set + "
+                f"sims, {len(extra)} extra/{len(missing)} missing/"
+                f"{len(diff)} valdiff"
+            ),
+            "note": "DuckDB lambda-fold SQL infeasible at this scale; "
+            "BLAS oracle is the established exact substitute "
+            "(SWEEP_SF1.json r11 precedent)",
+        }
         print(
             f"q34_dedup_embedding_cosine: {'OK' if ok else 'FAIL'} "
             f"pairs={len(want)} spark={t1 - t0:.1f}s oracle={t2 - t1:.1f}s "
@@ -149,6 +166,16 @@ def main() -> None:
         missing = kept - got
         ok = not extra and not missing
         failed |= not ok
+        records["q103_semdedup"] = {
+            "spark_sec": round(t1 - t0, 1),
+            "rows": len(got),
+            "ok": ok,
+            "oracle_sec": round(t2 - t1, 1),
+            "oracle_mode": (
+                "numpy-blas (tools/np_oracle_embed.py): exact kept set, "
+                f"{len(extra)} extra/{len(missing)} missing"
+            ),
+        }
         print(
             f"q103_semdedup: {'OK' if ok else 'FAIL'} kept={len(kept)} "
             f"spark={t1 - t0:.1f}s oracle={t2 - t1:.1f}s "
@@ -158,6 +185,15 @@ def main() -> None:
             print("  extra", k)
         for k in list(missing)[:5]:
             print("  missing", k)
+
+    if args.record_json:
+        import json
+
+        tmp = args.record_json + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(records, fh, indent=1)
+        os.replace(tmp, args.record_json)
+        print(f"wrote {len(records)} record(s) to {args.record_json}")
 
     sys.exit(1 if failed else 0)
 
