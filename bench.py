@@ -150,7 +150,18 @@ def resolve_freeze(
     16x (this host's measured asymmetry) — such a window would inflate
     the Arrow-stage cohort, read the JVM control "at record speed", and
     mass-rebaseline under a single-control rule. A missing floor fails
-    safe to freeze (bounded by the streak cap either way)."""
+    safe to freeze (bounded by the streak cap either way).
+
+    Cap semantics (VERDICT r15 #1): exceeding the streak cap declares the
+    degradation "the new normal" and lets records re-baseline — but ONLY
+    when at least one control floor exists and that control currently
+    reads at record speed (<= cut). Before this gate, a streak that hit
+    the cap while both control floors were still un-bootstrapped (their
+    two-quiet-reading rule never satisfied) would rebaseline all records
+    during what the cohort signature itself says is host degradation;
+    with it, an unbootstrapped or inflated control keeps the freeze in
+    place however long the streak grows, and the first quiet window both
+    bootstraps the floors and resets the streak."""
     if not cohort_inflated:
         return False, 0
     if (
@@ -165,7 +176,18 @@ def resolve_freeze(
         return False, 0
     new_streak = streak + 1
     if new_streak > cap:
-        return False, new_streak  # persistent window = the new normal
+        # persistent window = the new normal, but only a bootstrapped
+        # control reading at record speed can corroborate "normal":
+        # rebaselining on a None/inflated control would ratchet every
+        # record upward during provable host degradation.
+        corroborated = (
+            control_ratio is not None and control_ratio <= control_cut
+        ) or (
+            py_control_ratio is not None and py_control_ratio <= control_cut
+        )
+        if corroborated:
+            return False, new_streak
+        return True, new_streak
     return True, new_streak
 
 
@@ -264,9 +286,52 @@ def merge_records(
     return rec_q, rec_age
 
 
+def chunk_queries(
+    timings: "dict[str, float | None]", max_chars: int = 700
+) -> "list[str]":
+    """The per-query map as a list of self-contained JSON lines, each
+    under ``max_chars``: {"metric": "total_query_time_part", "part": i,
+    "of": n, "queries": {...}}. The driver archives only a bounded TAIL
+    of stdout (2000 chars in every BENCH_r*.json), so the single ~6KB
+    full-map line gets head-truncated and PERF's per_query/geomean have
+    been empty for two rounds (VERDICT r15 #2). Bounded chunks let any
+    tail window recover complete, parseable sub-maps; queries are
+    ordered cheapest-first so the MOST EXPENSIVE queries land in the
+    LAST chunks — the bytes most likely to survive are the ones perf
+    analysis needs. Failed queries (null) ride along in their chunk."""
+    items = sorted(
+        timings.items(), key=lambda kv: (kv[1] is not None, kv[1] or 0.0)
+    )
+    chunks: "list[dict[str, float | None]]" = [{}]
+    size = 0
+    for name, t in items:
+        entry = len(name) + 12  # "name":12.345, with separators
+        if chunks[-1] and size + entry > max_chars:
+            chunks.append({})
+            size = 0
+        chunks[-1][name] = t
+        size += entry
+    n = len(chunks)
+    return [
+        json.dumps(
+            {
+                "metric": "total_query_time_part",
+                "part": i + 1,
+                "of": n,
+                "queries": part,
+            },
+            separators=(",", ":"),
+        )
+        for i, part in enumerate(chunks)
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # test rig: throwaway catalog tables go to tmpfs scratch (opt-in
+    # gate in session.get_spark — ADVICE r15)
+    os.environ.setdefault("FIREWORKS_SCRATCH_WAREHOUSE", "1")
 
     from fireworks_spark.registry import QUERIES
     from fireworks_spark.session import get_spark
@@ -497,12 +562,16 @@ def main() -> None:
             )
     except Exception:
         pass
-    # Full per-query line first (humans / archaeology), then a compact
-    # summary as the LAST line: the driver keeps only a bounded tail of
-    # stdout, and the full dict is long enough to get its head truncated,
-    # leaving nothing parseable (BENCH_r02/r03 "parsed": null). The compact
-    # line always fits inside the tail window.
+    # Output order (VERDICT r15 #2): the contract's full one-line JSON
+    # first (humans / archaeology — its head truncates in the driver's
+    # 2000-char tail, harmlessly), then the per-query map again as
+    # bounded chunk lines so the tail window always holds complete
+    # parseable sub-maps (most expensive queries in the last chunks),
+    # then the compact summary as the LAST line — it always fits and
+    # keeps BENCH_r*.json "parsed" populated exactly as before.
     print(json.dumps(out))
+    for line in chunk_queries(timings):
+        print(line)
     failed = sorted(k for k, v in timings.items() if v is None)
     top = dict(
         sorted(

@@ -911,7 +911,8 @@ def lsh_bands(
         )
         for b in range(num_bands)
     )
-    return sig.selectExpr(id_col, f"inline(array({structs}))")
+    qid = "`" + id_col.replace("`", "``") + "`"
+    return sig.selectExpr(qid, f"inline(array({structs}))")
 
 
 def minhash_lsh_candidates(
@@ -2533,7 +2534,11 @@ def minhash_signatures_rowwise(
         f"array_min(transform(shingles, s -> xxhash64({k}, s))) AS h{k}"
         for k in range(num_hashes)
     ]
-    return sets.selectExpr(id_col, *sig)
+    # backtick-quote the interpolated identifier (ADVICE r15): an id
+    # column needing quoting (spaces, dots, reserved words) parsed fine
+    # under the old F.col path and must keep doing so under selectExpr.
+    qid = "`" + id_col.replace("`", "``") + "`"
+    return sets.selectExpr(qid, *sig)
 
 
 def substring_dedup(

@@ -62,18 +62,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    if "spark.sql.warehouse.dir" not in (extra_conf or {}):
-        # catalog-table writes (bucketed joins, saveAsTable round-trips)
-        # are throwaway on the test rig — park the warehouse on the fast
-        # scratch filesystem (tmpfs when mounted; ~9ms/fsynced-file ext4
-        # penalty otherwise, see fireworks_spark/scratch.py). Applies only
-        # when THIS builder creates the session; a production deployment
-        # sets a durable warehouse here or via extra_conf.
-        from fireworks_spark.scratch import scratch_dir
+    if "spark.sql.warehouse.dir" not in (extra_conf or {}) and os.environ.get(
+        "FIREWORKS_SCRATCH_WAREHOUSE", ""
+    ).lower() in ("1", "true", "yes"):
+        # Opt-in (ADVICE r15): catalog-table writes (bucketed joins,
+        # saveAsTable round-trips) are throwaway on the test rig — park
+        # the warehouse on the fast scratch filesystem (tmpfs when
+        # mounted; ~9ms/fsynced-file ext4 penalty otherwise, see
+        # fireworks_spark/scratch.py). The harnesses (bench.py,
+        # tools/time_query.py, tests) set FIREWORKS_SCRATCH_WAREHOUSE=1;
+        # a plain library caller keeps Spark's durable default so
+        # saveAsTable data never silently lands in volatile RAM.
+        from fireworks_spark.scratch import warehouse_dir
 
-        builder = builder.config(
-            "spark.sql.warehouse.dir", scratch_dir("fw_warehouse_")
-        )
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -4,6 +4,10 @@ import os
 
 import pytest
 
+# throwaway catalog tables (bucketed-join / saveAsTable tests) on tmpfs
+# scratch — opt-in gate in session.get_spark (ADVICE r15)
+os.environ.setdefault("FIREWORKS_SCRATCH_WAREHOUSE", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_T2 = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
 

@@ -165,14 +165,51 @@ def test_merge_control_floor_bootstrap():
 
 
 def test_resolve_freeze_streak_cap():
-    """A control-confirmed degraded window still stops freezing after
-    FROZEN_RUNS_CAP consecutive runs: persistent 'degradation' is the
-    new normal and records may re-baseline through normal aging."""
+    """VERDICT r15 #1: exceeding FROZEN_RUNS_CAP declares the degradation
+    'the new normal' and lets records re-baseline — but only when a
+    bootstrapped control corroborates it by reading at record speed.
+    An unbootstrapped (None) or inflated control keeps the freeze in
+    place however long the streak grows: rebaselining on no evidence
+    would ratchet all 194 records upward during host degradation."""
     streak = 0
     for i in range(bench.FROZEN_RUNS_CAP):
         freeze, streak = bench.resolve_freeze(True, 2.0, streak)
         assert freeze, f"froze-out early at run {i}"
+    # cap exceeded, control still inflated: keep freezing
     freeze, streak = bench.resolve_freeze(True, 2.0, streak)
-    assert not freeze  # cap reached: aging resumes
+    assert freeze and streak == bench.FROZEN_RUNS_CAP + 1
+    # cap exceeded, control floors never bootstrapped (the live state at
+    # round 16 start: streak 8, both floors null): keep freezing
+    freeze, _ = bench.resolve_freeze(True, None, streak, py_control_ratio=None)
+    assert freeze
+    # cap exceeded AND one control at record speed: the persistent window
+    # is corroborated as the new normal — aging resumes
+    freeze, _ = bench.resolve_freeze(True, 1.0, streak, py_control_ratio=3.0)
+    assert not freeze
+    freeze, _ = bench.resolve_freeze(True, None, streak, py_control_ratio=1.05)
+    assert not freeze
     # a quiet run afterwards resets the streak entirely
     assert bench.resolve_freeze(False, None, streak) == (False, 0)
+
+
+def test_chunk_queries_bounded_and_complete():
+    """VERDICT r15 #2: the driver archives only a 2000-char stdout tail,
+    so the per-query map is re-emitted as bounded chunk lines. Every
+    line parses standalone, stays under the bound, the union of chunks
+    is the full map, and the most expensive queries sit in the LAST
+    chunk (the bytes most likely to survive the tail window)."""
+    import json as _json
+
+    timings = {f"q{i:03d}_name_of_typical_len": i / 10.0 for i in range(194)}
+    timings["q_failed_one"] = None
+    lines = bench.chunk_queries(timings, max_chars=700)
+    merged: dict = {}
+    for line in lines:
+        assert len(line) <= 700 + 100  # entry estimate slack only
+        doc = _json.loads(line)
+        assert doc["metric"] == "total_query_time_part"
+        assert doc["of"] == len(lines)
+        merged.update(doc["queries"])
+    assert merged == timings
+    last = _json.loads(lines[-1])["queries"]
+    assert "q193_name_of_typical_len" in last  # most expensive lands last

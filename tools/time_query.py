@@ -22,6 +22,8 @@ def main() -> None:
             reps = int(a.split("=")[1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # match bench conditions: scratch warehouse opt-in (session.get_spark)
+    os.environ.setdefault("FIREWORKS_SCRATCH_WAREHOUSE", "1")
 
     from fireworks_spark.operators.dedup import release_caches
     from fireworks_spark.registry import QUERIES
