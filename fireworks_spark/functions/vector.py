@@ -97,6 +97,32 @@ def sign_bits(
             h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
             return 1.0 if h % 2 == 0 else -1.0
 
+        if isinstance(vec_col, str):
+            # One JVM-side parse instead of num_bits DSL folds: even with
+            # flat list-literals, each bit's zip_with/aggregate/when chain
+            # is ~10 py4j round-trips, and building this column twice per
+            # query (base + probe side) measured 0.64s x 2 at 6 bits —
+            # ~85% of q102/q184's total cost (r16 construction profile).
+            # The SQL text parses to the exact expressions the DSL built
+            # (same left-fold, same literals), so bit values are
+            # unchanged (parity-tested in tests/test_similarity.py).
+            vexpr = "CAST(`{}` AS ARRAY<DOUBLE>)".format(
+                vec_col.replace("`", "``")
+            )
+            bit_sql = []
+            for i in range(num_bits):
+                row = "array({})".format(
+                    ",".join(
+                        "1.0D" if _psgn(i, d) > 0 else "-1.0D"
+                        for d in range(dim)
+                    )
+                )
+                bit_sql.append(
+                    "(CASE WHEN aggregate(zip_with({v}, {row}, "
+                    "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
+                    "THEN 1 ELSE 0 END)".format(v=vexpr, row=row)
+                )
+            return F.expr("array({})".format(",".join(bit_sql)))
         bits = []
         for i in range(num_bits):
             row = F.lit([_psgn(i, d) for d in range(dim)])
