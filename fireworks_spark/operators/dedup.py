@@ -2583,6 +2583,16 @@ def substring_dedup(
         n >= k, F.sequence(F.lit(0), n - k)
     ).otherwise(F.array().cast("array<int>"))
     win = F.array_join(F.slice("_w", F.col("_p") + 1, k), " ")
+    # persisted: occ feeds both the first-occurrence aggregate and the
+    # redundant-occurrence join, so unpersisted the stride-1 window
+    # enumeration (k-token slice+join per input token, the dominant CPU
+    # term) executes twice. A/B at sf1 (tools/probe_q145_persist.py,
+    # alternating pairs, one session): recompute 4.53s min / 4.90s med vs
+    # persist 3.89s / 4.08s (-14%); same direction at sf0.1 (2.40/3.07 vs
+    # 2.32/2.64). MEMORY_AND_DISK default keeps the at-scale risk bounded
+    # (the table is ~k x corpus tokens; spill beats re-enumeration since
+    # generation is compute-bound, guide §5). Handle released by callers
+    # via release_caches (keep_caches propagates it).
     occ = (
         toks.select("_id", "_w", F.explode(starts).alias("_p"))
         .select(
@@ -2590,6 +2600,7 @@ def substring_dedup(
             "_p",
             (F.xxhash64(win) if use_hash else win).alias("_key"),
         )
+        .persist()
     )
     firsts = occ.groupBy("_key").agg(
         F.min(F.struct(F.col("_id"), F.col("_p"))).alias("_f"),
@@ -2620,7 +2631,7 @@ def substring_dedup(
         F.count(F.lit(1)).alias("_n_kept"),
     )
     sizes = toks.select("_id", n.alias("_n"))
-    return (
+    out = (
         sizes.join(rebuilt, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
@@ -2630,6 +2641,7 @@ def substring_dedup(
             .alias("n_removed"),
         )
     )
+    return _attach_caches(out, extra=[occ])
 
 
 def chunk_dup_stats(
