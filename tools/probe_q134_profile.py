@@ -101,19 +101,35 @@ def main() -> None:
         .filter(F.least("_ql", "_qr") >= F.lit(t) * F.greatest("_ql", "_qr"))
     )
     alpha = F.lit(t) * (F.col("_ql") + F.col("_qr")) / F.lit(1.0 + t)
-    cand = (
-        joined_lr.filter(
-            1
-            + F.least(
-                F.col("_ql") - F.col("_pl"), F.col("_qr") - F.col("_pr")
+    if k == 1:
+        cand = (
+            joined_lr.filter(
+                1
+                + F.least(
+                    F.col("_ql") - F.col("_pl"), F.col("_qr") - F.col("_pr")
+                )
+                >= alpha
             )
-            >= alpha
+            .groupBy("lid", "rid")
+            .agg(F.count(F.lit(1)).alias("_common"))
         )
-        .groupBy("lid", "rid")
-        .agg(F.count(F.lit(1)).alias("_common"))
-        if k == 1
-        else None
-    )
+    else:
+        # extended-prefix branch (k>1) — mirrors jaccard_join
+        cand = (
+            joined_lr.groupBy("lid", "rid")
+            .agg(
+                F.count(F.lit(1)).alias("_common"),
+                F.min("_ql").alias("_ql"),
+                F.min("_qr").alias("_qr"),
+            )
+            .filter(
+                F.col("_common")
+                >= F.least(
+                    F.lit(k), F.ceil(F.lit(t) * F.least("_ql", "_qr"))
+                )
+            )
+            .select("lid", "rid", "_common")
+        )
     cand = cand.persist()
     n_cand = timed("candidates (prefix join + pair agg)", lambda: cand.count())
 
